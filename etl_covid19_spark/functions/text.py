@@ -1,0 +1,126 @@
+"""Text-analysis kit for large-scale training-data pipelines.
+
+Extension surface beyond the reference (SURVEY.md §7.2 step 9):
+tokenization, n-gram shingling, quality scoring, token counting,
+language-ID heuristics, and document fingerprinting — all as
+JVM-side column expressions (no Python UDFs), so they vectorize and
+stay inside whole-stage codegen when run over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Small multilingual stopword marker sets for the heuristic
+# language-ID scorer (deterministic, SQL-expressible).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "es": ("el", "la", "de", "que", "y"),
+    "fr": ("le", "la", "de", "et", "les"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),
+}
+
+EN_STOPWORDS = (
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that",
+)
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenizer → array<string> (empty-safe)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token counting with a BPE-ish regex: words, numbers, and
+    punctuation runs each count as one token — a cheap proxy for a
+    subword tokenizer's piece count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(
+        F.filter(
+            F.split(c, r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\s])|(?<=[^a-zA-Z0-9\s])(?=[a-zA-Z0-9])|\s+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles → array<string>. The unit of the
+    Jaccard/MinHash dedup family (operators.dedup)."""
+    toks = tokens(col)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )
+    # A doc shorter than n tokens yields its whole text as one shingle.
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of non-alphanumeric, non-space characters."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[A-Za-z0-9\s]", "")
+    return F.length(stripped) / F.greatest(F.length(c), F.lit(1))
+
+
+def stopword_ratio(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """Fraction of tokens that are (lowercased) stopwords."""
+    toks = tokens(col)
+    stops = F.size(F.filter(toks, lambda t: F.lower(t).isin(*stopwords)))
+    return stops / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_token_length(col: Column | str) -> Column:
+    toks = tokens(col)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: favors mid-length docs with
+    sane token lengths, low punctuation noise, and some stopword
+    glue — the standard pre-training quality-filter shape."""
+    c = F.col(col) if isinstance(col, str) else col
+    len_score = F.least(F.length(c) / F.lit(200.0), F.lit(1.0))
+    tok_len = mean_token_length(c)
+    tok_score = F.when((tok_len >= 2) & (tok_len <= 12), F.lit(1.0)).otherwise(F.lit(0.3))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(c) * 5, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(c) * 4, F.lit(1.0))
+    return F.round(
+        0.3 * len_score + 0.3 * tok_score + 0.2 * punct_score + 0.2 * stop_score, 6
+    )
+
+
+def lang_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language marker-hit counts for the heuristic language-ID."""
+    toks = tokens(col)
+    return {
+        lang: F.size(F.filter(toks, lambda t, m=markers: F.lower(t).isin(*m)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def fingerprint(col: Column | str, mod: int = 1_000_000_007, base: int = 131) -> Column:
+    """Deterministic rolling document fingerprint.
+
+    Polynomial hash over the token stream where each token
+    contributes (ascii(first char), length): h = (h*base + code) % mod.
+    Engine-agnostic (same value is computable in ANSI SQL), unlike
+    xxhash64/crc32, so it doubles as a cross-system dedup key.
+    """
+    toks = tokens(col)
+    code = lambda t: (F.ascii(F.substring(t, 1, 1)).cast("bigint") * 1000 + F.length(t))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, t: (acc * base + code(t)) % mod,
+    )

@@ -1,0 +1,712 @@
+"""Query registry: the engine's public query surface, one entry per
+operator family in SURVEY.md §2 (+ the §7.2-step-9 extension ops),
+each with a DuckDB-runnable ANSI-SQL oracle.
+
+Oracle-parity rules used throughout:
+- every computed column is aliased identically in Spark and SQL;
+- money/double aggregations go through exact DECIMAL arithmetic and
+  the *final* value is cast to DOUBLE on both sides → bit-identical
+  results independent of partial-aggregation order;
+- ratios are plain double divisions of exactly-equal operands;
+- day/month names rely on the session's pinned en-US locale.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_covid19_spark.functions import datetime_kit as dk
+from etl_covid19_spark.functions import json_kit, text, vectors
+from etl_covid19_spark.operators import aggregates as agg
+from etl_covid19_spark.operators import joins as J
+from etl_covid19_spark.operators import relational as R
+from etl_covid19_spark.plans import star
+from etl_covid19_spark.sources.catalog import load_table
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    headline: bool = False  # include in bench.py
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None, headline: bool = False):
+    def deco(fn):
+        REGISTRY[name] = QueryDef(fn, oracle, headline)
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def dsum(col, scale: str = "decimal(18,4)"):
+    """Order-independent exact sum: decimal accumulate → double out."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(scale)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.3, §2.5, §7.2 step 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))
+                    * CAST(1 + l_tax AS DECIMAL(8,4))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape — the groupBy().agg() hash-aggregate surface
+    (SURVEY.md §2.5: the mart's purpose). Map-side partial aggregation
+    → 4 groups shuffle, never the 100 TB scan."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    one_tax = (F.lit(1) + F.col("l_tax")).cast("decimal(8,4)")
+    n = F.count(F.lit(1))
+    return agg.grouped_agg(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        {
+            "sum_qty": dsum("l_quantity"),
+            "sum_base_price": dsum("l_extendedprice"),
+            "sum_disc_price": F.sum(ext * one_disc).cast("double"),
+            "sum_charge": F.sum(ext * one_disc * one_tax).cast("double"),
+            "avg_qty": dsum("l_quantity") / n,
+            "avg_price": dsum("l_extendedprice") / n,
+            "avg_disc": dsum("l_discount", "decimal(8,4)") / n,
+            "count_order": n,
+        },
+    )
+
+
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey AS order_key, l_linenumber AS line_number,
+           l_quantity AS qty, l_extendedprice AS price, l_returnflag AS flag
+    FROM lineitem
+    WHERE l_returnflag <> 'R'
+      AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+    """,
+)
+def q_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P4/F1/F4 — projection+rename with an isin-style anti-filter
+    and a date-sliced predicate; both reach the parquet scan as
+    PushedFilters + pruned ReadSchema."""
+    li = _t(spark, sf_dir, "lineitem")
+    sliced = li.filter(
+        (~F.col("l_returnflag").isin("R"))
+        & (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    return R.project(
+        sliced,
+        {
+            "order_key": "l_orderkey",
+            "line_number": "l_linenumber",
+            "qty": "l_quantity",
+            "price": "l_extendedprice",
+            "flag": "l_returnflag",
+        },
+    )
+
+
+@register(
+    "union_slices",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice, 'early' AS slice FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_totalprice, 'late' AS slice FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    """,
+)
+def q_union_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1 — unionByName over date slices (the pandas concat loop,
+    ``dags/ETL_covid19_pandas.py:68-72``, as one lazy plan node)."""
+    o = _t(spark, sf_dir, "orders")
+    early = o.filter(
+        F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", F.lit("early").alias("slice"))
+    late = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_totalprice", F.lit("late").alias("slice"))
+    return R.union_all(early, late)
+
+
+@register(
+    "distinct_dedup",
+    oracle="""
+    SELECT DISTINCT c_nationkey, c_mktsegment FROM customer
+    """,
+)
+def q_distinct_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup as hash aggregate (SURVEY.md §2.7 M6's missing
+    DISTINCT, done right)."""
+    return R.dedup(
+        _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    )
+
+
+@register(
+    "top_customers",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orderBy+limit top-k (SURVEY.md §2.10) — plans as
+    TakeOrderedAndProject: per-partition top-k, no global sort."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    rev = agg.grouped_agg(
+        o.join(c, o.o_custkey == c.c_custkey),
+        ["c_custkey", "c_name"],
+        {"revenue": dsum("o_totalprice"), "n_orders": F.count(F.lit(1))},
+    )
+    return agg.top_k(rev, [F.col("revenue").desc(), F.col("c_custkey").asc()], 10)
+
+
+@register(
+    "star_join_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lineitems
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    headline=True,
+)
+def q_star_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JN1/JN2 — the star join (TPC-H Q5 shape): every dimension
+    broadcast so the fact scan streams through BroadcastHashJoins;
+    only the final 2-key aggregate shuffles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    # orders/customer scale with the fact table → leave their join
+    # strategy to Catalyst/AQE (auto-broadcast when under threshold,
+    # sort-merge + skew split at 100 TB); nation/region are bounded
+    # dims → always broadcast.
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return agg.grouped_agg(
+        joined.select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            (ext * one_disc).alias("disc_price"),
+        ),
+        ["region_name", "nation_name"],
+        {
+            "revenue": F.sum(F.col("disc_price")).cast("double"),
+            "n_lineitems": F.count(F.lit(1)),
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured / JSON (SURVEY.md §2.2 J1-J6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_path_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    headline=True,
+)
+def q_json_path_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 — JSON path extraction (`json_data -> 'data'` analog,
+    ``spark_transform_data.py:24``) feeding an aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    k = json_kit.json_path("props", "$.k").cast("bigint")
+    return agg.grouped_agg(
+        ev.select("event_type", k.alias("k")),
+        ["event_type"],
+        {"sum_k": F.sum("k"), "n_events": F.count(F.lit(1))},
+    )
+
+
+@register(
+    "json_typed_parse",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_high,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+    GROUP BY event_type
+    """,
+)
+def q_json_typed_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 — schema-bound `from_json` parse (the typed parse of
+    ``spark_transform_data.py:49``) with a post-parse filter."""
+    ev = _t(spark, sf_dir, "events")
+    schema = T.StructType([T.StructField("k", T.IntegerType())])
+    parsed = ev.withColumn("p", json_kit.parse_json("props", schema))
+    high = parsed.filter(F.col("p.k") >= 50)
+    return agg.grouped_agg(
+        high,
+        ["event_type"],
+        {
+            "n_high": F.count(F.lit(1)),
+            "min_k": F.min("p.k"),
+            "max_k": F.max("p.k"),
+        },
+    )
+
+
+@register(
+    "explode_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT d.lang, t.tok
+      FROM documents d,
+           unnest(list_filter(regexp_split_to_array(trim(d.text), '\\s+'),
+                              x -> x <> '')) AS t(tok)
+    )
+    SELECT lang, COUNT(*) AS n_tokens,
+           COUNT(DISTINCT tok) AS n_distinct_tokens
+    FROM toks GROUP BY lang
+    """,
+    headline=True,
+)
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — array explode (``spark_transform_data.py:51``) over the
+    tokenizer; the cardinality-raising operator at document scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("lang", F.explode(text.tokens("text")).alias("tok"))
+    return agg.grouped_agg(
+        toks,
+        ["lang"],
+        {
+            "n_tokens": F.count(F.lit(1)),
+            "n_distinct_tokens": F.count_distinct(F.col("tok")),
+        },
+    )
+
+
+@register(
+    "json_roundtrip_star",
+    oracle="""
+    SELECT n.n_nationkey AS nation_key, n.n_name AS nation_name,
+           r.r_name AS region_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def q_json_roundtrip_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1+J2+J4+J6 end-to-end: serialize nation rows into the
+    reference's envelope shape {"data": [...]}, then run the covid
+    clean path (path-extract → typed parse → explode → nested
+    select). The oracle computes the same relation without the
+    round-trip, so agreement proves parse/explode fidelity."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    payloads = joined.groupBy("r_regionkey").agg(
+        F.to_json(
+            F.struct(
+                F.collect_list(
+                    F.struct(
+                        F.col("n_nationkey").alias("nationkey"),
+                        F.col("n_name").alias("name"),
+                        F.struct(F.col("r_name").alias("name")).alias("region"),
+                    )
+                ).alias("data")
+            )
+        ).alias("json_data")
+    )
+    schema = T.ArrayType(
+        T.StructType(
+            [
+                T.StructField("nationkey", T.IntegerType()),
+                T.StructField("name", T.StringType()),
+                T.StructField(
+                    "region",
+                    T.StructType([T.StructField("name", T.StringType())]),
+                ),
+            ]
+        )
+    )
+    parsed = payloads.withColumn(
+        "recs", json_kit.parse_json(json_kit.json_path("json_data", "$.data"), schema)
+    )
+    exploded = json_kit.explode_records(parsed, "recs")
+    return json_kit.select_nested(
+        exploded,
+        {
+            "rec.nationkey": "nation_key",
+            "rec.name": "nation_name",
+            "rec.region.name": "region_name",
+        },
+    )
+
+
+# ---------------------------------------------------------------------------
+# Calendar / date dimension (SURVEY.md §2.6 D1-D8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "date_dimension",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+           CAST(d AS DATE) AS full_date,
+           dayname(d) AS day_of_week,
+           CAST(isodow(d) AS INT) AS day_number_in_week,
+           isodow(d) = 7 AS last_day_in_week_indicator,
+           monthname(d) AS month_name,
+           CAST(month(d) AS INT) AS month_number_in_year,
+           isodow(d) <= 5 AS weekday_flag
+    FROM generate_series(DATE '2023-01-01', DATE '2024-12-31',
+                         INTERVAL 1 DAY) t(d)
+    """,
+    headline=True,
+)
+def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1-D8 — the reference's 46-line PLpgSQL date-dimension loop
+    (``postgres/pg_init_covid19.sql:192-237``) as one `sequence()`
+    plus seven column expressions, fully distributed."""
+    return star.build_date_dimension(spark, "2023-01-01", "2024-12-31")
+
+
+@register(
+    "date_key_enrich",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS day_revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def q_date_key_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1/M2 — smart yyyymmdd key recomputed-on-read (replaces the
+    reference's UPDATE at ``postgres/pg_init_covid19.sql:147-154``)."""
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "date_key", dk.date_key("o_orderdate")
+    )
+    return agg.grouped_agg(
+        o,
+        ["date_key"],
+        {"n_orders": F.count(F.lit(1)), "day_revenue": dsum("o_totalprice")},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Star-schema build (SURVEY.md §2.7 M2-M6, §7.2 step 5)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dim_mktsegment",
+    oracle="""
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS INT) AS segment_key,
+           c_mktsegment
+    FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def q_dim_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6-fixed — dimension builder: dedup + deterministic surrogate
+    key (the reference's `insert_region_dimension` lacks DISTINCT,
+    quirk Q6)."""
+    return star.build_dimension(
+        _t(spark, sf_dir, "customer"),
+        natural_keys=["c_mktsegment"],
+        key_col="segment_key",
+    )
+
+
+@register(
+    "fact_build",
+    oracle="""
+    WITH dim AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY c_mktsegment) AS INT) AS segment_key,
+             c_mktsegment
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT o.o_orderkey, o.o_totalprice,
+           CAST(strftime(o.o_orderdate, '%Y%m%d') AS INT) AS date_key,
+           d.segment_key
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN dim d ON c.c_mktsegment = d.c_mktsegment
+    """,
+)
+def q_fact_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4/M5/JN1 — fact build: date_key expression + broadcast
+    surrogate-key enrichment + measure projection (the INSERT…SELECT
+    procedures at ``postgres/pg_init_covid19.sql:106-127,168-188``)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = star.build_dimension(
+        _t(spark, sf_dir, "customer"),
+        natural_keys=["c_mktsegment"],
+        key_col="segment_key",
+    )
+    enriched = o.join(c, o.o_custkey == c.c_custkey)
+    keyed = J.enrich_with_key(
+        enriched, dim, on="c_mktsegment", key_col="segment_key", how="inner"
+    )
+    return keyed.select(
+        "o_orderkey",
+        "o_totalprice",
+        dk.date_key("o_orderdate").alias("date_key"),
+        "segment_key",
+    )
+
+
+@register(
+    "quality_counts",
+    oracle="""
+    SELECT CAST(o_orderdate AS DATE) AS order_day, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1995-07-01 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — the quality-gate count shape (per-day row counts; the
+    engine-side tolerance assert lives in plans.quality and is
+    unit-tested)."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp"))
+    )
+    return agg.grouped_agg(
+        o.select(F.col("o_orderdate").cast("date").alias("order_day")),
+        ["order_day"],
+        {"n_orders": F.count(F.lit(1))},
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / rollup / set ops (SURVEY.md §2.10, §7.2 step 8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_running",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS order_day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT order_day,
+           CAST(rev AS DOUBLE) AS day_revenue,
+           CAST(SUM(rev) OVER (ORDER BY order_day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(rev AS DOUBLE)
+             - CAST(COALESCE(LAG(rev) OVER (ORDER BY order_day), 0) AS DOUBLE)
+             AS day_over_day
+    FROM daily
+    """,
+    headline=True,
+)
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window kit — running total + day-over-day diff: natively
+    recomputes the reference's precomputed `*_diff` measures
+    (SURVEY.md §2.6 M1) with a window over the ordered day series."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("order_day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("rev"))
+    w = Window.orderBy("order_day")
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "order_day",
+        F.col("rev").cast("double").alias("day_revenue"),
+        F.sum("rev").over(cum).cast("double").alias("running_total"),
+        (
+            F.col("rev").cast("double")
+            - F.coalesce(F.lag("rev").over(w), F.lit(0)).cast("double")
+        ).alias("day_over_day"),
+    )
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, c.c_mktsegment AS segment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, c.c_mktsegment)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region ⊃ segment hierarchy — subtotals and a
+    grand total in one pass (SURVEY.md §7.2 step 8)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice"),
+        )
+    )
+    return agg.rollup_agg(
+        joined,
+        ["region_name", "segment"],
+        {"revenue": dsum("o_totalprice"), "n_orders": F.count(F.lit(1))},
+    )
+
+
+@register(
+    "intersect_customers",
+    oracle="""
+    SELECT o_custkey AS cust_key FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'
+    INTERSECT
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    """,
+)
+def q_intersect_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY.md §2.10 — absent from the reference, part
+    of the engine's standard set-op surface)."""
+    o = _t(spark, sf_dir, "orders")
+
+    def year_custs(start: str, end: str) -> DataFrame:
+        return o.filter(
+            (F.col("o_orderdate") >= F.lit(start).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(end).cast("timestamp"))
+        ).select(F.col("o_custkey").alias("cust_key"))
+
+    return year_custs("1995-01-01 00:00:00", "1996-01-01 00:00:00").intersect(
+        year_custs("1996-01-01 00:00:00", "1997-01-01 00:00:00")
+    )
+
+
+@register(
+    "except_customers",
+    oracle="""
+    SELECT c_custkey AS cust_key FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders
+    """,
+)
+def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT — customers who never ordered."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key"))
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key"))
+    return c.exceptAll(o).distinct() if False else c.subtract(o)
+
+
+@register(
+    "semi_join_active",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_mktsegment
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    )
+    """,
+)
+def q_semi_join_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-semi join — EXISTS (quality-gate building block,
+    SURVEY.md §7.2 step 6)."""
+    c = _t(spark, sf_dir, "customer")
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return J.semi_join(c, recent, on=["c_custkey"]).select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "anti_join_integrity",
+    oracle="""
+    SELECT COUNT(*) AS n_orphans
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+    )
+    """,
+)
+def q_anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left-anti join — the referential-integrity check (engine-native
+    form of the mart's FK constraints,
+    ``postgres/pg_init_covid19.sql:78-79``)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return J.anti_join(o, c, on=["o_custkey"]).agg(
+        F.count(F.lit(1)).alias("n_orphans")
+    )

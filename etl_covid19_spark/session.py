@@ -1,0 +1,74 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference hand-tunes parallelism (``.repartition(2)``,
+``spark_transform_data.py:51``) and commented-out executor sizing
+(``dags/ETL_covid19_spark.py:96-97``). Here the session instead
+leans on AQE (runtime coalescing, skew-join splitting, dynamic
+broadcast) so the same code runs on local[32] and on a
+1000-executor cluster without re-tuning.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for correctness-portability between local test
+# runs and a real cluster; anything machine-specific comes from env.
+_BASE_CONF: dict[str, str] = {
+    # Deterministic time semantics: the DuckDB oracle reads parquet
+    # timestamps as naive/UTC, so Spark must too.
+    "spark.sql.session.timeZone": "UTC",
+    # AQE is the scale story: runtime shuffle-partition coalescing,
+    # skew-join splitting, and plan re-optimization from actual stats.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Nested-field pruning so `select('payload.data.confirmed')`
+    # reads one parquet leaf column, not the whole struct.
+    "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Arrow for every pandas_udf / applyInPandas boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Idempotent date-partitioned writes (fixes reference quirk Q1:
+    # blind `append` duplicating data on orchestrator retries).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    # Stable locale-pinned formatting for day/month names (SURVEY
+    # §7.4: to_char(...,'Day') parity needs a pinned locale).
+    "spark.sql.legacy.timeParserPolicy": "CORRECTED",
+    # Quieter Parquet summary churn on wide fan-out writes.
+    "spark.hadoop.parquet.summary.metadata.level": "NONE",
+    # Some sources (pandas/pyarrow writers) emit INT64
+    # TIMESTAMP(NANOS) parquet columns, which Spark's vectorized
+    # reader rejects; read them as long and convert in the catalog.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def get_spark(
+    app_name: str = "etl_covid19_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` locally; on a
+    real cluster leave it unset and let spark-submit/cluster manager
+    decide. ``shuffle_partitions`` defaults to 32 locally — on a
+    cluster, size it to ~2-3× total cores (AQE coalesces down).
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
