@@ -103,10 +103,13 @@ def quality_score(col: Column | str) -> Column:
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Per-language marker-hit counts for the heuristic language-ID."""
     toks = tokens(col)
-    return {
-        lang: F.size(F.filter(toks, lambda t, m=markers: F.lower(t).isin(*m)))
-        for lang, markers in LANG_MARKERS.items()
-    }
+
+    # Closure factory: a default-arg lambda would change the lambda's
+    # arity and make Spark bind the element *index* to it instead.
+    def hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: F.lower(t).isin(*markers)))
+
+    return {lang: hits(markers) for lang, markers in LANG_MARKERS.items()}
 
 
 def fingerprint(col: Column | str, mod: int = 1_000_000_007, base: int = 131) -> Column:

@@ -1,0 +1,277 @@
+"""Deduplication operator family for training-data pipelines.
+
+Extension surface beyond the reference (SURVEY.md §7.2 step 9):
+exact, n-gram Jaccard, MinHash+LSH, SimHash, and embedding-cosine
+near-dup — each expressed as compositions of built-in DataFrame ops
+(explode / groupBy / join / higher-order array functions), no Python
+UDFs, so they scale as ordinary shuffles.
+
+Scale notes per operator are on the functions; the common theme:
+work is proportional to candidate pairs, never to |docs|² — LSH
+banding (minhash) and shingle-postings joins (jaccard) both turn the
+quadratic all-pairs problem into a grouped equi-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.functions import text, vectors
+
+# Deterministic, engine-agnostic shingle hash (also computable in
+# plain SQL — see the oracle for minhash_lsh_pairs): polynomial over
+# the shingle's characters, mod a 31-bit prime.
+_P = 2_147_483_647  # 2^31 - 1
+
+
+def _shingle_hash(sh):
+    codes = F.transform(F.split(sh, ""), lambda ch: F.ascii(ch).cast("bigint"))
+    return F.aggregate(
+        codes, F.lit(0).cast("bigint"), lambda acc, c: (acc * 131 + c) % _P
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with
+    the smallest id as canonical. Shuffles one (hash, id) pair per
+    row — at 100 TB, group on xxhash64(text) so the shuffle carries
+    8-byte keys instead of document bodies."""
+    h = F.xxhash64(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingles array, set size) — shared prep for the Jaccard
+    and MinHash paths."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        text.word_shingles(text_col, n).alias("shingles"),
+    ).withColumn("n_shingles", F.size("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.4
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via a shingle-postings
+    join: explode shingles → self-equi-join on shingle → count common
+    → |A∩B| / (|A|+|B|-|A∩B|). The join is a plain shuffle on the
+    shingle key; hot (stop-shingle) keys are the skew risk at scale —
+    AQE skew-join handles moderate skew, and a doc-frequency cap on
+    shingles is the standard mitigation beyond that."""
+    sets_df = shingle_sets(df, text_col, id_col, n)
+    posts = sets_df.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
+    )
+    a, b = posts.alias("a"), posts.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 128
+) -> DataFrame:
+    """MinHash signatures: h_i(x) = (a_i·x + b_i) mod p over the
+    engine-agnostic shingle hashes; one pass, no shuffle, signature
+    computed per-row with higher-order array functions."""
+    sets_df = shingle_sets(df, text_col, id_col, n)
+    hashes = F.transform(F.col("shingles"), _shingle_hash)
+    # Deterministic per-seed affine coefficients, shipped as one
+    # literal array; the signature is ONE aggregate pass over the
+    # shingle hashes updating all `num_hashes` minima via zip_with —
+    # O(|shingles|·k) work, each shingle hashed exactly once.
+    coeffs = F.array(
+        *[
+            F.struct(
+                F.lit((i * 2654435761 + 1) % _P).alias("a"),
+                F.lit((i * 40503 + 17) % _P).alias("b"),
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    sig = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(_P).cast("bigint"), num_hashes),
+        lambda acc, x: F.zip_with(
+            acc, coeffs, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % _P)
+        ),
+    )
+    return sets_df.select("doc_id", "shingles", "n_shingles", sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash + LSH near-dup pairs, exact-verified.
+
+    Banding: 32 bands × 4 rows → P(candidate | J=0.8) ≈ 1-(1-0.8⁴)³²
+    ≈ 1-5e-8, so recall at the threshold is effectively 1 while
+    candidate generation is a grouped equi-join on (band, band-slice
+    of the signature) — never |docs|². Candidates are then verified
+    with the exact Jaccard, so emitted pairs carry true similarity.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    banded = sigs.select(
+        "doc_id",
+        "n_shingles",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.slice(F.col("signature"), b * rows + 1, rows).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=(F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.shingles").alias("sh_a"),
+            F.col("b.shingles").alias("sh_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = n_common / (F.col("na") + F.col("nb") - n_common)
+    return (
+        cands.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 30) -> DataFrame:
+    """SimHash fingerprints: sign-aggregate of per-token hash bits.
+    Token hash is the engine-agnostic 31-bit polynomial, so 30
+    fingerprint bits carry signal. One aggregate pass accumulates all
+    per-bit votes via zip_with; a final fold packs signs to bigint."""
+    toks = text.tokens(text_col)
+    th = F.transform(toks, _shingle_hash)
+    masks = F.array(*[F.lit(1 << j).cast("bigint") for j in range(bits)])
+    votes = F.aggregate(
+        th,
+        F.array_repeat(F.lit(0).cast("bigint"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda v, m: v
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return df.select(F.col(id_col).alias("doc_id"), fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dup pairs, blocked on 15-bit fingerprint halves:
+    a pair within hamming distance <= 1 must agree exactly on one
+    half (pigeonhole; heuristic recall for larger distances), so
+    candidates come from grouped equi-joins, not an all-pairs scan."""
+    fps = simhash(df, text_col, id_col)
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * 15)
+                    .bitwiseAND(F.lit(0x7FFF))
+                    .alias("key"),
+                )
+                for c in range(2)
+            ]
+        )
+    )
+    blocked = fps.select("doc_id", "simhash", chunks.alias("ck"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=(F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cands.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute-force all-pairs here
+    (correctness baseline); the scale path is LSH bucketing first
+    (similarity.lsh_bucket_ann) so the join only compares
+    same-bucket vectors."""
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
+    )
+    pairs = a.join(b, on=F.col("id_a") < F.col("id_b"))
+    cos = vectors.cosine("va", "vb")
+    return (
+        pairs.withColumn("cosine", cos)
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,125 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Extension surface (SURVEY.md §7.2 step 9): brute-force cosine top-k
+as the exact baseline, plus a random-hyperplane-LSH bucketed variant
+as the 100 TB path (candidates come from a grouped equi-join on
+bucket signatures instead of a full cross join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.functions import vectors
+
+
+def brute_force_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against
+    the corpus, rank per query with a window. The corpus scan is
+    embarrassingly parallel; per-partition TopK via the rank filter
+    keeps the shuffle at |queries|·k rows."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        )
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        q.join(c, on=F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", vectors.cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
+    """Random-hyperplane LSH signature: bit i = sign(v·p_i). Planes
+    are deterministic constants (seeded), broadcast as literals."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(x) for x in plane]),
+                    lambda v, p: v.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for plane in planes
+    ]
+    sig = F.lit(0)
+    for b in bits:
+        sig = sig * 2 + b
+    return sig
+
+
+def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG-based, no numpy
+    RNG state) — same planes every run, every engine."""
+    planes = []
+    state = seed
+    for _ in range(n_planes):
+        plane = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (2**31)
+            plane.append((state / 2**31) * 2.0 - 1.0)
+        planes.append(plane)
+    return planes
+
+
+def lsh_bucket_ann(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_planes: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane
+    signature, rank within the shared bucket. Recall < 1 by design
+    (probe multiple buckets / fewer planes to raise it); the win is
+    that the join degree is the bucket size, not the corpus size."""
+    planes = make_planes(dim, n_planes)
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            hyperplane_signature(vec_col, planes).alias("bucket"),
+        )
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", vectors.cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )

@@ -710,3 +710,432 @@ def q_anti_join_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return J.anti_join(o, c, on=["o_custkey"]).agg(
         F.count(F.lit(1)).alias("n_orphans")
     )
+
+
+# ---------------------------------------------------------------------------
+# Extension ops: dedup / similarity / text / windows / multimodal
+# (SURVEY.md §7.2 step 9 — the 100 TB training-data surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY text
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via hash-groupBy on the content hash — shuffles
+    8-byte keys, never document bodies."""
+    from etl_covid19_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    ).select("canonical_id", "n_copies")
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS sh FROM g),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS nc
+      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, nc * 1.0 / (na + nb - nc) AS jaccard
+    FROM c WHERE nc * 1.0 / (na + nb - nc) >= 0.5
+    """,
+    headline=True,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs via the shingle-postings
+    join (never |docs|²)."""
+    from etl_covid19_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.5
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS sh FROM g),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS nc
+      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, nc * 1.0 / (na + nb - nc) AS jaccard
+    FROM c WHERE nc * 1.0 / (na + nb - nc) >= 0.8
+    """,
+    headline=True,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(128) + LSH(32×4) candidate pairs, exact-verified at
+    J≥0.8. Recall at the threshold ≈ 1-5e-8, so the oracle is the
+    exact-Jaccard pair set."""
+    from etl_covid19_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=128, bands=32, threshold=0.8,
+    )
+
+
+@register("dedup_simhash", oracle=None)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dup pairs, 16-bit-chunk blocked
+    (pigeonhole exact for hamming ≤ 3; heuristic recall above).
+    Non-SQL-expressible economically → rows-only check; semantics
+    unit-tested in tests/test_dedup.py."""
+    from etl_covid19_spark.operators.dedup import simhash_pairs
+
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    )
+
+
+@register(
+    "embedding_near_dup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(list_zip(a.v, b.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)), (x, y) -> x + y) AS dot,
+             sqrt(list_reduce(list_transform(a.v, x -> x * x),
+                              (x, y) -> x + y)) AS norm_a,
+             sqrt(list_reduce(list_transform(b.v, x -> x * x),
+                              (x, y) -> x + y)) AS norm_b
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, dot / (norm_a * norm_b) AS cosine
+    FROM pairs
+    WHERE CASE WHEN norm_a * norm_b = 0 THEN 0.0
+               ELSE dot / (norm_a * norm_b) END >= 0.45
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force correctness
+    baseline; LSH-bucketed variant is ann_lsh_topk)."""
+    from etl_covid19_spark.operators.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.45
+    )
+
+
+@register(
+    "ann_cosine_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id, v FROM e WHERE vec_id < 8),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(list_zip(q.v, c.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(c.v, x -> x * x), (x, y) -> x + y)))
+               AS cosine
+      FROM q JOIN e c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                  ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+             cosine
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
+    """,
+    headline=True,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 8 query vectors: broadcast queries ×
+    corpus scan, per-query window rank — the similarity-search
+    correctness baseline."""
+    from etl_covid19_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return brute_force_topk(
+        emb, emb.filter(F.col("vec_id") < 8), "embedding", "vec_id", k=10
+    )
+
+
+@register("ann_lsh_topk", oracle=None)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH bucketing — the
+    scale path (join degree = bucket size, not corpus size).
+    Approximate by construction → rows-only check; recall vs the
+    exact baseline is unit-tested."""
+    from etl_covid19_spark.operators.similarity import lsh_bucket_ann
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_ann(
+        emb, emb.filter(F.col("vec_id") < 8), "embedding", "vec_id",
+        k=10, n_planes=6, dim=64,
+    )
+
+
+@register(
+    "text_quality",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text, lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, lang,
+             len(toks) AS n_tokens,
+             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                         (a, b) -> a + b)
+               / greatest(len(toks), 1) AS mean_token_len,
+             n_punct / greatest(length(text), 1) AS punct_ratio,
+             len(list_filter(toks, x -> lower(x) IN
+                 ('the','a','an','and','or','of','to','in','is','are','for',
+                  'on','with','as','at','by','it','this','that')))
+               / greatest(len(toks), 1) AS stopword_ratio,
+             least(length(text) / 200.0, 1.0) AS len_score
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+           round(0.3 * len_score
+                 + 0.3 * (CASE WHEN mean_token_len >= 2 AND mean_token_len <= 12
+                               THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
+                 + 0.2 * least(stopword_ratio * 4, 1.0), 6) AS quality
+    FROM m
+    """,
+    headline=True,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: token count, mean token length,
+    punctuation ratio, stopword ratio, composite quality score —
+    the pre-training quality-filter feature set, all JVM-side."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        text.token_count("text").alias("n_tokens"),
+        text.mean_token_length("text").alias("mean_token_len"),
+        text.punct_ratio("text").alias("punct_ratio"),
+        text.stopword_ratio("text").alias("stopword_ratio"),
+        text.quality_score("text").alias("quality"),
+    )
+
+
+@register(
+    "lang_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, lang,
+        len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','a'))) AS s_en,
+        len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y'))) AS s_es,
+        len(list_filter(toks, x -> lower(x) IN ('le','la','de','et','les'))) AS s_fr,
+        len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist'))) AS s_de,
+        len(list_filter(toks, x -> lower(x) IN ('de5','shi4','le5','zai4','he2'))) AS s_zh
+      FROM t
+    )
+    SELECT doc_id, lang AS actual_lang,
+           CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                WHEN s_es >= greatest(s_fr, s_de, s_zh) THEN 'es'
+                WHEN s_fr >= greatest(s_de, s_zh) THEN 'fr'
+                WHEN s_de >= s_zh THEN 'de'
+                ELSE 'zh' END AS predicted_lang
+    FROM s
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID: stopword-marker hit counts per
+    language, deterministic priority argmax (en>es>fr>de>zh on
+    ties)."""
+    d = _t(spark, sf_dir, "documents")
+    s = text.lang_scores("text")
+    predicted = (
+        F.when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"], s["zh"]), "es")
+        .when(s["fr"] >= F.greatest(s["de"], s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        predicted.alias("predicted_lang"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(toks,
+                 x -> CAST(ascii(substr(x, 1, 1)) AS BIGINT) * 1000 + length(x))),
+             (acc, c) -> (acc * 131 + c) % 1000000007) AS fingerprint
+    FROM t
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic rolling document fingerprint (engine-agnostic
+    polynomial hash — same value computable in ANSI SQL, unlike
+    xxhash64), the cross-system dedup key."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", text.fingerprint("text").alias("fingerprint"))
+
+
+@register(
+    "tumbling_windows",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 300) * 300 * 1000000 AS BIGINT) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def q_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute event-time windows (batch mode; the same
+    expression runs under readStream — streaming.windows)."""
+    from etl_covid19_spark.streaming.windows import tumbling
+
+    ev = _t(spark, sf_dir, "events")
+    out = tumbling(
+        ev, "ts", "5 minutes", ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+        },
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "session_windows",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+    headline=True,
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) per user — Spark's native
+    `session_window`; oracle reproduces the merge semantics with
+    gaps-and-islands SQL."""
+    from etl_covid19_spark.streaming.windows import session
+
+    ev = _t(spark, sf_dir, "events")
+    out = session(
+        ev, "ts", "30 minutes", ["user_id"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+        },
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(substr(hex(encode(text)), 1, 4)) AS magic,
+           CAST(64 + ascii(substr(text, 1, 1)) % 64 AS INT) AS width,
+           CAST(64 + ascii(substr(text, length(text), 1)) % 64 AS INT) AS height
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: treat the document body as an opaque
+    binary payload, extract metadata via Arrow-batched mapInPandas
+    (decode step is a deterministic stub — operators.multimodal)."""
+    from etl_covid19_spark.operators.multimodal import extract_media_meta
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return extract_media_meta(d, "doc_id", "payload")

@@ -20,6 +20,8 @@ _BASE_CONF: dict[str, str] = {
     # Deterministic time semantics: the DuckDB oracle reads parquet
     # timestamps as naive/UTC, so Spark must too.
     "spark.sql.session.timeZone": "UTC",
+    "spark.ui.showConsoleProgress": "false",
+    "spark.ui.enabled": "false",
     # AQE is the scale story: runtime shuffle-partition coalescing,
     # skew-join splitting, and plan re-optimization from actual stats.
     "spark.sql.adaptive.enabled": "true",

@@ -1,0 +1,102 @@
+"""Structured Streaming windows (batch/stream parity) and the
+multimodal binary-column plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.operators import multimodal
+from etl_covid19_spark.sources.catalog import load_table
+from etl_covid19_spark.streaming import windows
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_batch_counts(spark):
+    ev = load_table(spark, "events", SF)
+    out = windows.tumbling(
+        ev, "ts", "1 hour", ["event_type"], {"n": F.count(F.lit(1))}
+    )
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == ev.count()  # tumbling windows partition events
+
+
+def test_session_windows_merge_gap(spark):
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (10 min gap)
+        (1, "2024-01-01 01:00:00"),   # new session (50 min gap)
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = windows.session(df, "ts", "30 minutes", ["user_id"],
+                          {"n": F.count(F.lit(1))})
+    got = sorted((r.user_id, r.n) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_streaming_tumbling_equals_batch(spark, tmp_path):
+    """The same window expression must produce identical results via
+    readStream + availableNow as in batch — the engine's streaming
+    contract (SURVEY.md §2.9)."""
+    ev = load_table(spark, "events", SF).select("ts", "event_type", "value")
+    src = str(tmp_path / "events_src")
+    ev.write.parquet(src)
+
+    stream = windows.stream_events(
+        spark, src, ev.schema, ts_col="ts", watermark="1 hour"
+    )
+    agg = windows.tumbling(
+        stream, "ts", "1 hour", ["event_type"], {"n": F.count(F.lit(1))}
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT sum(n) FROM tumbling_test"
+    ).collect()[0][0]
+    # append mode emits exactly the watermark-closed windows:
+    # window_end <= max(event time) - watermark delay
+    batch = windows.tumbling(
+        ev, "ts", "1 hour", ["event_type"], {"n": F.count(F.lit(1))}
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    expected = (
+        batch.filter(
+            F.col("window_end")
+            <= F.lit(max_ts) - F.expr("INTERVAL 1 HOUR")
+        )
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert got == expected
+
+
+def test_media_meta_stub_plumbing(spark):
+    docs = load_table(spark, "documents", SF).limit(50).select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    meta = multimodal.extract_media_meta(docs, "doc_id", "payload")
+    rows = meta.collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_bytes > 0
+        assert len(r.magic) == 4
+        assert 64 <= r.width < 128 and 64 <= r.height < 128
+
+
+def test_decode_stub_raises_on_empty():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_stub(b"")
+
+
+def test_frame_sample_plan(spark):
+    df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
+    out = multimodal.frame_sample_plan(df, "doc_id", "payload", every_n=30)
+    assert out.count() == 10  # frames 0,30,...,270
