@@ -57,22 +57,61 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     ).withColumn("n_shingles", F.size("shingles"))
 
 
+def shingle_postings(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """(doc_id, n_shingles, sh) — one row per *distinct* shingle,
+    hashed to a 31-bit long. Hashed postings make every downstream
+    join/groupBy shuffle 8-byte keys instead of shingle strings;
+    collisions (~2⁻³¹ per pair) are negligible for dedup purposes.
+
+    The shingle hash is built directly from per-token hashes with
+    zip_with over shifted slices — the n-gram *strings* are never
+    materialized (a concat-per-shingle formulation allocates ~|doc|
+    strings per document and dominated the profile)."""
+    toks = text.tokens(text_col)
+    th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_P)))
+    size = F.size(th)
+    # rolling combine of n consecutive token hashes:
+    # gram[i] = ((th[i]·131 + th[i+1])·131 + th[i+2]) % P
+    grams = F.slice(th, 1, F.greatest(size - (n - 1), F.lit(0)))
+    for j in range(1, n):
+        nxt = F.slice(th, 1 + j, F.greatest(size - (n - 1), F.lit(0)))
+        grams = F.zip_with(grams, nxt, lambda a, b: (a * 131 + b) % _P)
+    # a doc shorter than n tokens contributes its whole token stream
+    # as one shingle (same rule as word_shingles / the SQL oracle)
+    whole = F.aggregate(
+        th, F.lit(0).cast("bigint"), lambda acc, h: (acc * 131 + h) % _P
+    )
+    shingles = F.array_distinct(
+        F.when(size >= n, grams).otherwise(F.array(whole))
+    )
+    sets_df = df.select(
+        F.col(id_col).alias("doc_id"), shingles.alias("shingles")
+    ).withColumn("n_shingles", F.size("shingles"))
+    return sets_df.select(
+        "doc_id", "n_shingles", F.explode("shingles").alias("sh")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.4
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via a shingle-postings
-    join: explode shingles → self-equi-join on shingle → count common
-    → |A∩B| / (|A|+|B|-|A∩B|). The join is a plain shuffle on the
-    shingle key; hot (stop-shingle) keys are the skew risk at scale —
-    AQE skew-join handles moderate skew, and a doc-frequency cap on
-    shingles is the standard mitigation beyond that."""
-    sets_df = shingle_sets(df, text_col, id_col, n)
-    posts = sets_df.select(
-        "doc_id", "n_shingles", F.explode("shingles").alias("shingle")
-    )
+    join: explode hashed shingles → self-equi-join on shingle →
+    count common → |A∩B| / (|A|+|B|-|A∩B|). The join is a plain
+    shuffle on the 8-byte shingle key; hot (stop-shingle) keys are
+    the skew risk at scale — AQE skew-join handles moderate skew,
+    and a doc-frequency cap on shingles is the standard mitigation
+    beyond that.
+
+    The postings are persisted across the self-join so the
+    (interpreted higher-order) shingle construction runs once per
+    document, not once per join side."""
+    posts = shingle_postings(df, text_col, id_col, n).persist()
     a, b = posts.alias("a"), posts.alias("b")
     common = (
-        a.join(b, on="shingle")
+        a.join(b, on="sh")
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
             F.col("a.doc_id").alias("doc_a"),
@@ -90,35 +129,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic per-seed affine coefficients for h_i(x) =
+    (a_i*x + b_i) mod p."""
+    return [
+        ((i * 2654435761 + 1) % _P, (i * 40503 + 17) % _P)
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, num_hashes: int = 128
 ) -> DataFrame:
-    """MinHash signatures: h_i(x) = (a_i·x + b_i) mod p over the
-    engine-agnostic shingle hashes; one pass, no shuffle, signature
-    computed per-row with higher-order array functions."""
-    sets_df = shingle_sets(df, text_col, id_col, n)
-    hashes = F.transform(F.col("shingles"), _shingle_hash)
-    # Deterministic per-seed affine coefficients, shipped as one
-    # literal array; the signature is ONE aggregate pass over the
-    # shingle hashes updating all `num_hashes` minima via zip_with —
-    # O(|shingles|·k) work, each shingle hashed exactly once.
-    coeffs = F.array(
-        *[
-            F.struct(
-                F.lit((i * 2654435761 + 1) % _P).alias("a"),
-                F.lit((i * 40503 + 17) % _P).alias("b"),
-            )
-            for i in range(num_hashes)
-        ]
+    """MinHash signatures, computed codegen-side: explode hashed
+    shingle postings, then ONE hash aggregate with `num_hashes`
+    min() columns. Declarative-only aggregates keep the whole thing
+    in whole-stage codegen (adding a collect_set here would demote
+    the aggregate to object-hash mode, ~3x slower)."""
+    posts = shingle_postings(df, text_col, id_col, n)
+    return _signatures_from_postings(posts, num_hashes)
+
+
+def _signatures_from_postings(posts: DataFrame, num_hashes: int) -> DataFrame:
+    mins = [
+        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % _P).alias(f"_m{i}")
+        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
+    ]
+    grouped = posts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"), *mins
     )
-    sig = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(_P).cast("bigint"), num_hashes),
-        lambda acc, x: F.zip_with(
-            acc, coeffs, lambda m, c: F.least(m, (c["a"] * x + c["b"]) % _P)
-        ),
+    return grouped.select(
+        "doc_id",
+        "n_shingles",
+        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
     )
-    return sets_df.select("doc_id", "shingles", "n_shingles", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -132,49 +176,91 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
-    Banding: 32 bands × 4 rows → P(candidate | J=0.8) ≈ 1-(1-0.8⁴)³²
-    ≈ 1-5e-8, so recall at the threshold is effectively 1 while
+    Banding: 32 bands x 4 rows -> P(candidate | J=0.8) ~ 1-(1-0.8^4)^32
+    ~ 1-5e-8, so recall at the threshold is effectively 1 while
     candidate generation is a grouped equi-join on (band, band-slice
-    of the signature) — never |docs|². Candidates are then verified
-    with the exact Jaccard, so emitted pairs carry true similarity.
+    of the signature) — never |docs|².
+
+    Shuffle discipline: the band join carries only (doc_id, band
+    key); exact verification re-joins the (8-byte) shingle postings
+    semi-filtered to candidate docs, so no per-doc payload is ever
+    shuffled per band and no shingle set is materialized per row.
     """
     rows = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    posts = shingle_postings(df, text_col, id_col, n).persist()
+    sigs = _signatures_from_postings(posts, num_hashes)
+    # Each band key collapses to ONE long (xxhash64 over the band id
+    # and its signature slice) so the candidate join is a primitive
+    # equi-join, not a struct/array-keyed one.
     banded = sigs.select(
         "doc_id",
-        "n_shingles",
-        "shingles",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.slice(F.col("signature"), b * rows + 1, rows).alias("key"),
-                ),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.lit(band),
+                        *[
+                            F.element_at(F.col("signature"), band * rows + j + 1)
+                            for j in range(rows)
+                        ],
+                    )
+                    for band in range(bands)
+                ]
             )
-        ).alias("bk"),
+        ).alias("band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
         a.join(
             b,
-            on=(F.col("a.bk") == F.col("b.bk"))
+            on=(F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-            F.col("a.n_shingles").alias("na"),
-            F.col("b.n_shingles").alias("nb"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+        .persist()
+    )
+    # Exact-Jaccard verification on the candidate subset only:
+    # semi-join the postings down to candidate docs (tiny vs corpus),
+    # build their shingle sets with one small collect_set aggregate,
+    # and broadcast those sets onto the pair list. No corpus-sized
+    # shuffle happens after banding.
+    cand_ids = (
+        cands.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    csets = (
+        posts.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.collect_set("sh").alias("shs"))
+    )
+    enriched = cands.join(
+        F.broadcast(
+            csets.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("n_shingles").alias("na"),
+                F.col("shs").alias("sh_a"),
+            )
+        ),
+        on="doc_a",
+    ).join(
+        F.broadcast(
+            csets.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("n_shingles").alias("nb"),
+                F.col("shs").alias("sh_b"),
+            )
+        ),
+        on="doc_b",
     )
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = n_common / (F.col("na") + F.col("nb") - n_common)
     return (
-        cands.withColumn("jaccard", jac)
+        enriched.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )

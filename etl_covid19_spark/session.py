@@ -30,6 +30,10 @@ _BASE_CONF: dict[str, str] = {
     # Nested-field pruning so `select('payload.data.confirmed')`
     # reads one parquet leaf column, not the whole struct.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
+    # Wide aggregates (e.g. the 128-column MinHash signature) must
+    # stay inside whole-stage codegen; the default cutoff is 100
+    # fields, which silently drops them to interpreted mode.
+    "spark.sql.codegen.maxFields": "256",
     # Arrow for every pandas_udf / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Idempotent date-partitioned writes (fixes reference quirk Q1:
