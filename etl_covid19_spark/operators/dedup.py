@@ -151,17 +151,17 @@ def minhash_signatures(
 
 
 def _signatures_from_postings(posts: DataFrame, num_hashes: int) -> DataFrame:
-    mins = [
-        F.min((F.lit(a) * F.col("sh") + F.lit(b)) % _P).alias(f"_m{i}")
-        for i, (a, b) in enumerate(_minhash_coeffs(num_hashes))
-    ]
-    grouped = posts.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles"), *mins
+    """The wide aggregate is assembled as ONE SQL expression string —
+    building 128 Column objects call-by-call costs seconds of py4j
+    round trips on the driver, which at 1000-executor scale is pure
+    serial overhead before any task runs."""
+    mins = ", ".join(
+        f"min(({a}L * sh + {b}L) % {_P}L)"
+        for a, b in _minhash_coeffs(num_hashes)
     )
-    return grouped.select(
-        "doc_id",
-        "n_shingles",
-        F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature"),
+    return posts.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.expr(f"array({mins})").alias("signature"),
     )
 
 
@@ -191,23 +191,18 @@ def minhash_lsh_pairs(
     sigs = _signatures_from_postings(posts, num_hashes)
     # Each band key collapses to ONE long (xxhash64 over the band id
     # and its signature slice) so the candidate join is a primitive
-    # equi-join, not a struct/array-keyed one.
-    banded = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.lit(band),
-                        *[
-                            F.element_at(F.col("signature"), band * rows + j + 1)
-                            for j in range(rows)
-                        ],
-                    )
-                    for band in range(bands)
-                ]
-            )
-        ).alias("band_key"),
+    # equi-join, not a struct/array-keyed one. Like the signature
+    # aggregate, the 32 keys are one parsed SQL string, not 160
+    # driver-built Column objects.
+    band_keys = ", ".join(
+        "xxhash64({}, {})".format(
+            band,
+            ", ".join(f"signature[{band * rows + j}]" for j in range(rows)),
+        )
+        for band in range(bands)
+    )
+    banded = sigs.selectExpr(
+        "doc_id", f"explode(array({band_keys})) AS band_key"
     )
     a, b = banded.alias("a"), banded.alias("b")
     cands = (
