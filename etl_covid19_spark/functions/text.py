@@ -38,17 +38,20 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokens(col))
 
 
-def bpe_ish_token_count(col: Column | str) -> Column:
-    """Token counting with a BPE-ish regex: words, numbers, and
-    punctuation runs each count as one token — a cheap proxy for a
-    subword tokenizer's piece count."""
+BPE_ISH_PATTERN = r"[a-zA-Z0-9]+|[^a-zA-Z0-9\s]+"
+
+
+def bpe_ish_tokens(col: Column | str) -> Column:
+    """BPE-ish pieces: alphanumeric runs and punctuation runs each
+    count as one piece — a cheap proxy for a subword tokenizer. The
+    run-extraction pattern uses no lookarounds, so it's portable to
+    RE2-based engines (the DuckDB oracle runs the same regex)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.size(
-        F.filter(
-            F.split(c, r"(?<=[a-zA-Z0-9])(?=[^a-zA-Z0-9\s])|(?<=[^a-zA-Z0-9\s])(?=[a-zA-Z0-9])|\s+"),
-            lambda t: t != F.lit(""),
-        )
-    )
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    return F.size(bpe_ish_tokens(col))
 
 
 def word_shingles(col: Column | str, n: int = 3) -> Column:

@@ -57,3 +57,65 @@ def rollup_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column]) -> DataF
 
 def cube_agg(df: DataFrame, keys: list[str], aggs: dict[str, Column]) -> DataFrame:
     return df.cube(*keys).agg(*[c.alias(name) for name, c in aggs.items()])
+
+
+def grouping_sets_agg(
+    df: DataFrame,
+    sets: list[list[str]],
+    keys: list[str],
+    aggs: dict[str, str],
+) -> DataFrame:
+    """Explicit GROUPING SETS — the general form under rollup/cube.
+    Goes through the SQL surface (Spark has no DataFrame literal for
+    arbitrary sets; aggs are SQL expression strings); still one pass,
+    one Expand + hash aggregate."""
+    view = f"_gs_{abs(hash(tuple(keys))) % 10_000}"
+    df.createOrReplaceTempView(view)
+    sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in sets)
+    agg_sql = ", ".join(f"{expr} AS {name}" for name, expr in aggs.items())
+    return df.sparkSession.sql(
+        f"SELECT {', '.join(keys)}, {agg_sql} FROM {view} "
+        f"GROUP BY GROUPING SETS ({sets_sql})"
+    )
+
+
+def pivot_agg(
+    df: DataFrame,
+    key: str,
+    pivot_col: str,
+    pivot_values: list[str],
+    agg: Column,
+) -> DataFrame:
+    """Pivot: one output column per (known) pivot value. Passing the
+    value list explicitly matters at scale — without it Spark runs an
+    extra distinct() job over 100 TB just to discover the columns."""
+    return df.groupBy(key).pivot(pivot_col, pivot_values).agg(agg)
+
+
+def percentiles(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    probs: list[float],
+    approx: bool = False,
+) -> DataFrame:
+    """Per-group quantiles. Exact `percentile` buffers each group's
+    values for a true sorted-interpolation answer — right for bounded
+    groups (dims, QA gates). At 100 TB-per-group use approx=True:
+    t-digest sketches merge map-side and never materialize the group
+    (bounded memory, rank error ≤ 1/accuracy)."""
+    c = F.col(value).cast("double")
+    parr = F.array(*[F.lit(p) for p in probs])
+    q = (
+        F.percentile_approx(c, parr, 10_000)
+        if approx
+        else F.percentile(c, parr)
+    )
+    out = df.groupBy(*keys).agg(q.alias("_q"))
+    return out.select(
+        *keys,
+        *[
+            F.col("_q").getItem(i).alias(f"p{int(p * 100):02d}")
+            for i, p in enumerate(probs)
+        ],
+    )

@@ -10,7 +10,7 @@ AQE skew handling; callers don't change.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -52,3 +52,113 @@ def anti_join(left: DataFrame, right: DataFrame, on: list[str]) -> DataFrame:
     """Rows of `left` without a match in `right` (NOT EXISTS) — the
     referential-integrity check primitive (SURVEY.md §7.2 step 6)."""
     return left.join(right, on=on, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: for each left row, the single latest right row with
+    ``right_ts <= left_ts`` in the same key group (time-series point
+    lookup; absent from both the reference and vanilla Spark).
+
+    Implemented as union + one window pass: tag right rows 0 and left
+    rows 1, sort (ts, tag) within the key, and carry the last-seen
+    right payload forward with last(ignorenulls). Cost is one shuffle
+    on the key plus an in-partition sort — the 100 TB plan — where
+    the naive formulation (theta join on `r.ts <= l.ts` + max) is a
+    Catalyst BroadcastNestedLoop O(n·m) blowup.
+
+    The right payload rides as ONE struct so a NULL in an individual
+    right column can't make last(ignorenulls) skip past the true
+    most-recent row.
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols]).alias("_r")
+    r = right.select(
+        *on, F.col(right_ts).alias("_ts"), F.lit(0).alias("_tag"), payload
+    )
+    payload_type = r.schema["_r"].dataType
+    l = left.select(
+        "*", F.col(left_ts).alias("_ts"), F.lit(1).alias("_tag"),
+        F.lit(None).cast(payload_type).alias("_r"),
+    )
+    merged = l.unionByName(r, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy("_ts", "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = merged.withColumn("_r", F.last("_r", ignorenulls=True).over(w))
+    out = filled.where(F.col("_tag") == 1)
+    if how == "inner":
+        out = out.where(F.col("_r").isNotNull())
+    return out.select(
+        *left.columns,
+        *[F.col(f"_r.{c}").alias(f"asof_{c}") for c in right_cols],
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Interval/range join: pairs where ``right_ts`` falls in
+    ``[left_ts + lower_s, left_ts + upper_s]`` (seconds), plus key
+    equality. Binning turns the range predicate into an equi-join:
+    with bin width = interval width, each left row's window spans at
+    most two consecutive bins, so the left side explodes ≤2 bin keys,
+    the right side computes one, and the exact BETWEEN filters the
+    equi-join output. Join degree is per-bin occupancy — never the
+    O(n·m) nested-loop Catalyst falls back to for a raw theta join.
+    """
+    width = max(upper_s - lower_s, 1)
+    lo = F.col(left_ts).cast("double") + lower_s
+    hi = F.col(left_ts).cast("double") + upper_s
+    lbins = F.array_distinct(
+        F.sequence(F.floor(lo / width), F.floor(hi / width))
+    )
+    l = left.withColumn("_bin", F.explode(lbins))
+    r = right.withColumn(
+        "_bin", F.floor(F.col(right_ts).cast("double") / width)
+    )
+    joined = l.join(r, on=[*on, "_bin"])
+    in_range = F.col(right_ts).cast("double").between(
+        F.col(left_ts).cast("double") + lower_s,
+        F.col(left_ts).cast("double") + upper_s,
+    )
+    return joined.where(in_range).drop("_bin")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-busting inner equi-join: left rows get a deterministic
+    salt (hash of the whole row, mod n), the right side is replicated
+    n_salts times, and the join key becomes (on…, salt) — a hot key's
+    rows spread over n_salts reducers instead of one straggler.
+    Result set is identical to the plain join.
+
+    Use when BOTH sides are too big to broadcast and AQE's skew
+    splitting isn't enough; for bounded dims, broadcast instead
+    (enrich_with_key)."""
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)
+    ).alias("_salt")
+    l = left.select("*", salt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return l.join(r, on=[*on, "_salt"]).drop("_salt")

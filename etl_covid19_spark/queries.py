@@ -1139,3 +1139,315 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return extract_media_meta(d, "doc_id", "payload")
+
+
+# ---------------------------------------------------------------------------
+# Advanced joins: as-of / range / salted (time-series + skew surface)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    e AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           epoch_us(e.ts) AS err_ts_us,
+           e.value AS err_value
+    FROM c ASOF JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+    headline=True,
+)
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click paired with the user's most recent
+    prior error — union + single window pass (operators.joins), one
+    key shuffle; the oracle is DuckDB's native ASOF JOIN."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = J.asof_join(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "value"], how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts")).alias("err_ts_us"),
+        F.col("asof_value").alias("err_value"),
+    )
+
+
+@register(
+    "range_join_events",
+    oracle="""
+    SELECT a.user_id,
+           COUNT(*) AS n_pairs,
+           CAST(SUM(CAST(b.value AS DECIMAL(18,6))) AS DOUBLE) AS purchase_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id
+    """,
+)
+def q_range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: purchases within 5 minutes after each
+    click, binned into an equi-join (operators.joins.range_join) so
+    Catalyst never falls back to a nested-loop theta join."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    pairs = J.range_join(
+        clicks, purchases, on=["user_id"],
+        left_ts="click_ts", right_ts="purchase_ts",
+        lower_s=0, upper_s=300,
+    )
+    return agg.grouped_agg(
+        pairs,
+        ["user_id"],
+        {
+            "n_pairs": F.count(F.lit(1)),
+            "purchase_value": F.sum(
+                F.col("value").cast("decimal(18,6)")
+            ).cast("double"),
+        },
+    )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT concat('flag_', l_returnflag) AS flag_label,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY 1
+    """,
+)
+def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join on a pathologically skewed key (3 distinct
+    l_returnflag values over the whole fact table): the salt spreads
+    each hot key over 8 reducers; result is identical to the plain
+    join the oracle computes."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    dim = (
+        li.select("l_returnflag")
+        .distinct()
+        .withColumn("flag_label", F.concat(F.lit("flag_"), F.col("l_returnflag")))
+    )
+    joined = J.salted_join(li, dim, on=["l_returnflag"], n_salts=8)
+    return agg.grouped_agg(
+        joined,
+        ["flag_label"],
+        {"revenue": dsum("l_extendedprice"), "n_items": F.count(F.lit(1))},
+    )
+
+
+# ---------------------------------------------------------------------------
+# OLAP shapes: cube / grouping sets / pivot / quantiles
+# ---------------------------------------------------------------------------
+
+
+def _orders_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_totalprice"),
+        )
+    )
+
+
+@register(
+    "cube_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, c.c_mktsegment AS segment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r.r_name, c.c_mktsegment)
+    """,
+)
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, segment) — all four grouping combinations
+    in one Expand + hash aggregate pass."""
+    return agg.cube_agg(
+        _orders_geo(spark, sf_dir),
+        ["region_name", "segment"],
+        {"revenue": dsum("o_totalprice"), "n_orders": F.count(F.lit(1))},
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT r.r_name AS region_name, c.c_mktsegment AS segment,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY GROUPING SETS ((r.r_name), (c.c_mktsegment))
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — per-region and per-segment totals in
+    one pass, no self-union."""
+    return agg.grouping_sets_agg(
+        _orders_geo(spark, sf_dir),
+        sets=[["region_name"], ["segment"]],
+        keys=["region_name", "segment"],
+        aggs={
+            "revenue": (
+                "CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)"
+            )
+        },
+    )
+
+
+@register(
+    "pivot_flag_qty",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (l_returnflag = 'A') AS DOUBLE) AS A,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (l_returnflag = 'N') AS DOUBLE) AS N,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (l_returnflag = 'R') AS DOUBLE) AS R
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_pivot_flag_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with an explicit value list (no extra distinct() pass
+    over the fact table to discover columns)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.pivot_agg(
+        li, "l_linestatus", "l_returnflag", ["A", "N", "R"],
+        dsum("l_quantity"),
+    )
+
+
+@register(
+    "order_quantiles",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(quantile_cont(o_totalprice, 0.25) AS DOUBLE) AS p25,
+           CAST(quantile_cont(o_totalprice, 0.50) AS DOUBLE) AS p50,
+           CAST(quantile_cont(o_totalprice, 0.75) AS DOUBLE) AS p75,
+           CAST(quantile_cont(o_totalprice, 0.90) AS DOUBLE) AS p90
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (sorted interpolation). The
+    operator's approx=True flag switches to t-digest sketches for
+    unbounded groups at scale (not oracle-comparable)."""
+    return agg.percentiles(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        "o_totalprice",
+        [0.25, 0.50, 0.75, 0.90],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text: BPE-ish token statistics (portable regex, no lookarounds)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> '')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]+'))
+             AS n_bpe_tokens,
+           len(list_distinct(regexp_extract_all(
+               text, '[a-zA-Z0-9]+|[^a-zA-Z0-9\\s]+'))) AS n_distinct_pieces
+    FROM documents
+    """,
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways — whitespace tokens and BPE-ish pieces
+    (alnum runs + punct runs; the same RE2-safe regex runs in the
+    oracle) — plus the distinct-piece count."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        text.token_count("text").alias("n_ws_tokens"),
+        text.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+        F.size(F.array_distinct(text.bpe_ish_tokens("text"))).alias(
+            "n_distinct_pieces"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful sessionization (applyInPandas / applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sessionize_pandas",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 10 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    )
+    SELECT user_id,
+           CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(value) AS DOUBLE) AS sum_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom sessionization (10-min gap) through the Arrow/pandas
+    path — `applyInPandas` per-key fold; the streaming twin
+    (`applyInPandasWithState`) shares the same fold and is exercised
+    in tests. Complements the JVM-native session_windows query."""
+    from etl_covid19_spark.streaming.stateful import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev, gap_s=600)

@@ -1,0 +1,170 @@
+"""Custom stateful operators over the Python/Arrow boundary.
+
+The engine's session surface has two tiers:
+
+- `streaming.windows.session` — Spark's native `session_window`
+  (JVM-side, preferred; SURVEY.md §2.9's streaming extension).
+- this module — the *custom* stateful path for semantics
+  `session_window` can't express (per-group imperative logic), shown
+  on sessionization so batch and streaming outputs are comparable:
+
+  * `sessionize_batch` — `applyInPandas`: each key group arrives as
+    one pandas frame (full history available, no state needed).
+  * `sessionize_stream` — `applyInPandasWithState`: the same per-key
+    session fold, but incremental — state carries the open session
+    across micro-batches; closed sessions emit as soon as the gap
+    that closes them is observed.
+
+Scale: both shuffle once on the key. The streaming state is O(1)
+per key (one open session), so a 1000-executor job holds
+|active keys| tiny structs in the state store — this is the shape
+`applyInPandasWithState` exists for.
+
+End-of-input semantics: a closed session emits when a later event
+reveals the gap, or when the event-time timeout fires (watermark
+passes session end + gap). Sessions whose timeout hasn't been
+reached when the stream drains stay in state for the next run —
+the batch variant, which sees full history, also emits those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start_us", T.LongType()),
+        T.StructField("session_end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+# open-session carry: (start_us, last_us, n_events, sum_value)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+def _fold_sessions(
+    ts_us: "pd.Series",
+    values: "pd.Series",
+    gap_us: int,
+    carry: tuple[int, int, int, float] | None,
+) -> tuple[list[tuple[int, int, int, float]], tuple[int, int, int, float]]:
+    """Shared per-key session fold (sorted input): returns (closed
+    sessions, open-session carry). An event exactly `gap` after the
+    previous one opens a new session — same rule as
+    `session_window` and the SQL oracle."""
+    closed: list[tuple[int, int, int, float]] = []
+    for t, v in zip(ts_us, values):
+        t = int(t)
+        v = float(v)
+        if carry is None:
+            carry = (t, t, 1, v)
+        elif t - carry[1] >= gap_us:
+            closed.append(carry)
+            carry = (t, t, 1, v)
+        else:
+            carry = (carry[0], t, carry[2] + 1, carry[3] + v)
+    return closed, carry
+
+
+def sessionize_batch(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Batch sessionization via `applyInPandas`: one Arrow-shipped
+    pandas frame per key, vectorized sort, linear fold. Emits every
+    session including each key's trailing one."""
+    gap_us = gap_s * 1_000_000
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col)
+        # normalize to int64 microseconds whatever pandas' datetime
+        # unit is (ns from Arrow, us from parquet)
+        ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+        closed, carry = _fold_sessions(ts_us, pdf[value_col], gap_us, None)
+        if carry is not None:
+            closed.append(carry)
+        uid = int(pdf[key_col].iloc[0])
+        return pd.DataFrame(
+            [(uid, s, e, n, v) for (s, e, n, v) in closed],
+            columns=[f.name for f in SESSION_SCHEMA.fields],
+        )
+
+    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
+        fn, SESSION_SCHEMA
+    )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_s: int = 1800,
+) -> DataFrame:
+    """Streaming sessionization via `applyInPandasWithState`: state
+    holds each key's open session; a micro-batch's events extend it
+    or close it (emit) when the gap is exceeded. Event-time timeout
+    closes idle sessions once the watermark passes start+gap."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_s * 1_000_000
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        carry = tuple(state.get) if state.exists else None
+        if state.hasTimedOut:
+            state.remove()
+            if carry is not None:
+                yield pd.DataFrame(
+                    [(int(key[0]), *carry)],
+                    columns=[f.name for f in SESSION_SCHEMA.fields],
+                )
+            return
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        # normalize to int64 microseconds whatever pandas' datetime
+        # unit is (ns from Arrow, us from parquet)
+        ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+        closed, carry = _fold_sessions(ts_us, pdf[value_col], gap_us, carry)
+        if carry is not None:
+            state.update(carry)
+            # close the open session when the watermark passes its
+            # end + gap (no later event can extend it)
+            state.setTimeoutTimestamp((carry[1] + gap_us) // 1000)
+        if closed:
+            yield pd.DataFrame(
+                [(int(key[0]), s, e, n, v) for (s, e, n, v) in closed],
+                columns=[f.name for f in SESSION_SCHEMA.fields],
+            )
+
+    return (
+        stream.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -1,0 +1,103 @@
+"""Sessionization via the custom stateful path: batch applyInPandas
+vs streaming applyInPandasWithState over the same events."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.streaming.stateful import (
+    sessionize_batch,
+    sessionize_stream,
+)
+
+
+def ts(minute: int, second: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 9, minute, second)
+
+
+EVENTS = [
+    # user 1: two sessions (gap 600 s at 09:20)
+    Row(user_id=1, ts=ts(0), value=1.0),
+    Row(user_id=1, ts=ts(5), value=2.0),
+    Row(user_id=1, ts=ts(20), value=4.0),
+    Row(user_id=1, ts=ts(21), value=8.0),
+    # user 2: one session
+    Row(user_id=2, ts=ts(3), value=1.5),
+    Row(user_id=2, ts=ts(4), value=2.5),
+]
+
+
+@pytest.fixture(scope="module")
+def events_df(spark):
+    return spark.createDataFrame(EVENTS)
+
+
+def us(t: dt.datetime) -> int:
+    return int(t.timestamp() * 1_000_000)
+
+
+def test_sessionize_batch_splits_on_gap(events_df):
+    out = sessionize_batch(events_df, gap_s=600)
+    got = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in out.collect()
+    }
+    assert got == {
+        (1, us(ts(0))): (2, 3.0),
+        (1, us(ts(20))): (2, 12.0),
+        (2, us(ts(3))): (2, 4.0),
+    }
+
+
+def test_sessionize_batch_boundary_exact_gap(spark):
+    # event exactly gap seconds after the previous one opens a new session
+    df = spark.createDataFrame(
+        [Row(user_id=9, ts=ts(0), value=1.0), Row(user_id=9, ts=ts(10), value=2.0)]
+    )
+    out = sessionize_batch(df, gap_s=600).collect()
+    assert len(out) == 2
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
+    """Drive applyInPandasWithState with a 2-batch file stream: every
+    session closed by a later event must be emitted; each user's
+    trailing session stays in state (documented semantics)."""
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch1 = [e for e in EVENTS if e.ts <= ts(5)]
+    batch2 = [e for e in EVENTS if e.ts > ts(5)]
+    # one file per intended micro-batch (maxFilesPerTrigger=1 below)
+    spark.createDataFrame(batch1).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(batch2).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "1 second")
+    )
+    q = (
+        sessionize_stream(stream, gap_s=600)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r.user_id, r.session_start_us): (r.n_events, r.sum_value)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # user 1's first session closes when the 09:20 event arrives;
+    # user 2's session closes via event-time TIMEOUT once the final
+    # watermark (09:20:59) passes its end+gap (09:14). User 1's
+    # trailing session (end+gap = 09:31) stays open in state.
+    assert got == {
+        (1, us(ts(0))): (2, 3.0),
+        (2, us(ts(3))): (2, 4.0),
+    }

@@ -20,6 +20,8 @@ def normalize(rows, columns):
     order = sorted(range(len(columns)), key=lambda i: columns[i])
 
     def cell(v):
+        if v is None:
+            return "\x00NULL"  # sortable sentinel (rollup/cube keys)
         if isinstance(v, bool):
             return v
         if isinstance(v, float):
