@@ -84,6 +84,80 @@ def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]
     return planes
 
 
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the
+    corpus to its nearest centroid, probe only the `n_probe` closest
+    centroid lists per query. Join degree = probed-list size, not
+    corpus size — the other classic ANN partitioning next to
+    hyperplane LSH (lsh_bucket_ann).
+
+    Centroid "training" is a deterministic stub (the first
+    `n_centroids` corpus vectors) so results are reproducible across
+    engines; production swaps in Spark ML k-means — the
+    assign/probe/rank dataflow is unchanged. Centroids are a bounded
+    model parameter (like LSH planes): collected once, shipped as
+    literals, so assignment is map-side with zero shuffle.
+
+    Ties (same cosine to two centroids) break toward the higher
+    centroid id; the SQL oracle mirrors this.
+    """
+    cents = (
+        emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    )
+
+    def scores(vcol: str) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    vectors.cosine(
+                        vcol,
+                        F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                    ).alias("cos"),
+                    F.lit(int(r["cid"])).alias("cid"),
+                )
+                for r in cents
+            ]
+        )
+
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.array_max(scores(vec_col)).getField("cid").alias("bucket"),
+    )
+    probed = F.slice(F.reverse(F.array_sort(scores(vec_col))), 1, n_probe)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.explode(probed).alias("_pr"),
+        ).select("query_id", "qv", F.col("_pr.cid").alias("bucket"))
+    )
+    scored = (
+        q.join(c, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", vectors.cosine("qv", "cv"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
 def lsh_bucket_ann(
     emb: DataFrame,
     queries: DataFrame,

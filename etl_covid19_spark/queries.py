@@ -1451,3 +1451,148 @@ def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return sessionize_batch(ev, gap_s=600)
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 surface: Variant JSON, Python DataSource; multimodal fan-out; IVF
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_json_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS INT))
+             AS n_distinct_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q_variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured via Spark 4's VARIANT type: `parse_json` once,
+    then typed `variant_get` path access — the forward-looking
+    replacement for string JSON + per-path re-parsing (SURVEY.md
+    §1.2's jsonb mapping)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "int")
+    return agg.grouped_agg(
+        ev.select("event_type", k.alias("k")),
+        ["event_type"],
+        {
+            "n_distinct_k": F.count_distinct(F.col("k")),
+            "max_k": F.max("k"),
+        },
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    ec AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(list_transform(list_zip(e.v, c.cv),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y)))
+               AS cos
+      FROM e CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid AS bucket
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS bucket
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec WHERE vec_id BETWEEN 8 AND 15)
+      WHERE rn <= 2
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_reduce(list_transform(list_zip(q.v, n.v),
+                         p2 -> struct_extract(p2, 1) * struct_extract(p2, 2)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(q.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(n.v, x -> x * x), (x, y) -> x + y)))
+               AS cosine
+      FROM probe p
+      JOIN assign a ON p.bucket = a.bucket
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = a.neighbor_id
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM (SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+                 cosine
+          FROM scored)
+    WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (deterministic centroid stub, 2 probes)
+    — unlike most ANN demos this one is fully oracle-checked: the SQL
+    replicates assignment, probing, and ranking exactly."""
+    from etl_covid19_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb,
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+        "embedding", "vec_id", k=10, n_centroids=8, n_probe=2,
+    )
+
+
+@register(
+    "frame_sample",
+    oracle="""
+    SELECT doc_id, CAST(f AS INT) AS frame_idx
+    FROM documents, unnest(range(0, 300, 30)) t(f)
+    """,
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal fan-out plumbing: per-video sampled-frame rows
+    (stubbed 300-frame videos, every 30th frame) — the explode shape
+    that precedes any per-frame decode UDF."""
+    from etl_covid19_spark.operators.multimodal import frame_sample_plan
+
+    d = _t(spark, sf_dir, "documents")
+    return frame_sample_plan(d, "doc_id", "text", every_n=30)
+
+
+@register("rest_extract_datasource", oracle=None)
+def q_rest_extract_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 at scale: the REST extract as a Spark 4 Python DataSource —
+    one InputPartition per (date, iso), fetched executor-side — fed
+    straight into the covid clean plan. Rows-only check (the staging
+    payloads don't come from the oracle's parquet tables)."""
+    from etl_covid19_spark.plans import covid
+    from etl_covid19_spark.sources.rest_datasource import RestReportsDataSource
+
+    spark.dataSource.register(RestReportsDataSource)
+    raw = (
+        spark.read.format("rest_reports")
+        .option("ds_start", "2023-01-01")
+        .option("ds_end", "2023-01-03")
+        .load()
+    )
+    clean = covid.clean(raw)
+    return agg.grouped_agg(
+        clean,
+        ["day_of_data", "country_name"],
+        {"n_regions": F.count(F.lit(1))},
+    )
