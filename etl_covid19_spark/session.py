@@ -30,10 +30,13 @@ _BASE_CONF: dict[str, str] = {
     # Nested-field pruning so `select('payload.data.confirmed')`
     # reads one parquet leaf column, not the whole struct.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
-    # Wide aggregates (e.g. the 128-column MinHash signature) must
-    # stay inside whole-stage codegen; the default cutoff is 100
-    # fields, which silently drops them to interpreted mode.
-    "spark.sql.codegen.maxFields": "256",
+    # Deliberately NOT raising spark.sql.codegen.maxFields for the
+    # 128-column MinHash aggregate: its generated update method blows
+    # past the JIT's method-size limit, so forcing codegen pays
+    # seconds of Janino compile per query for an interpreter-speed
+    # loop anyway (measured 10.6s vs 6.6s at sf0.1). The default
+    # 100-field cutoff routes wide aggregates to interpreted mode,
+    # which is the right call at every scale here.
     # Arrow for every pandas_udf / applyInPandas boundary.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Idempotent date-partitioned writes (fixes reference quirk Q1:
