@@ -1596,3 +1596,116 @@ def q_rest_extract_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["day_of_data", "country_name"],
         {"n_regions": F.count(F.lit(1))},
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-dimension profit rollup (covers part + supplier) and a true
+# streaming execution checked against the batch oracle
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "profit_by_nation_brand",
+    oracle="""
+    SELECT n.n_name AS nation, p.p_brand AS brand,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size <= 20
+    GROUP BY n.n_name, p.p_brand
+    """,
+    headline=True,
+)
+def q_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape over part ⋈ supplier ⋈ nation: the filtered
+    part dimension broadcasts (its p_size predicate prunes before the
+    join, the dynamic-filter pattern), so the fact scan streams
+    through three hash joins and only the 2-key aggregate shuffles."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_size") <= 20)
+        .select("p_partkey", "p_brand")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation"),
+            F.col("p_brand").alias("brand"),
+            (ext * one_disc).alias("disc_price"),
+        )
+    )
+    return agg.grouped_agg(
+        joined,
+        ["nation", "brand"],
+        {
+            "revenue": F.sum("disc_price").cast("double"),
+            "n_items": F.count(F.lit(1)),
+        },
+    )
+
+
+@register(
+    "streaming_tumbling",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 600) * 600 * 1000000 AS BIGINT) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Structured Streaming execution, oracle-checked: the
+    events parquet replayed through readStream with a watermark,
+    10-minute tumbling windows aggregated in complete mode into a
+    memory sink, drained with Trigger.AvailableNow. Complete mode
+    emits every window at end-of-input, so the final table equals the
+    batch aggregation — which is exactly what the oracle computes."""
+    import uuid
+
+    name = f"stream_tumb_{uuid.uuid4().hex[:8]}"
+    # events.ts is INT64 TIMESTAMP(NANOS); with the session's
+    # nanosAsLong it reads as epoch-nanos (see sources.catalog)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        # the file source wants a directory; glob down to events
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "event_type",
+        )
+        .withWatermark("ts", "10 minutes")
+    )
+    agg_df = stream.groupBy(
+        F.window("ts", "10 minutes"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        F.unix_micros(F.col("window.start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+    )
