@@ -47,6 +47,9 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.legacy.timeParserPolicy": "CORRECTED",
     # Quieter Parquet summary churn on wide fan-out writes.
     "spark.hadoop.parquet.summary.metadata.level": "NONE",
+    # Catalog-backed (bucketed) tables land outside the repo; static
+    # conf, so it must be set at session build time.
+    "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
     # Some sources (pandas/pyarrow writers) emit INT64
     # TIMESTAMP(NANOS) parquet columns, which Spark's vectorized
     # reader rejects; read them as long and convert in the catalog.

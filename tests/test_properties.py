@@ -1,0 +1,73 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels.
+
+Spark stays out of the hypothesis loop (hundreds of examples);
+deterministic Spark-side equivalents are covered in the other test
+modules."""
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_covid19_spark.operators.dedup import _minhash_coeffs
+from etl_covid19_spark.streaming.stateful import _fold_sessions
+
+GAP = 1000
+
+
+def reference_sessions(ts_sorted, gap):
+    """Independent gaps-and-islands implementation."""
+    sessions = []
+    for t in ts_sorted:
+        if sessions and t - sessions[-1][-1] < gap:
+            sessions[-1].append(t)
+        else:
+            sessions.append([t])
+    return sessions
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50_000), min_size=1, max_size=60)
+)
+@settings(max_examples=300, deadline=None)
+def test_fold_sessions_matches_reference(ts):
+    ts = sorted(ts)
+    vals = [1.0] * len(ts)
+    closed, carry = _fold_sessions(pd.Series(ts), pd.Series(vals), GAP, None)
+    got = closed + [carry]
+    ref = reference_sessions(ts, GAP)
+    # same session boundaries…
+    assert [(s[0], s[-1], len(s)) for s in ref] == [
+        (start, end, n) for (start, end, n, _) in got
+    ]
+    # …and totals conserve events
+    assert sum(n for (_, _, n, _) in got) == len(ts)
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=10_000), min_size=2, max_size=40),
+    st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=200, deadline=None)
+def test_fold_sessions_incremental_equals_batch(ts, split_at):
+    """Feeding the fold in two chunks with carried state must equal
+    one batch pass — the applyInPandasWithState invariant."""
+    ts = sorted(ts)
+    cut = min(split_at, len(ts) - 1)
+    a, b = ts[:cut], ts[cut:]
+    closed1, carry1 = _fold_sessions(
+        pd.Series(a), pd.Series([1.0] * len(a)), GAP, None
+    )
+    closed2, carry2 = _fold_sessions(
+        pd.Series(b), pd.Series([1.0] * len(b)), GAP, carry1
+    )
+    whole_closed, whole_carry = _fold_sessions(
+        pd.Series(ts), pd.Series([1.0] * len(ts)), GAP, None
+    )
+    assert closed1 + closed2 == whole_closed
+    assert carry2 == whole_carry
+
+
+def test_minhash_coeffs_distinct_and_nonzero():
+    coeffs = _minhash_coeffs(128)
+    assert len(set(coeffs)) == 128
+    assert all(a != 0 for a, _ in coeffs)  # h_i must not be constant
