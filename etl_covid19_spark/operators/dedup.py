@@ -336,6 +336,70 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph → (doc_id,
+    cluster_id = min doc id in the component). This is the step that
+    turns pairwise similarity into actual dedup decisions: keep
+    cluster_id, drop the rest.
+
+    Iterative min-label propagation: each round every node takes the
+    smallest label among itself and its neighbors; converges in
+    O(diameter) rounds (near-dup clusters are shallow — a handful of
+    rounds in practice, `max_iter` bounds pathology). Each round is
+    one shuffle of the edge list; the frontier DataFrame is
+    localCheckpoint()ed so the lineage (and thus task binaries) stays
+    O(1) across iterations instead of doubling — the classic Spark
+    iterative-algorithm discipline.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        # cut lineage: without this the plan doubles every round
+        updated = updated.localCheckpoint(eager=True)
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), on="node")
+            .where(F.col("u.label") != F.col("l.label"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def embedding_near_dup(
     emb: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95
 ) -> DataFrame:

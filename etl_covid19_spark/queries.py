@@ -1709,3 +1709,64 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n_events",
     )
+
+
+@register(
+    "dedup_clusters",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS sh FROM g),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS nc
+      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM c
+      WHERE nc * 1.0 / (na + nb - nc) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    )
+    SELECT node AS doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY node
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair graph → dedup clusters: MinHash+LSH near-dup pairs
+    (exact-verified at J≥0.8) fed through iterative min-label
+    connected components. cluster_id = the component's smallest doc
+    id, i.e. the canonical document to keep. The oracle recomputes
+    the same components with a recursive CTE over the exact-Jaccard
+    pair set."""
+    from etl_covid19_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    pairs = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, num_hashes=128, bands=32, threshold=0.8,
+    )
+    return connected_components(pairs)

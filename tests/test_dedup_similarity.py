@@ -111,3 +111,22 @@ def test_normalize_unit_norm(spark):
     df = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
     out = df.select(vectors.norm(vectors.normalize("v")).alias("n")).collect()
     assert abs(out[0].n - 1.0) < 1e-12
+
+
+def test_connected_components_chain_and_islands(spark):
+    from pyspark.sql import Row
+
+    from etl_covid19_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            Row(doc_a=1, doc_b=2),
+            Row(doc_a=2, doc_b=3),
+            Row(doc_a=3, doc_b=4),   # chain 1-2-3-4 → cluster 1
+            Row(doc_a=10, doc_b=11), # island → cluster 10
+        ]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
