@@ -662,7 +662,7 @@ def q_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT — customers who never ordered."""
     c = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("cust_key"))
     o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("cust_key"))
-    return c.exceptAll(o).distinct() if False else c.subtract(o)
+    return c.subtract(o)
 
 
 @register(
@@ -1770,3 +1770,49 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3, num_hashes=128, bands=32, threshold=0.8,
     )
     return connected_components(pairs)
+
+
+@register(
+    "window_rank_suite",
+    oracle="""
+    WITH cust AS (
+      SELECT c.c_custkey, c.c_mktsegment,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_custkey, c_mktsegment, revenue,
+           CAST(RANK() OVER w AS INT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS INT) AS drnk,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           CAST(FIRST_VALUE(revenue) OVER w AS DOUBLE) AS seg_top_revenue
+    FROM cust
+    WINDOW w AS (PARTITION BY c_mktsegment
+                 ORDER BY revenue DESC, c_custkey ASC)
+    QUALIFY rnk <= 25
+    """,
+)
+def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-window suite — rank / dense_rank / ntile / first_value
+    over a per-segment revenue ordering, top-25 per segment. One
+    shuffle on the partition key serves all four functions."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders")
+    cust = agg.grouped_agg(
+        o.join(c, o.o_custkey == c.c_custkey),
+        ["c_custkey", "c_mktsegment"],
+        {"revenue": dsum("o_totalprice")},
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select(
+            "c_custkey", "c_mktsegment", "revenue",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.first("revenue").over(w).alias("seg_top_revenue"),
+        )
+        .where(F.col("rnk") <= 25)
+    )
