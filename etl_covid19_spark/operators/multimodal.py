@@ -68,6 +68,92 @@ def extract_media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("thumb", T.BinaryType()),
+        T.StructField("thumb_w", T.IntegerType()),
+        T.StructField("thumb_h", T.IntegerType()),
+    ]
+)
+
+
+def resize_stub(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """STUB — deterministic fake resize (PIL absent here). Real
+    deployment: decode, `Image.thumbnail((max_side, max_side))`,
+    re-encode; the plumbing below is unchanged. The fake keeps the
+    aspect contract (w,h ≤ max_side) and shrinks the payload so
+    batch-size accounting downstream is realistic."""
+    if not payload:
+        raise NotImplementedError("real media decode not available in this env")
+    w, h = decode_stub(payload)
+    scale = max(w, h) / max_side
+    tw, th = max(int(w / scale), 1), max(int(h / scale), 1)
+    return payload[: max(len(payload) // 4, 1)], tw, th
+
+
+def resize_images(
+    df: DataFrame, id_col: str, bin_col: str, max_side: int = 32
+) -> DataFrame:
+    """Thumbnail pass over a binary image column. Same mapInPandas
+    shape as extract_media_meta: Arrow batches in, per-item decode
+    (irreducible), Arrow batches out. `spark.sql.files.
+    maxPartitionBytes` bounds how many blobs one task holds."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [resize_stub(p, max_side) for p in pdf[bin_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].astype("int64"),
+                    "thumb": [t[0] for t in out],
+                    "thumb_w": [t[1] for t in out],
+                    "thumb_h": [t[2] for t in out],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZE_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Feature extraction over a binary audio column. The signal math
+    runs vectorized on the raw bytes interpreted as PCM8 — a stand-in
+    for torchaudio/librosa features; swap the inner function, keep
+    the mapInPandas contract (schema, batching, partitioning)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                if not payload:
+                    raise NotImplementedError("real audio decode unavailable")
+                pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(pcm) / 8000.0,  # fake 8 kHz sample rate
+                        float(np.sqrt(np.mean(pcm**2))),
+                        int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str, every_n: int = 30) -> DataFrame:
     """STUB plumbing for video frame sampling: emits (doc_id,
     frame_idx) rows for frames 0, n, 2n… of a fake 300-frame video.

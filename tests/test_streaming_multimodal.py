@@ -100,3 +100,30 @@ def test_frame_sample_plan(spark):
     df = spark.createDataFrame([(1, b"xx")], "doc_id long, payload binary")
     out = multimodal.frame_sample_plan(df, "doc_id", "payload", every_n=30)
     assert out.count() == 10  # frames 0,30,...,270
+
+
+def test_resize_stub_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.operators.multimodal import resize_images
+
+    d = spark.createDataFrame(
+        [(1, "some image bytes here"), (2, "tiny")], "doc_id long, body string"
+    ).select("doc_id", F.encode("body", "UTF-8").alias("payload"))
+    out = {r.doc_id: r for r in resize_images(d, "doc_id", "payload", 32).collect()}
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert 1 <= r.thumb_w <= 32 and 1 <= r.thumb_h <= 32
+        assert isinstance(r.thumb, (bytes, bytearray)) and len(r.thumb) >= 1
+
+
+def test_audio_features_plumbing(spark):
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.operators.multimodal import audio_features
+
+    d = spark.createDataFrame(
+        [(7, "abcdefgh" * 100)], "doc_id long, body string"
+    ).select("doc_id", F.encode("body", "UTF-8").alias("payload"))
+    r = audio_features(d, "doc_id", "payload").collect()[0]
+    assert r.doc_id == 7 and r.duration_s == 800 / 8000.0 and r.rms > 0
