@@ -815,12 +815,52 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", oracle=None)
+def _simhash_oracle(bits: int = 30) -> str:
+    """GENERATED oracle for dedup_simhash: the fingerprint is fully
+    deterministic (engine-agnostic polynomial token hash + per-bit
+    majority votes), so the 30 bit-vote expressions are emitted
+    programmatically into one SQL statement that DuckDB evaluates
+    bit-for-bit identically to the Spark column expressions."""
+    th = """list_transform(
+      list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
+      t -> list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(t)+1),
+                              i -> CAST(ascii(substr(t, i, 1)) AS BIGINT))),
+             (a, c) -> (a * 131 + c) % 2147483647))"""
+    votes = ", ".join(
+        f"2 * len(list_filter(th, h -> (h // {1 << j}) % 2 = 1)) - len(th) AS v{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {th} AS th FROM documents),
+    v AS (SELECT doc_id, {votes} FROM t),
+    f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
+    b AS (
+      SELECT doc_id, fp, fp % 32768 AS key, 0 AS chunk FROM f
+      UNION ALL
+      SELECT doc_id, fp, (fp // 32768) % 32768, 1 FROM f
+    ),
+    c AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+                      a.fp AS h_a, b2.fp AS h_b
+      FROM b a JOIN b b2
+        ON a.key = b2.key AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(h_a, h_b)) AS INT) AS hamming
+    FROM c WHERE bit_count(xor(h_a, h_b)) <= 8
+    """
+
+
+@register("dedup_simhash", oracle=_simhash_oracle())
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dup pairs, 16-bit-chunk blocked
-    (pigeonhole exact for hamming ≤ 3; heuristic recall above).
-    Non-SQL-expressible economically → rows-only check; semantics
-    unit-tested in tests/test_dedup.py."""
+    """SimHash(30-bit) near-dup pairs, 15-bit-chunk blocked
+    (pigeonhole exact for hamming ≤ 1; heuristic recall above). The
+    whole pipeline is deterministic, so the oracle is generated SQL
+    reproducing hash, votes, blocking, and the hamming filter."""
     from etl_covid19_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
@@ -901,12 +941,64 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_lsh_topk", oracle=None)
+def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64) -> str:
+    """GENERATED oracle for ann_lsh_topk: the hyperplanes are
+    deterministic LCG constants, so they embed as SQL literals and
+    DuckDB reproduces signature, bucketing, and ranking exactly
+    (left-to-right double folds on both sides)."""
+    from etl_covid19_spark.operators.similarity import make_planes
+
+    planes = make_planes(dim, n_planes)
+
+    def dot_plane(vcol: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({vcol}, "
+            f"[{lits}]), p -> struct_extract(p, 1) * struct_extract(p, 2))), "
+            f"(x, y) -> x + y)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot_plane('v', planes[i])} > 0 "
+        f"THEN {1 << (n_planes - 1 - i)} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    cos = (
+        "list_reduce(list_prepend(0.0, list_transform(list_zip(q.v, c.v), "
+        "p -> struct_extract(p, 1) * struct_extract(p, 2))), (x, y) -> x + y)"
+        " / (sqrt(list_reduce(list_prepend(0.0, "
+        "list_transform(q.v, x -> x * x)), (x, y) -> x + y))"
+        " * sqrt(list_reduce(list_prepend(0.0, "
+        "list_transform(c.v, x -> x * x)), (x, y) -> x + y)))"
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, v, {sig} AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
+      FROM s q JOIN s c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM (SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+                 cosine
+          FROM scored)
+    WHERE rank <= 10
+    """
+
+
+@register("ann_lsh_topk", oracle=_lsh_ann_oracle())
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing — the
-    scale path (join degree = bucket size, not corpus size).
-    Approximate by construction → rows-only check; recall vs the
-    exact baseline is unit-tested."""
+    scale path (join degree = bucket size, not corpus size). The
+    planes are deterministic, so even this approximate operator is
+    oracle-checked end-to-end (generated SQL); recall vs the exact
+    baseline is additionally unit-tested."""
     from etl_covid19_spark.operators.similarity import lsh_bucket_ann
 
     emb = _t(spark, sf_dir, "embeddings")
