@@ -14,7 +14,7 @@ quadratic all-pairs problem into a grouped equi-join.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from etl_covid19_spark.functions import text, vectors

@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_covid19_spark.functions import datetime_kit as dk
-from etl_covid19_spark.functions import json_kit, text, vectors
+from etl_covid19_spark.functions import json_kit, text
 from etl_covid19_spark.operators import aggregates as agg
 from etl_covid19_spark.operators import joins as J
 from etl_covid19_spark.operators import relational as R
@@ -1907,4 +1907,45 @@ def q_window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.first("revenue").over(w).alias("seg_top_revenue"),
         )
         .where(F.col("rnk") <= 25)
+    )
+
+
+@register(
+    "sliding_windows",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, value,
+             CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS base
+      FROM events
+    ),
+    w AS (
+      SELECT event_type, value, unnest([base, base - 300]) AS win_start
+      FROM e
+    )
+    SELECT CAST(win_start * 1000000 AS BIGINT) AS window_start_us,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (10 min long, 5 min hop): every
+    event lands in exactly two overlapping windows — Spark's window()
+    Expand; the oracle unrolls the same two starts per event."""
+    from etl_covid19_spark.streaming.windows import sliding
+
+    ev = _t(spark, sf_dir, "events")
+    out = sliding(
+        ev, "ts", "10 minutes", "5 minutes", ["event_type"],
+        {
+            "n_events": F.count(F.lit(1)),
+            "sum_value": F.sum(F.col("value").cast("decimal(18,6)")).cast("double"),
+        },
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("window_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
     )

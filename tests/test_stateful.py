@@ -5,7 +5,6 @@ import datetime as dt
 
 import pytest
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 from etl_covid19_spark.streaming.stateful import (
     sessionize_batch,
