@@ -1949,3 +1949,23 @@ def q_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "sum_value",
     )
+
+
+@register("sketch_distinct_users", oracle=None)
+def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approx distinct users per event type via Apache DataSketches
+    HLL (Spark's hll_sketch_agg): the 100 TB path for COUNT(DISTINCT)
+    — fixed-size mergeable sketches shuffle instead of the full key
+    set, and pre-aggregated sketches can be stored and re-merged
+    across partitions/days without rescanning. Estimate-valued →
+    rows-only check; accuracy vs exact is asserted in tests."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("user_id"), F.lit(14))
+            ).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -132,3 +132,39 @@ def test_percentiles_approx_close(spark):
     exact = agg.percentiles(df, ["g"], "v", [0.9]).collect()[0].p90
     approx = agg.percentiles(df, ["g"], "v", [0.9], approx=True).collect()[0].p90
     assert abs(approx - exact) / exact < 0.01
+
+
+def test_hll_sketch_close_to_exact(spark):
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    from pyspark.sql import functions as F2
+    got = (
+        ev.groupBy("event_type")
+        .agg(
+            F2.hll_sketch_estimate(
+                F2.hll_sketch_agg(F2.col("user_id"), F2.lit(14))
+            ).alias("approx"),
+            F2.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert got and all(abs(r.approx - r.exact) / r.exact < 0.02 for r in got)
+
+
+def test_hll_sketches_merge_across_slices(spark):
+    """Sketches built on disjoint slices must merge to the whole —
+    the property that lets 100 TB jobs pre-aggregate per partition."""
+    from pyspark.sql import functions as F2
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    whole = ev.agg(
+        F2.hll_sketch_estimate(F2.hll_sketch_agg("user_id", F2.lit(14)))
+    ).collect()[0][0]
+    halves = (
+        ev.withColumn("half", (F2.col("event_id") % 2))
+        .groupBy("half")
+        .agg(F2.hll_sketch_agg("user_id", F2.lit(14)).alias("sk"))
+    )
+    merged = halves.agg(
+        F2.hll_sketch_estimate(F2.hll_union_agg("sk"))
+    ).collect()[0][0]
+    assert merged == whole
