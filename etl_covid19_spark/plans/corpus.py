@@ -1,0 +1,103 @@
+"""Corpus curation — the training-data pipeline end-to-end
+(SURVEY.md §7.2 step 9 composed into one plan).
+
+The operators exist individually (text quality, language-ID, exact
+dedup, MinHash/LSH + connected-components near-dup clustering); this
+plan chains them the way a pre-training data pipeline actually runs:
+
+  documents
+    → quality score + language-ID            (columnar, codegen)
+    → exact-dup canonicalization             (hash groupBy)
+    → near-dup cluster canonicalization      (LSH pairs → components)
+    → per-document verdict (keep, reason)
+
+Ordering matters at 100 TB: the cheap columnar filters run FIRST so
+the expensive pair-generation stages only see documents that could
+survive; the near-dup join is LSH-banded so its cost tracks candidate
+pairs, not corpus².
+
+Every document gets a verdict row with the FIRST failing rule as its
+reason (rule order: quality → lang → exact_dup → near_dup → kept), so
+the output doubles as a drop audit — at scale you aggregate reasons
+to monitor pipeline health.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.functions import text
+from etl_covid19_spark.operators.dedup import (
+    connected_components,
+    exact_dedup,
+    minhash_lsh_pairs,
+)
+
+
+def curate(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.5,
+    lang: str = "en",
+    near_dup_threshold: float = 0.8,
+) -> DataFrame:
+    """→ (doc_id, quality, predicted_lang, keep, reason)."""
+    s = text.lang_scores(text_col)
+    predicted = (
+        F.when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"], s["zh"]), "es")
+        .when(s["fr"] >= F.greatest(s["de"], s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+    scored = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        text.quality_score(text_col).alias("quality"),
+        predicted.alias("predicted_lang"),
+    )
+
+    # Cheap filters first: only plausible keepers reach pair generation.
+    survivors = scored.where(
+        (F.col("quality") >= min_quality) & (F.col("predicted_lang") == lang)
+    ).select("doc_id", "_text")
+
+    # one canonical (min doc_id) per identical-text group
+    canonical = exact_dedup(survivors, "_text", "doc_id").select(
+        F.col("canonical_id").alias("doc_id")
+    )
+    exact_keepers = survivors.join(canonical, "doc_id", "left_semi")
+
+    pairs = minhash_lsh_pairs(
+        exact_keepers, "_text", "doc_id", threshold=near_dup_threshold
+    )
+    clusters = connected_components(pairs)  # only docs in ≥1 pair appear
+    near_dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+
+    verdict = (
+        scored.join(
+            exact_keepers.select("doc_id", F.lit(True).alias("_exact_ok")),
+            "doc_id", "left",
+        )
+        .join(
+            near_dropped.select("doc_id", F.lit(True).alias("_near_dropped")),
+            "doc_id", "left",
+        )
+        .select(
+            "doc_id",
+            "quality",
+            "predicted_lang",
+            F.when(F.col("quality") < min_quality, "low_quality")
+            .when(F.col("predicted_lang") != lang, "wrong_lang")
+            .when(F.col("_exact_ok").isNull(), "exact_dup")
+            .when(F.col("_near_dropped").isNotNull(), "near_dup")
+            .otherwise("kept")
+            .alias("reason"),
+        )
+        .withColumn("keep", F.col("reason") == "kept")
+    )
+    return verdict.select("doc_id", "quality", "predicted_lang", "keep", "reason")

@@ -1969,3 +1969,117 @@ def q_sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@register(
+    "corpus_curation",
+    oracle="""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, toks,
+             round(0.3 * least(length(text) / 200.0, 1.0)
+                 + 0.3 * (CASE WHEN list_reduce(list_prepend(0,
+                               list_transform(toks, x -> length(x))), (a,b) -> a+b)
+                               / greatest(len(toks), 1) >= 2
+                           AND list_reduce(list_prepend(0,
+                               list_transform(toks, x -> length(x))), (a,b) -> a+b)
+                               / greatest(len(toks), 1) <= 12
+                          THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * (1.0 - least(n_punct / greatest(length(text), 1) * 5, 1.0))
+                 + 0.2 * least(len(list_filter(toks, x -> lower(x) IN
+                     ('the','a','an','and','or','of','to','in','is','are','for',
+                      'on','with','as','at','by','it','this','that')))
+                     / greatest(len(toks), 1) * 4, 1.0), 6) AS quality,
+             CASE WHEN len(list_filter(toks, x -> lower(x) IN ('the','and','of','to','a')))
+                       >= greatest(
+                          len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y'))),
+                          len(list_filter(toks, x -> lower(x) IN ('le','la','de','et','les'))),
+                          len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist'))),
+                          len(list_filter(toks, x -> lower(x) IN ('de5','shi4','le5','zai4','he2'))))
+                  THEN 'en'
+                  WHEN len(list_filter(toks, x -> lower(x) IN ('el','la','de','que','y')))
+                       >= greatest(
+                          len(list_filter(toks, x -> lower(x) IN ('le','la','de','et','les'))),
+                          len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist'))),
+                          len(list_filter(toks, x -> lower(x) IN ('de5','shi4','le5','zai4','he2'))))
+                  THEN 'es'
+                  WHEN len(list_filter(toks, x -> lower(x) IN ('le','la','de','et','les')))
+                       >= greatest(
+                          len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist'))),
+                          len(list_filter(toks, x -> lower(x) IN ('de5','shi4','le5','zai4','he2'))))
+                  THEN 'fr'
+                  WHEN len(list_filter(toks, x -> lower(x) IN ('der','die','und','das','ist')))
+                       >= len(list_filter(toks, x -> lower(x) IN ('de5','shi4','le5','zai4','he2')))
+                  THEN 'de'
+                  ELSE 'zh' END AS predicted_lang
+      FROM t
+    ),
+    surv AS (
+      SELECT doc_id, text, toks FROM m
+      WHERE quality >= 0.5 AND predicted_lang = 'en'
+    ),
+    canon AS (SELECT MIN(doc_id) AS doc_id FROM surv GROUP BY text),
+    ek AS (SELECT s.doc_id, s.toks FROM surv s JOIN canon c ON s.doc_id = c.doc_id),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM ek
+    ),
+    p AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS sh FROM g),
+    c2 AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS nc
+      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM c2
+      WHERE nc * 1.0 / (na + nb - nc) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY node),
+    near_drop AS (SELECT node AS doc_id FROM clusters WHERE cluster_id <> node)
+    SELECT m.doc_id, m.quality, m.predicted_lang,
+           (CASE WHEN m.quality < 0.5 THEN 'low_quality'
+                 WHEN m.predicted_lang <> 'en' THEN 'wrong_lang'
+                 WHEN ek.doc_id IS NULL THEN 'exact_dup'
+                 WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                 ELSE 'kept' END) AS reason,
+           (CASE WHEN m.quality < 0.5 THEN 'low_quality'
+                 WHEN m.predicted_lang <> 'en' THEN 'wrong_lang'
+                 WHEN ek.doc_id IS NULL THEN 'exact_dup'
+                 WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                 ELSE 'kept' END) = 'kept' AS keep
+    FROM m
+    LEFT JOIN ek ON m.doc_id = ek.doc_id
+    LEFT JOIN near_drop nd ON m.doc_id = nd.doc_id
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE flagship training-data pipeline, end-to-end: quality
+    scoring → language-ID → exact-dup canonicalization → LSH near-dup
+    cluster canonicalization → per-document (keep, reason) verdict.
+    Cheap columnar filters run before the pair-generation stages; the
+    whole chain, including the iterative component step, hash-matches
+    the composed SQL oracle."""
+    from etl_covid19_spark.plans.corpus import curate
+
+    return curate(_t(spark, sf_dir, "documents"))

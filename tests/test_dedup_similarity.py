@@ -130,3 +130,25 @@ def test_connected_components_chain_and_islands(spark):
         r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_corpus_curation_verdicts(spark):
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.plans.corpus import curate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = curate(docs).persist()
+    assert out.count() == docs.count()  # every doc gets a verdict
+    reasons = {r.reason for r in out.select("reason").distinct().collect()}
+    assert reasons <= {"low_quality", "wrong_lang", "exact_dup", "near_dup", "kept"}
+    kept = out.where(F.col("keep"))
+    # kept docs must pass the columnar rules
+    assert kept.where(
+        (F.col("quality") < 0.5) | (F.col("predicted_lang") != "en")
+    ).count() == 0
+    # keep column is consistent with reason
+    assert out.where(
+        F.col("keep") != (F.col("reason") == F.lit("kept"))
+    ).count() == 0
+    out.unpersist()
