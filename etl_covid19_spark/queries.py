@@ -567,7 +567,13 @@ def q_quality_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Window kit — running total + day-over-day diff: natively
     recomputes the reference's precomputed `*_diff` measures
-    (SURVEY.md §2.6 M1) with a window over the ordered day series."""
+    (SURVEY.md §2.6 M1) with a window over the ordered day series.
+
+    The unpartitioned window is deliberate: it runs AFTER the per-day
+    aggregate, over a bounded series (one row per calendar day — a
+    few thousand rows at any corpus size), so the single-partition
+    sort Spark warns about is O(days), never O(rows). Per-entity
+    running windows partition by key (aggregates.running_totals)."""
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(
         F.col("o_orderdate").cast("date").alias("order_day")
