@@ -94,6 +94,25 @@ def shingle_postings(
     )
 
 
+# Session-scoped memo for materialized postings: the Jaccard and
+# MinHash families share the same (corpus, n) postings, and a query
+# registry run executes them back-to-back — reusing the persisted
+# frame skips the tokenize/shingle pass the second time. Keyed by the
+# input DataFrame's semantic hash, so different corpora never collide.
+_POSTINGS_MEMO: dict[tuple, DataFrame] = {}
+
+
+def shingle_postings_cached(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    key = (df.semanticHash(), text_col, id_col, n)
+    posts = _POSTINGS_MEMO.get(key)
+    if posts is None:
+        posts = shingle_postings(df, text_col, id_col, n).persist()
+        _POSTINGS_MEMO[key] = posts
+    return posts
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.4
 ) -> DataFrame:
@@ -107,8 +126,9 @@ def ngram_jaccard_pairs(
 
     The postings are persisted across the self-join so the
     (interpreted higher-order) shingle construction runs once per
-    document, not once per join side."""
-    posts = shingle_postings(df, text_col, id_col, n).persist()
+    document, not once per join side — and reused across the dedup
+    family via the session memo."""
+    posts = shingle_postings_cached(df, text_col, id_col, n)
     a, b = posts.alias("a"), posts.alias("b")
     common = (
         a.join(b, on="sh")
@@ -187,7 +207,7 @@ def minhash_lsh_pairs(
     shuffled per band and no shingle set is materialized per row.
     """
     rows = num_hashes // bands
-    posts = shingle_postings(df, text_col, id_col, n).persist()
+    posts = shingle_postings_cached(df, text_col, id_col, n)
     sigs = _signatures_from_postings(posts, num_hashes)
     # Each band key collapses to ONE long (xxhash64 over the band id
     # and its signature slice) so the candidate join is a primitive
