@@ -50,6 +50,35 @@ def expect(df: DataFrame, predicate: Column, description: str = "") -> None:
         raise QualityCheckError(description or str(predicate))
 
 
+def observed_write(
+    df: DataFrame,
+    write: Callable[[DataFrame], None],
+    pass_value: float,
+    tolerance: float = 0.02,
+) -> int:
+    """A1 as a ZERO-extra-pass gate: `df.observe()` accumulates the
+    row count DURING the write job itself, so at 100 TB the gate
+    costs nothing — no second scan, no count() job. The check runs
+    after the action; on violation the caller's orchestration treats
+    the written partition as failed (and the idempotent partition
+    overwrite makes the retry safe).
+
+    Contrast with expect_count, which gates BEFORE the write (the
+    reference's barrier semantics, O6) at the price of computing the
+    input twice unless it's cached."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation()
+    write(df.observe(obs, F.count(F.lit(1)).alias("n")))
+    n = int(obs.get["n"])
+    if abs(n - pass_value) > pass_value * tolerance:
+        raise QualityCheckError(
+            f"observed count {n} outside {pass_value} ±{tolerance:.0%}"
+        )
+    return n
+
+
 # Failure hook (SURVEY.md §2.1 S9): the reference alerts Telegram on
 # DAG failure. Engine-side this is a pluggable callback, not an HTTP
 # call baked into the engine.

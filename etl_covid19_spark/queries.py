@@ -2089,3 +2089,33 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_covid19_spark.plans.corpus import curate
 
     return curate(_t(spark, sf_dir, "documents"))
+
+
+@register(
+    "above_avg_orders",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT AVG(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+)
+def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery — orders 1.5× above their
+    customer's average. Expressed through the SQL surface so
+    Catalyst's decorrelation rewrites it into an aggregate + join
+    (SURVEY.md §4: subquery decorrelation, unused by the reference
+    but part of the engine's analytics surface)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("_orders_corr")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM _orders_corr o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT AVG(o2.o_totalprice) FROM _orders_corr o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )

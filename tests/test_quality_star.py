@@ -51,3 +51,19 @@ def test_build_dimension_row_number_dense(spark):
     dim = star.build_dimension(cust, ["c_mktsegment"], "k")
     keys = sorted(r.k for r in dim.collect())
     assert keys == list(range(1, len(keys) + 1))
+
+
+def test_observed_write_gate_single_pass(spark, tmp_path):
+    from etl_covid19_spark.plans.quality import QualityCheckError, observed_write
+
+    df = spark.range(0, 240).selectExpr("id", "id * 2 AS v")
+    out = str(tmp_path / "zone")
+    n = observed_write(
+        df, lambda d: d.write.mode("overwrite").parquet(out), pass_value=240
+    )
+    assert n == 240
+    assert spark.read.parquet(out).count() == 240
+    with pytest.raises(QualityCheckError):
+        observed_write(
+            df, lambda d: d.write.mode("overwrite").parquet(out), pass_value=500
+        )
