@@ -2119,3 +2119,110 @@ def q_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "scalar_kit",
+    oracle="""
+    SELECT s_suppkey,
+           upper(s_name) AS name_upper,
+           reverse(s_name) AS name_rev,
+           lpad(s_name, 30, '*') AS name_lpad,
+           rpad(s_name, 30, '-') AS name_rpad,
+           substr(s_name, 3, 5) AS name_mid,
+           replace(s_name, '#', '-') AS name_repl,
+           concat_ws('|', s_name, CAST(s_nationkey AS VARCHAR)) AS name_tag,
+           CAST(abs(s_acctbal) AS DOUBLE) AS bal_abs,
+           CAST(sign(s_acctbal) AS DOUBLE) AS bal_sign,
+           CAST(ceil(s_acctbal) AS DOUBLE) AS bal_ceil,
+           CAST(floor(s_acctbal) AS DOUBLE) AS bal_floor,
+           CAST(round(s_acctbal) AS DOUBLE) AS bal_round,
+           CAST(sqrt(abs(s_acctbal)) AS DOUBLE) AS bal_sqrt,
+           CAST(pow(CAST(s_nationkey AS DOUBLE), 2) AS DOUBLE) AS nk_sq,
+           coalesce(nullif(s_nationkey, 0), -1) AS nk_nz,
+           least(s_nationkey, 10) AS nk_least,
+           greatest(s_nationkey, 10) AS nk_greatest
+    FROM supplier
+    """,
+)
+def q_scalar_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function breadth (SURVEY.md §2.6 C1/ST1/ST2/CA1
+    generalized): string pad/reverse/substr/replace/concat, numeric
+    abs/sign/ceil/floor/round/sqrt/pow, and the null kit
+    (coalesce/nullif/least/greatest) — all JVM expressions inside one
+    codegen stage, bit-matched against the oracle."""
+    s = _t(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.upper("s_name").alias("name_upper"),
+        F.reverse(F.col("s_name")).alias("name_rev"),
+        F.lpad("s_name", 30, "*").alias("name_lpad"),
+        F.rpad("s_name", 30, "-").alias("name_rpad"),
+        F.substring("s_name", 3, 5).alias("name_mid"),
+        F.regexp_replace("s_name", "#", "-").alias("name_repl"),
+        F.concat_ws("|", "s_name", F.col("s_nationkey").cast("string")).alias(
+            "name_tag"
+        ),
+        F.abs(bal).cast("double").alias("bal_abs"),
+        F.signum(bal).cast("double").alias("bal_sign"),
+        F.ceil(bal).cast("double").alias("bal_ceil"),
+        F.floor(bal).cast("double").alias("bal_floor"),
+        F.round(bal).cast("double").alias("bal_round"),
+        F.sqrt(F.abs(bal)).cast("double").alias("bal_sqrt"),
+        F.pow(F.col("s_nationkey").cast("double"), 2).cast("double").alias("nk_sq"),
+        F.coalesce(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nk_nz"
+        ),
+        F.least(F.col("s_nationkey"), F.lit(10)).alias("nk_least"),
+        F.greatest(F.col("s_nationkey"), F.lit(10)).alias("nk_greatest"),
+    )
+
+
+@register(
+    "posexplode_positions",
+    oracle="""
+    SELECT d.doc_id,
+           generate_subscripts(toks, 1) - 1 AS pos,
+           unnest(toks) AS tok
+    FROM (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    ) d
+    """,
+)
+def q_posexplode_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode — (doc_id, token position, token), the
+    fan-out shape for order-aware token processing (0-based to match
+    Spark's posexplode)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id", F.posexplode(text.tokens("text")).alias("pos", "tok")
+    )
+
+
+@register(
+    "unpivot_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, name AS measure, value
+    FROM (
+      UNPIVOT (
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount
+        FROM lineitem WHERE l_orderkey < 100
+      ) ON l_quantity, l_extendedprice, l_discount
+      INTO NAME name VALUE value
+    )
+    """,
+)
+def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt — wide measures to (measure, value) rows; the
+    inverse of pivot_flag_qty, one Expand node, no shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
