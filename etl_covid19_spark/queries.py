@@ -2226,3 +2226,81 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure",
         "value",
     )
+
+
+@register(
+    "array_kit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 50
+    )
+    SELECT doc_id,
+           len(toks) AS n_toks,
+           toks[1:3] AS first3,
+           list_sort(toks[1:5]) AS sorted5,
+           list_contains(toks, 'the') AS has_the,
+           array_to_string(toks[1:4], ' ') AS joined4,
+           list_sort(list_distinct(list_intersect(toks,
+               ['the', 'a', 'of', 'and']))) AS stop_hits,
+           list_sort(list_distinct(toks[1:6])) AS distinct6
+    FROM t
+    """,
+)
+def q_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function breadth: size/slice/sort/contains/join/
+    intersect/distinct over the token arrays (set-valued outputs are
+    sorted on both sides so the compare is order-stable)."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = text.tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.array_sort(F.slice(toks, 1, 5)).alias("sorted5"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.array_join(F.slice(toks, 1, 4), " ").alias("joined4"),
+        F.array_sort(
+            F.array_distinct(
+                F.array_intersect(
+                    toks, F.array(*[F.lit(x) for x in ("the", "a", "of", "and")])
+                )
+            )
+        ).alias("stop_hits"),
+        F.array_sort(F.array_distinct(F.slice(toks, 1, 6))).alias("distinct6"),
+    )
+
+
+@register(
+    "datetime_breadth",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(weekofyear(o_orderdate) AS INT) AS iso_week,
+           CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS INT)
+             AS days_since_95,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+           CAST(o_orderdate + INTERVAL 10 DAY AS DATE) AS plus_10d
+    FROM orders WHERE o_orderkey < 200
+    """,
+)
+def q_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime breadth beyond D1-D8: trunc/last_day/quarter/ISO
+    week/datediff/add_months/date_add, matched against the oracle's
+    interval arithmetic."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 200)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("iso_week"),
+        F.datediff(d, F.lit("1995-01-01").cast("date")).alias("days_since_95"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.date_add(d, 10).alias("plus_10d"),
+    )
