@@ -29,9 +29,31 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Runtime confs the query surface depends on, applied defensively on
+# every load: a HOST-built SparkSession (the verification driver's,
+# a notebook's) won't have gone through session.get_spark, and
+# without these (a) the INT64 TIMESTAMP(NANOS) events parquet fails
+# the vectorized reader outright, and (b) a non-UTC session timezone
+# shifts string→timestamp casts against the NTZ parquet values.
+_REQUIRED_RUNTIME_CONFS = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:  # noqa: BLE001 — a locked conf is non-fatal
+            pass
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Columnar scan of one warehouse table (predicate/column pushdown free)."""
+    ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
         # events.ts is INT64 TIMESTAMP(NANOS) parquet; with
