@@ -100,3 +100,35 @@ def test_sessionize_stream_emits_closed_sessions(spark, tmp_path):
         (1, us(ts(0))): (2, 3.0),
         (2, us(ts(3))): (2, 4.0),
     }
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming exact dedup with bounded state:
+    dropDuplicatesWithinWatermark keeps one row per event_id while
+    the watermark allows state cleanup — the streaming twin of the
+    exact-dedup operator."""
+    src = str(tmp_path / "src")
+    out_dir = str(tmp_path / "out")
+    rows1 = [(1, ts(0), 1.0), (2, ts(1), 2.0), (1, ts(2), 1.0)]  # dup id 1
+    rows2 = [(2, ts(3), 2.0), (3, ts(4), 3.0)]                   # dup id 2
+    schema = "event_id long, ts timestamp, value double"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.parquet(f"{src}/b1")
+    spark.createDataFrame(rows2, schema).coalesce(1).write.parquet(f"{src}/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/*")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
+    assert got == [1, 2, 3]  # one row per id across batches
