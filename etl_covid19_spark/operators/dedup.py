@@ -238,44 +238,37 @@ def minhash_lsh_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .persist()
     )
-    # Exact-Jaccard verification on the candidate subset only:
-    # semi-join the postings down to candidate docs (tiny vs corpus),
-    # build their shingle sets with one small collect_set aggregate,
-    # and broadcast those sets onto the pair list. No corpus-sized
-    # shuffle happens after banding.
+    # Exact-Jaccard verification on the candidate subset only: the
+    # postings are semi-joined down to candidate docs (tiny vs the
+    # corpus), pair-counted with the same shingle-key join the
+    # Jaccard operator uses (declarative count agg — no object-hash
+    # collect_set), then semi-filtered back to LSH candidates. The
+    # broadcasts are bounded by candidate volume; for pathological
+    # candidate sets drop the hints and AQE picks the strategy.
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    csets = (
-        posts.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
-        .groupBy("doc_id", "n_shingles")
-        .agg(F.collect_set("sh").alias("shs"))
+    cposts = posts.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    pa, pb = cposts.alias("pa"), cposts.alias("pb")
+    common = (
+        pa.join(pb, on="sh")
+        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .groupBy(
+            F.col("pa.doc_id").alias("doc_a"),
+            F.col("pb.doc_id").alias("doc_b"),
+            F.col("pa.n_shingles").alias("na"),
+            F.col("pb.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
     )
-    enriched = cands.join(
-        F.broadcast(
-            csets.select(
-                F.col("doc_id").alias("doc_a"),
-                F.col("n_shingles").alias("na"),
-                F.col("shs").alias("sh_a"),
-            )
-        ),
-        on="doc_a",
-    ).join(
-        F.broadcast(
-            csets.select(
-                F.col("doc_id").alias("doc_b"),
-                F.col("n_shingles").alias("nb"),
-                F.col("shs").alias("sh_b"),
-            )
-        ),
-        on="doc_b",
+    verified = common.join(
+        F.broadcast(cands), on=["doc_a", "doc_b"], how="left_semi"
     )
-    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = n_common / (F.col("na") + F.col("nb") - n_common)
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        enriched.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
