@@ -2304,3 +2304,33 @@ def q_datetime_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.add_months(d, 3).alias("plus_3m"),
         F.date_add(d, 10).alias("plus_10d"),
     )
+
+
+@register(
+    "regexp_kit",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 1) AS first_word,
+           regexp_extract(text, '([a-z]+) ([a-z]+)', 2) AS second_word,
+           len(regexp_extract_all(text, '[a-z]+a[a-z]*')) AS n_a_words,
+           regexp_matches(text, 'spark') AS mentions_spark,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q_regexp_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex kit with RE2-portable patterns (no lookarounds, no
+    backrefs): group extraction, extract-all counting, boolean match,
+    global replace — identical semantics across engines."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    pat = r"([a-z]+) ([a-z]+)"
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", pat, 1).alias("first_word"),
+        F.regexp_extract("text", pat, 2).alias("second_word"),
+        F.size(
+            F.regexp_extract_all("text", F.lit(r"[a-z]+a[a-z]*"), F.lit(0))
+        ).alias("n_a_words"),
+        F.col("text").rlike("spark").alias("mentions_spark"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled"),
+    )
