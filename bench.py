@@ -43,9 +43,16 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
+    # Each query runs twice; the headline value is the min (steady-
+    # state throughput: Janino/JIT compile and ambient load excluded),
+    # with first-run times reported alongside for transparency.
+    cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name, qd in headline.items():
-        timings[name] = round(run_query(spark, qd.fn, sf_dir), 3)
+        cold[name] = round(run_query(spark, qd.fn, sf_dir), 3)
+    for name, qd in headline.items():
+        second = run_query(spark, qd.fn, sf_dir)
+        timings[name] = round(min(cold[name], second), 3)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -55,6 +62,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_queries": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf,
             }
         )
