@@ -2415,3 +2415,81 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("revenue").desc(), F.col("l_orderkey").asc()],
         20,
     )
+
+
+@register(
+    "chunk_documents",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id, CAST(c AS INT) AS chunk_idx,
+           array_to_string(toks[c * 24 + 1 : c * 24 + 32], ' ') AS chunk_text,
+           len(toks[c * 24 + 1 : c * 24 + 32]) AS n_tokens
+    FROM t, unnest(range(0, CAST(ceil(greatest(len(toks) - 8, 1) / 24.0) AS BIGINT)))
+           AS u(c)
+    """,
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking — 32-token windows with 8-token overlap
+    (stride 24), the context-window prep step for pre-training/RAG
+    pipelines. Pure fan-out: sequence + explode + slice, no shuffle
+    until a downstream consumer groups."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    size, stride = 32, 24
+    toks = text.tokens("text")
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - (size - stride), F.lit(1)) / stride
+    ).cast("bigint")
+    chunks = d.select(
+        "doc_id",
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    piece = F.slice(F.col("_toks"), F.col("chunk_idx") * stride + 1, size)
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("n_tokens"),
+    )
+
+
+@register(
+    "vocab_top_tokens",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS tok
+      FROM documents
+    )
+    SELECT tok, COUNT(*) AS freq,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, tok ASC) AS INT)
+             AS vocab_id
+    FROM toks GROUP BY tok
+    ORDER BY freq DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building — corpus-wide token frequencies with
+    deterministic vocab ids (freq desc, token asc). Explode + hash
+    aggregate + top-k; at 100 TB the aggregate's map-side combine
+    keeps the shuffle at |vocab|, not |tokens|."""
+    d = _t(spark, sf_dir, "documents")
+    freqs = (
+        d.select(F.explode(text.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # top-k FIRST (TakeOrderedAndProject — per-partition heads), THEN
+    # rank: the single-partition row_number window only ever sees k
+    # rows, never the full vocabulary
+    top = agg.top_k(freqs, [F.col("freq").desc(), F.col("tok").asc()], 100)
+    w = Window.orderBy(F.col("freq").desc(), F.col("tok").asc())
+    return top.withColumn("vocab_id", F.row_number().over(w).cast("int")).select(
+        "tok", "freq", "vocab_id"
+    )
