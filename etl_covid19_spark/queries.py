@@ -2493,3 +2493,34 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("vocab_id", F.row_number().over(w).cast("int")).select(
         "tok", "freq", "vocab_id"
     )
+
+
+@register(
+    "sql_surface_priority_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_sql_surface_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pure-SQL entry point (SURVEY.md §3.3): tables registered
+    as views, the query itself is a SQL string — Catalyst replaces
+    the reference's in-database Postgres planner. Same engine, same
+    plan as the DataFrame surface."""
+    from etl_covid19_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o_orderpriority
+        """
+    )
