@@ -2524,3 +2524,42 @@ def q_sql_surface_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
         GROUP BY o_orderpriority
         """
     )
+
+
+@register(
+    "hof_kit",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents WHERE doc_id < 100
+    )
+    SELECT doc_id,
+           len(list_filter(toks, x -> length(x) > 5)) > 0 AS any_long,
+           len(list_filter(toks, x -> length(x) >= 10)) = 0 AS none_huge,
+           list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                       (a, b) -> a + b) AS total_chars,
+           list_transform(toks[1:3], x -> upper(x)) AS upper3,
+           list_filter(toks[1:6], x -> length(x) = 4) AS four_letter
+    FROM t
+    """,
+)
+def q_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order-function kit — exists/forall/aggregate/transform/
+    filter lambdas over token arrays, the per-row functional surface
+    the dedup and text operators are built from."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    toks = text.tokens("text")
+    return d.select(
+        "doc_id",
+        F.exists(toks, lambda x: F.length(x) > 5).alias("any_long"),
+        F.forall(toks, lambda x: F.length(x) < 10).alias("none_huge"),
+        F.aggregate(
+            toks, F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("upper3"),
+        F.filter(F.slice(toks, 1, 6), lambda x: F.length(x) == 4).alias(
+            "four_letter"
+        ),
+    )
