@@ -34,13 +34,20 @@ def _shingle_hash(sh):
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct text with
-    the smallest id as canonical. Shuffles one (hash, id) pair per
-    row — at 100 TB, group on xxhash64(text) so the shuffle carries
-    8-byte keys instead of document bodies."""
+    the smallest id as canonical. Shuffles one (hash, length, id)
+    triple per row — at 100 TB, grouping on xxhash64(text) keeps the
+    shuffle at fixed-width keys instead of document bodies. The text
+    length rides along as a second group key: a 64-bit hash collision
+    between equal-length documents is still possible (birthday bound
+    ≈ n²/2⁶⁵ — about 1 in 2000 at 10¹⁰ docs) but adding the length
+    removes the dominant practical collision surface for free; a
+    full-verification pass over colliding groups is the belt-and-
+    braces option when a merge is destructive."""
     h = F.xxhash64(F.col(text_col)).alias("content_hash")
+    ln = F.length(F.col(text_col)).alias("content_len")
     return (
-        df.select(h, F.col(id_col))
-        .groupBy("content_hash")
+        df.select(h, ln, F.col(id_col))
+        .groupBy("content_hash", "content_len")
         .agg(
             F.min(id_col).alias("canonical_id"),
             F.count(F.lit(1)).alias("n_copies"),
@@ -94,23 +101,65 @@ def shingle_postings(
     )
 
 
-# Session-scoped memo for materialized postings: the Jaccard and
-# MinHash families share the same (corpus, n) postings, and a query
-# registry run executes them back-to-back — reusing the persisted
-# frame skips the tokenize/shingle pass the second time. Keyed by the
-# input DataFrame's semantic hash, so different corpora never collide.
-_POSTINGS_MEMO: dict[tuple, DataFrame] = {}
+class _BoundedDFCache:
+    """Bounded LRU pool of persisted DataFrames shared by the dedup
+    family (the Jaccard/MinHash/cluster queries reuse the same
+    postings and candidate frames back-to-back).
+
+    Lifecycle discipline for a long-lived session:
+    - bounded: evicting the least-recently-used entry unpersists it,
+      so executor storage is capped at `max_entries` frames;
+    - invalidation-aware: keys include the input's file-listing
+      snapshot (`df.inputFiles()`), so rewriting the parquet at the
+      same path (new part-file names) misses the cache instead of
+      silently serving postings from the old corpus;
+    - `clear()` unpersists everything — pipeline reruns that rewrite
+      in place should call `clear_dedup_caches()`.
+    """
+
+    def __init__(self, max_entries: int = 8):
+        self._max = max_entries
+        self._entries: dict[tuple, DataFrame] = {}
+
+    def get_or_build(self, key: tuple, build) -> DataFrame:
+        df = self._entries.pop(key, None)
+        if df is None:
+            df = build().persist()
+        self._entries[key] = df  # (re)insert at LRU tail
+        while len(self._entries) > self._max:
+            oldest = next(iter(self._entries))
+            self._entries.pop(oldest).unpersist(blocking=False)
+        return df
+
+    def clear(self) -> None:
+        for df in self._entries.values():
+            df.unpersist(blocking=False)
+        self._entries.clear()
+
+
+_DF_CACHE = _BoundedDFCache()
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist every cached postings/candidate frame. Call after
+    rewriting a corpus parquet in place within the same session."""
+    _DF_CACHE.clear()
+
+
+def _corpus_key(df: DataFrame) -> tuple:
+    """Cache key for an input corpus: plan identity + a snapshot of
+    the backing files (empty for in-memory frames, whose LocalRelation
+    plan already encodes the data in semanticHash)."""
+    return (df.semanticHash(), tuple(sorted(df.inputFiles())))
 
 
 def shingle_postings_cached(
     df: DataFrame, text_col: str, id_col: str, n: int = 3
 ) -> DataFrame:
-    key = (df.semanticHash(), text_col, id_col, n)
-    posts = _POSTINGS_MEMO.get(key)
-    if posts is None:
-        posts = shingle_postings(df, text_col, id_col, n).persist()
-        _POSTINGS_MEMO[key] = posts
-    return posts
+    key = ("postings", _corpus_key(df), text_col, id_col, n)
+    return _DF_CACHE.get_or_build(
+        key, lambda: shingle_postings(df, text_col, id_col, n)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -207,6 +256,7 @@ def minhash_lsh_pairs(
     shuffled per band and no shingle set is materialized per row.
     """
     rows = num_hashes // bands
+    corpus_key = _corpus_key(df)
     posts = shingle_postings_cached(df, text_col, id_col, n)
     sigs = _signatures_from_postings(posts, num_hashes)
     # Each band key collapses to ONE long (xxhash64 over the band id
@@ -225,18 +275,27 @@ def minhash_lsh_pairs(
         "doc_id", f"explode(array({band_keys})) AS band_key"
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            on=(F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+
+    def _build_cands() -> DataFrame:
+        return (
+            a.join(
+                b,
+                on=(F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .persist()
+
+    # The candidate frame is used twice in this plan (id semi-filter +
+    # final verification); pooling it bounds the persisted footprint
+    # and unpersists on eviction instead of leaking per invocation.
+    cands = _DF_CACHE.get_or_build(
+        ("lsh_cands", corpus_key, text_col, id_col, n, num_hashes, bands),
+        _build_cands,
     )
     # Exact-Jaccard verification on the candidate subset only: the
     # postings are semi-joined down to candidate docs (tiny vs the
@@ -368,6 +427,11 @@ def connected_components(
     localCheckpoint()ed so the lineage (and thus task binaries) stays
     O(1) across iterations instead of doubling — the classic Spark
     iterative-algorithm discipline.
+
+    If labels are still changing when `max_iter` is exhausted (a path
+    component longer than `max_iter` hops), the result would silently
+    split one component into several — so this raises instead of
+    returning unconverged labels. Raise `max_iter` for deep graphs.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -380,6 +444,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -408,6 +473,12 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
+    if changed != 0:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds; labels were still changing. Increase "
+            f"max_iter (rounds needed = graph diameter)."
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
     )

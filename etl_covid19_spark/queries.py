@@ -1774,6 +1774,13 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregation — which is exactly what the oracle computes."""
     import uuid
 
+    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+
+    # defensively apply nanosAsLong/UTC before the stream is built —
+    # this query bypasses load_table, so on a host-built session it
+    # would otherwise depend on some earlier query having run first
+    ensure_runtime_confs(spark)
+
     name = f"stream_tumb_{uuid.uuid4().hex[:8]}"
     # events.ts is INT64 TIMESTAMP(NANOS); with the session's
     # nanosAsLong it reads as epoch-nanos (see sources.catalog)

@@ -43,6 +43,51 @@ def test_connected_components_empty_pairs(spark):
     assert connected_components(pairs).count() == 0
 
 
+def test_connected_components_raises_on_nonconvergence(spark):
+    """A 5-hop path graph cannot converge in 2 min-label rounds; the
+    operator must refuse to return partially-merged components."""
+    from etl_covid19_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [Row(doc_a=i, doc_b=i + 1) for i in range(6)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=2)
+    # and with enough rounds the same graph resolves to one component
+    labels = connected_components(pairs, max_iter=10).collect()
+    assert {r.cluster_id for r in labels} == {0}
+
+
+def test_dedup_cache_bounded_and_invalidated_on_rewrite(spark, tmp_path):
+    """The postings pool must (a) serve a cached frame for the same
+    file snapshot, (b) miss after the parquet is rewritten in place,
+    and (c) unpersist on eviction/clear instead of leaking."""
+    from etl_covid19_spark.operators import dedup
+
+    path = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [Row(doc_id=1, text="alpha beta gamma delta")]
+    ).write.mode("overwrite").parquet(path)
+    df1 = spark.read.parquet(path)
+    p1 = dedup.shingle_postings_cached(df1, "text", "doc_id")
+    assert (
+        dedup.shingle_postings_cached(spark.read.parquet(path), "text", "doc_id")
+        is p1
+    )
+    # rewrite the same path with different content → new part files →
+    # the memo must NOT serve postings from the old corpus
+    spark.createDataFrame(
+        [Row(doc_id=2, text="epsilon zeta eta theta")]
+    ).write.mode("overwrite").parquet(path)
+    p2 = dedup.shingle_postings_cached(
+        spark.read.parquet(path), "text", "doc_id"
+    )
+    assert p2 is not p1
+    assert [r.doc_id for r in p2.select("doc_id").distinct().collect()] == [2]
+    dedup.clear_dedup_caches()
+    assert not p2.storageLevel.useMemory  # unpersisted by clear()
+
+
 def test_dedup_handles_empty_and_whitespace_docs(spark):
     from etl_covid19_spark.operators.dedup import (
         minhash_lsh_pairs,
