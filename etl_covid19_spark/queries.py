@@ -874,8 +874,65 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _near_dup_lsh_oracle(
+    threshold: float = 0.45, band_bits: int = 4, n_bands: int = 16
+) -> str:
+    """GENERATED oracle for the LSH-bucketed embedding near-dup: the
+    sign-bit band keys are pure CASE expressions, so DuckDB reproduces
+    bucketing, candidate generation, and exact-cosine verification."""
+    keys = []
+    for band in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN v[{band * band_bits + j + 1}] > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        keys.append(f"({band * (1 << band_bits)} + {bits})")
+    key_list = ", ".join(keys)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, unnest([{key_list}]) AS band_key FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band_key = c.band_key AND a.vec_id < c.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             list_reduce(list_transform(list_zip(x.v, y.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)), (q, w) -> q + w) AS dot,
+             sqrt(list_reduce(list_transform(x.v, q -> q * q),
+                              (q, w) -> q + w)) AS norm_a,
+             sqrt(list_reduce(list_transform(y.v, q -> q * q),
+                              (q, w) -> q + w)) AS norm_b
+      FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+    )
+    SELECT id_a, id_b, dot / (norm_a * norm_b) AS cosine
+    FROM scored
+    WHERE CASE WHEN norm_a * norm_b = 0 THEN 0.0
+               ELSE dot / (norm_a * norm_b) END >= {threshold}
+    """
+
+
+@register("embedding_near_dup", oracle=_near_dup_lsh_oracle())
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via sign-bit LSH banding +
+    exact-cosine verification — equi-joins only, no all-pairs scan
+    (operators/dedup.embedding_near_dup has the scale math). Recall
+    vs the exact baseline is unit-tested; the exact all-pairs twin
+    stays registered as embedding_near_dup_exact."""
+    from etl_covid19_spark.operators.dedup import embedding_near_dup
+
+    return embedding_near_dup(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.45, band_bits=4, n_bands=16,
+    )
+
+
 @register(
-    "embedding_near_dup",
+    "embedding_near_dup_exact",
     oracle="""
     WITH e AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -897,12 +954,13 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE dot / (norm_a * norm_b) END >= 0.45
     """,
 )
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force correctness
-    baseline; LSH-bucketed variant is ann_lsh_topk)."""
-    from etl_covid19_spark.operators.dedup import embedding_near_dup
+def q_embedding_near_dup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force all-pairs cosine near-dup — the EXACT baseline the
+    LSH operator's recall is measured against. O(n²) by construction;
+    tiny-SF cross-check only, never the scale path."""
+    from etl_covid19_spark.operators.dedup import embedding_near_dup_exact
 
-    return embedding_near_dup(
+    return embedding_near_dup_exact(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id", threshold=0.45
     )
 
@@ -933,12 +991,13 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= 10
     """,
-    headline=True,
 )
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for 8 query vectors: broadcast queries ×
     corpus scan, per-query window rank — the similarity-search
-    correctness baseline."""
+    correctness baseline. Deliberately NOT a headline bench query:
+    the broadcast nested-loop is tiny-query-set-only by design; the
+    headline scale path is ann_lsh_topk (bucketed equi-join)."""
     from etl_covid19_spark.operators.similarity import brute_force_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -998,7 +1057,7 @@ def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64) -> str:
     """
 
 
-@register("ann_lsh_topk", oracle=_lsh_ann_oracle())
+@register("ann_lsh_topk", oracle=_lsh_ann_oracle(), headline=True)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH bucketing — the
     scale path (join degree = bucket size, not corpus size). The

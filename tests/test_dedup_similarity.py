@@ -105,6 +105,29 @@ def test_embedding_near_dup_symmetric_threshold(emb):
         assert r.id_a < r.id_b and r.cosine >= 0.45
 
 
+def test_embedding_near_dup_lsh_vs_exact_and_plan_shape(emb):
+    """The LSH-bucketed near-dup must (a) be a subset of the exact
+    all-pairs result (verification is exact, so no false positives),
+    (b) reach high recall at the tuned banding, and (c) plan as
+    equi-joins only — the whole point of replacing the O(n²) path."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_near_dup_exact(
+            emb, "embedding", "vec_id", 0.45
+        ).collect()
+    }
+    lsh_df = dedup.embedding_near_dup(
+        emb, "embedding", "vec_id", 0.45, band_bits=4, n_bands=16
+    )
+    lsh = {(r.id_a, r.id_b) for r in lsh_df.collect()}
+    assert lsh <= exact  # exact verify → no false positives
+    if exact:
+        assert len(lsh) / len(exact) >= 0.8  # recall at tuned banding
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_normalize_unit_norm(spark):
     from etl_covid19_spark.functions import vectors
 

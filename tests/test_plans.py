@@ -89,3 +89,17 @@ def test_whole_stage_codegen_active(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "isFinalPlan=true" in plan
     assert "*(" in plan
+
+
+def test_no_nested_loop_join_in_any_headline_plan(spark):
+    """The bench's headline set is the repo's scale statement: every
+    headline query must plan without a nested-loop/cartesian join.
+    Exact all-pairs baselines (brute-force ANN, exact near-dup) are
+    deliberately excluded from the headline set for this reason."""
+    streaming_side_effect = {"streaming_tumbling"}  # runs a real stream
+    for name, qd in REGISTRY.items():
+        if not qd.headline or name in streaming_side_effect:
+            continue
+        plan = plan_of(spark, name)
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
