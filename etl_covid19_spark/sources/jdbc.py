@@ -17,9 +17,11 @@ exposes the same surface, upgraded for scale:
   engine-side (partition overwrite in the Parquet zones) rather than
   by blind re-INSERT (reference quirk Q1).
 
-No JDBC driver ships in this environment, so these helpers are
-exercised up to `.load()` / `.save()`; the option plumbing is unit
-tested via `jdbc_read_options`.
+The wire path is integration-tested end-to-end against embedded
+Apache Derby (which ships on Spark's JVM classpath): write → read
+round-trip, query pushdown, filter pushdown into the scan, and
+partitioned parallel reads — see ``tests/test_jdbc_wire.py``. Server
+databases (the reference's Postgres) differ only in URL/driver.
 """
 
 from __future__ import annotations
@@ -80,11 +82,18 @@ def write_jdbc(
     mode: str = "append",
     batchsize: int = 10_000,
     driver: str | None = None,
+    column_types: str | None = None,
 ) -> None:
     """S6 — batched JDBC append (the reference's warehouse write,
     vectorized). `numPartitions` on the df controls connection
     fan-in: repartition down before calling if the target database
-    can't take one connection per task."""
+    can't take one connection per task.
+
+    `column_types` overrides the dialect's default DDL types when
+    Spark creates the table (e.g. ``"region_name VARCHAR(64)"`` —
+    the reference's DDL types its varchars explicitly,
+    ``postgres/pg_init_covid19.sql:15-33``; some dialects map
+    StringType to unGROUPable types like Derby's CLOB otherwise)."""
     writer = (
         df.write.format("jdbc")
         .option("url", url)
@@ -94,4 +103,6 @@ def write_jdbc(
     )
     if driver:
         writer = writer.option("driver", driver)
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
     writer.save()

@@ -1,0 +1,117 @@
+"""JDBC wire-path integration tests (SURVEY.md §2.1 S3/S6).
+
+The reference's only edge I/O is JDBC (read with a pushed-down query,
+``spark_transform_data.py:17-25``; batched append write,
+``spark_transform_data.py:60-66``). No server database exists in this
+environment, but Spark ships Apache Derby (its Hive-metastore
+backend) on the JVM classpath — an embedded JDBC database is enough
+to drive the REAL wire path end-to-end: DataFrame → JDBC INSERT →
+table → JDBC scan → DataFrame, including predicate pushdown and
+partitioned parallel reads.
+"""
+
+import pytest
+
+from etl_covid19_spark.sources.jdbc import read_jdbc, write_jdbc
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+@pytest.fixture(scope="module")
+def derby_url(tmp_path_factory):
+    db = tmp_path_factory.mktemp("derby") / "wiredb"
+    return f"jdbc:derby:{db};create=true"
+
+
+@pytest.fixture(scope="module")
+def roundtrip_table(spark, derby_url):
+    """Write 1000 rows over JDBC once; the read tests share it."""
+    df = spark.range(1000).selectExpr(
+        "id AS o_id",
+        "CAST(id % 7 AS DOUBLE) AS amount",
+        "concat('cust_', CAST(id % 13 AS STRING)) AS cust",
+    )
+    write_jdbc(
+        df, derby_url, "wire_orders", mode="append", driver=DRIVER,
+        # Derby's dialect maps StringType → CLOB, which can't be
+        # grouped/compared; type the key column explicitly (the
+        # reference's DDL does the same for its varchars)
+        column_types="cust VARCHAR(32)",
+    )
+    return "wire_orders"
+
+
+def test_jdbc_write_then_read_roundtrip(spark, derby_url, roundtrip_table):
+    back = read_jdbc(
+        spark, url=derby_url, dbtable=roundtrip_table, driver=DRIVER
+    ).load()
+    assert back.count() == 1000
+    assert {f.name for f in back.schema.fields} == {"o_id", "amount", "cust"}
+    total = back.agg({"o_id": "sum"}).collect()[0][0]
+    assert total == sum(range(1000))
+
+
+def test_jdbc_query_pushdown_executes_in_database(spark, derby_url, roundtrip_table):
+    """The reference's S3 pattern: the SQL runs IN the database; Spark
+    sees only the result relation."""
+    out = read_jdbc(
+        spark,
+        url=derby_url,
+        # Spark's writer quotes COLUMN identifiers (case-sensitive
+        # lowercase) but not the table name (Derby folds it upper) —
+        # the pushed-down SQL must follow the same quoting
+        query=(
+            'SELECT "cust", COUNT(*) AS "n", SUM("amount") AS "total" '
+            'FROM wire_orders WHERE "o_id" >= 500 GROUP BY "cust"'
+        ),
+        driver=DRIVER,
+    ).load()
+    rows = {r.cust: (r.n, r.total) for r in out.collect()}
+    assert len(rows) == 13
+    assert sum(n for n, _ in rows.values()) == 500
+
+
+def test_jdbc_filter_pushdown_reaches_scan(spark, derby_url, roundtrip_table):
+    """A Spark-side filter over a dbtable scan must be pushed into the
+    JDBC source (visible as PushedFilters on the scan node), not
+    evaluated after pulling every row."""
+    df = (
+        read_jdbc(spark, url=derby_url, dbtable=roundtrip_table, driver=DRIVER)
+        .load()
+        .where("o_id > 900")
+        .select("o_id")
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters:" in plan and "GreaterThan(O_ID,900)" in plan.replace(
+        "o_id", "O_ID"
+    )
+    assert df.count() == 99
+
+
+def test_jdbc_partitioned_parallel_read(spark, derby_url, roundtrip_table):
+    """The scale posture for big JDBC scans: N range-partitioned
+    queries instead of one connection pulling everything."""
+    df = read_jdbc(
+        spark,
+        url=derby_url,
+        dbtable=roundtrip_table,
+        partition_column="o_id",
+        lower_bound=0,
+        upper_bound=1000,
+        num_partitions=4,
+        driver=DRIVER,
+    ).load()
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000  # range predicates partition, never drop
+
+
+def test_jdbc_append_is_append(spark, derby_url):
+    """mode='append' on an existing table adds rows (the reference's
+    write semantics; idempotency lives engine-side, quirk Q1)."""
+    df = spark.range(5).selectExpr("id AS k")
+    write_jdbc(df, derby_url, "wire_append", mode="append", driver=DRIVER)
+    write_jdbc(df, derby_url, "wire_append", mode="append", driver=DRIVER)
+    back = read_jdbc(
+        spark, url=derby_url, dbtable="wire_append", driver=DRIVER
+    ).load()
+    assert back.count() == 10
