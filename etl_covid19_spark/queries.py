@@ -429,6 +429,32 @@ def q_date_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "date_dimension_full",
+    oracle="""
+    SELECT CAST(strftime(d, '%Y%m%d') AS INT) AS date_key,
+           CAST(d AS DATE) AS full_date,
+           dayname(d) AS day_of_week,
+           CAST(isodow(d) AS INT) AS day_number_in_week,
+           isodow(d) = 7 AS last_day_in_week_indicator,
+           monthname(d) AS month_name,
+           CAST(month(d) AS INT) AS month_number_in_year,
+           isodow(d) <= 5 AS weekday_flag
+    FROM generate_series(DATE '2000-01-01', DATE '2100-12-31',
+                         INTERVAL 1 DAY) t(d)
+    """,
+)
+def q_date_dimension_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's EXACT date-dimension extent: 36,890 rows,
+    2000-01-01 → 2100-12-31 (``postgres/pg_init_covid19.sql:192-237``
+    materializes this range with a PLpgSQL day-by-day loop; here it
+    is one `sequence()` explode + seven column expressions). All
+    seven calendar attributes oracle-checked over the full range —
+    including the century's leap-day edge cases (2000 leap, 2100
+    not)."""
+    return star.build_date_dimension(spark, "2000-01-01", "2100-12-31")
+
+
+@register(
     "date_key_enrich",
     oracle="""
     SELECT CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_key,
@@ -2628,4 +2654,99 @@ def q_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.filter(F.slice(toks, 1, 6), lambda x: F.length(x) == 4).alias(
             "four_letter"
         ),
+    )
+
+
+@register(
+    "map_kit",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderpriority, o_orderstatus AS k, COUNT(*) AS v
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS INT) AS n_statuses,
+           string_agg(k, ',' ORDER BY k) AS status_list,
+           SUM(v) AS total_orders,
+           COALESCE(MAX(CASE WHEN k = 'F' THEN v END), 0) AS f_orders,
+           string_agg(k || '=' || CAST(v AS VARCHAR), ';' ORDER BY k)
+             AS encoded,
+           COALESCE(string_agg(k, ',' ORDER BY k)
+                      FILTER (v * 2 > (SELECT SUM(v) FROM g g2
+                                       WHERE g2.o_orderpriority = g.o_orderpriority)),
+                    '') AS majority_statuses,
+           string_agg(k || '=' ||
+                      CAST(CAST(FLOOR(v * 1000000.0 / (SELECT SUM(v) FROM g g3
+                            WHERE g3.o_orderpriority = g.o_orderpriority))
+                           AS BIGINT) AS VARCHAR), ';' ORDER BY k) AS ppm_encoded
+    FROM g
+    GROUP BY o_orderpriority
+    """,
+)
+def q_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type function kit over REAL map columns, made oracle-
+    stable by a canonical encoding (the ROADMAP deferral, resolved):
+    map values are built with map_from_entries over SORTED entries,
+    manipulated with map_keys/map_values/element_at/map_filter/
+    transform_values, and every map leaving the query is flattened to
+    a deterministic 'k=v;…' string in sorted-key order — sidestepping
+    engine-dependent map key order (Spark insertion vs DuckDB/Python
+    round-trips) without giving up map semantics inside the plan.
+    Doubles never stringify: ratio values are floored to integer ppm
+    first (identical FLOOR semantics both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    m = g.groupBy("o_orderpriority").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("o_orderstatus").alias("k"), F.col("v").alias("v")
+                    )
+                )
+            )
+        ).alias("status_counts")
+    )
+    sc = F.col("status_counts")
+    total = F.aggregate(
+        F.map_values(sc), F.lit(0).cast("bigint"), lambda a, x: a + x
+    )
+    m = m.withColumn("_total", total)
+    # transform_values → integer ppm shares; map_filter → majority
+    # statuses; entries are already key-sorted by construction, so
+    # array_join over map_entries is the canonical encoding
+    ppm = F.transform_values(
+        sc,
+        lambda k, v: F.floor(
+            v * F.lit(1000000.0) / F.col("_total")
+        ).cast("bigint"),
+    )
+    majority = F.map_filter(sc, lambda k, v: v * 2 > F.col("_total"))
+
+    def encode(map_col) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.map_entries(map_col),
+                lambda e: F.concat(
+                    e.getField("key"),
+                    F.lit("="),
+                    e.getField("value").cast("string"),
+                ),
+            ),
+            ";",
+        )
+
+    return m.select(
+        "o_orderpriority",
+        F.size(sc).alias("n_statuses"),
+        F.array_join(F.map_keys(sc), ",").alias("status_list"),
+        F.col("_total").alias("total_orders"),
+        F.coalesce(
+            F.element_at(sc, F.lit("F")), F.lit(0).cast("bigint")
+        ).alias("f_orders"),
+        encode(sc).alias("encoded"),
+        F.array_join(F.map_keys(majority), ",").alias("majority_statuses"),
+        encode(ppm).alias("ppm_encoded"),
     )
