@@ -1902,6 +1902,94 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_join",
+    oracle="""
+    SELECT a.user_id,
+           epoch_us(a.ts) AS click_us,
+           epoch_us(b.ts) AS purchase_us,
+           b.value AS purchase_value
+    FROM events a
+    JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL stream-stream join execution, oracle-checked: clicks
+    and purchases replayed as two watermarked streams, inner-joined
+    on user within a 5-minute attribution window, drained with
+    Trigger.AvailableNow into a memory sink. Inner joins emit on
+    match (the watermark bounds STATE, not output), so the drained
+    table equals the batch interval join — which is exactly what the
+    oracle computes. The watermark is the 100 TB story: state per
+    side is O(rate × (delay + window)), never the whole stream."""
+    import uuid
+
+    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+    from etl_covid19_spark.streaming.joins import interval_stream_join
+
+    ensure_runtime_confs(spark)
+
+    def event_stream():
+        return (
+            spark.readStream.schema(
+                "event_id long, ts long, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .select(
+                F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+                "user_id",
+                "event_type",
+                "value",
+            )
+        )
+
+    clicks = (
+        event_stream()
+        .where(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+    )
+    purchases = (
+        event_stream()
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = interval_stream_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        lower_s=0,
+        upper_s=300,
+        watermark="10 minutes",
+        right_payload=["purchase_value"],
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id",
+        F.unix_micros(F.col("click_ts")).alias("click_us"),
+        F.unix_micros(F.col("purchase_ts")).alias("purchase_us"),
+        "purchase_value",
+    )
+
+
+@register(
     "dedup_clusters",
     oracle="""
     WITH RECURSIVE t AS (

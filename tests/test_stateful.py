@@ -132,3 +132,43 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination(120)
     got = sorted(r.event_id for r in spark.read.parquet(out_dir).collect())
     assert got == [1, 2, 3]  # one row per id across batches
+
+
+def test_stream_stream_join_matches_batch_interval_join(spark):
+    """The watermarked stream-stream join drained with AvailableNow
+    must produce exactly the batch interval join's pairs (inner joins
+    emit on match; the watermark bounds state, not output)."""
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.operators import joins as J
+    from etl_covid19_spark.queries import REGISTRY
+    from etl_covid19_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        (r.user_id, r.click_us, r.purchase_us, r.purchase_value)
+        for r in REGISTRY["stream_stream_join"].fn(spark, sf).collect()
+    }
+    ev = load_table(spark, "events", sf)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"), "value"
+    )
+    batch = {
+        (r.user_id, r.click_us, r.purchase_us, r.purchase_value)
+        for r in J.range_join(
+            clicks, purchases, on=["user_id"],
+            left_ts="click_ts", right_ts="purchase_ts",
+            lower_s=0, upper_s=300,
+        )
+        .select(
+            "user_id",
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.col("value").alias("purchase_value"),
+        )
+        .collect()
+    }
+    assert streamed == batch
