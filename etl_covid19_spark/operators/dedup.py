@@ -198,6 +198,67 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_jaccard_pairs_capped(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.4,
+    max_df: int = 5,
+) -> DataFrame:
+    """Doc-frequency-capped n-gram Jaccard — the skew-hardened twin
+    of `ngram_jaccard_pairs`. Shingles appearing in more than
+    `max_df` documents ("stop-shingles": boilerplate, headers,
+    licence text) are dropped BEFORE the postings self-join, and set
+    sizes are recomputed over the capped sets, so the Jaccard is
+    exact over the capped shingle universe (semantics the oracle
+    mirrors shingle-for-shingle).
+
+    Why this is the standard mitigation at scale: the self-join's
+    work is Σ df(sh)² over shingles — ONE boilerplate shingle shared
+    by 1M docs contributes 10¹² candidate pairs and a single hot
+    shuffle key AQE can only split, not shrink. Capping bounds every
+    shingle's contribution at max_df², making join volume linear in
+    corpus size (≤ |postings|·max_df). The hot set itself is
+    provably small (≤ |postings|/max_df entries), so it ships as a
+    broadcast anti-join — no extra shuffle on the postings."""
+    posts = shingle_postings_cached(df, text_col, id_col, n)
+    hot = (
+        posts.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") > max_df)
+        .select("sh")
+    )
+    capped = posts.join(F.broadcast(hot), "sh", "left_anti").select(
+        "doc_id", "sh"
+    )
+    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_capped"))
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(b, on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_capped").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_capped").alias("nb")
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _minhash_coeffs(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic per-seed affine coefficients for h_i(x) =
     (a_i*x + b_i) mod p."""

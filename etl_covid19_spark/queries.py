@@ -807,6 +807,51 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_ngram_jaccard_capped",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+    keep AS (SELECT sh FROM p GROUP BY sh HAVING COUNT(*) <= 5),
+    cp AS (SELECT p.doc_id, p.sh FROM p JOIN keep USING (sh)),
+    s AS (SELECT doc_id, COUNT(*) AS n FROM cp GROUP BY doc_id),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+      FROM cp a JOIN cp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, nc * 1.0 / (sa.n + sb.n - nc) AS jaccard
+    FROM c JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+    WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-frequency-capped Jaccard (stop-shingles with df > 5
+    dropped, set sizes recomputed over the capped universe) — the
+    skew-hardened twin of dedup_ngram_jaccard; the exact query stays
+    registered unchanged. Capped semantics are mirrored exactly in
+    the oracle."""
+    from etl_covid19_spark.operators.dedup import ngram_jaccard_pairs_capped
+
+    return ngram_jaccard_pairs_capped(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.5, max_df=5,
+    )
+
+
+@register(
     "dedup_minhash_lsh",
     oracle="""
     WITH t AS (

@@ -175,3 +175,34 @@ def test_corpus_curation_verdicts(spark):
         F.col("keep") != (F.col("reason") == F.lit("kept"))
     ).count() == 0
     out.unpersist()
+
+
+def test_capped_jaccard_bounds_skew_at_sf01(spark):
+    """The cap's scale contract, checked on the biggest local corpus
+    (sf0.1, 5k docs): (a) no shingle key entering the self-join has
+    df > cap — the hot-key bound AQE can't provide; (b) the join
+    volume Σ df² strictly shrinks; (c) the capped query still finds
+    near-dup pairs and never reports jaccard below threshold."""
+    from etl_covid19_spark.operators.dedup import (
+        ngram_jaccard_pairs_capped,
+        shingle_postings_cached,
+    )
+    from etl_covid19_spark.sources.catalog import load_table
+
+    cap = 5
+    docs = load_table(spark, "documents", "/root/testdata/sf0.1")
+    posts = shingle_postings_cached(docs, "text", "doc_id")
+    freq = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    stats = freq.agg(
+        F.max("df").alias("max_df"),
+        F.sum(F.col("df") * F.col("df")).alias("vol"),
+        F.sum(
+            F.when(F.col("df") <= cap, F.col("df") * F.col("df")).otherwise(0)
+        ).alias("vol_capped"),
+    ).collect()[0]
+    assert stats.max_df > cap  # the corpus really has hot shingles
+    assert stats.vol_capped < stats.vol  # cap shrinks join volume
+    pairs = ngram_jaccard_pairs_capped(
+        docs, "text", "doc_id", threshold=0.5, max_df=cap
+    ).collect()
+    assert pairs and all(r.jaccard >= 0.5 for r in pairs)
