@@ -99,22 +99,79 @@ def ivf_topk(
     corpus size — the other classic ANN partitioning next to
     hyperplane LSH (lsh_bucket_ann).
 
-    Centroid "training" is a deterministic stub (the first
+    Centroid "training" here is a deterministic stub (the first
     `n_centroids` corpus vectors) so results are reproducible across
-    engines; production swaps in Spark ML k-means — the
-    assign/probe/rank dataflow is unchanged. Centroids are a bounded
-    model parameter (like LSH planes): collected once, shipped as
+    engines (the oracle requirement); `ivf_topk_trained` is the
+    production twin — seeded Spark ML k-means behind the SAME
+    assign/probe/rank dataflow. Centroids are a bounded model
+    parameter (like LSH planes): collected once, shipped as
     literals, so assignment is map-side with zero shuffle.
 
     Ties (same cosine to two centroids) break toward the higher
     centroid id; the SQL oracle mirrors this.
     """
-    cents = (
-        emb.orderBy(id_col)
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in emb.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .collect()
+    ]
+    return _ivf_search(emb, queries, cents, vec_col, id_col, k, n_probe)
+
+
+def ivf_topk_trained(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    max_iter: int = 20,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF top-k with TRAINED centroids: Spark ML k-means (k-means||
+    init, seeded → deterministic) learns the coarse quantizer, then
+    the identical assign/probe/rank dataflow runs against the learned
+    centers. Training is a bounded iterative Spark job (each Lloyd
+    round = one pass, partial sums aggregated tree-wise); the k
+    centers collected to the driver are model parameters (same
+    bounded-shipping posture as the LSH planes).
+
+    Recall depends on how clustered the corpus is — IVF prunes by
+    exploiting cluster structure, so on well-clustered embeddings
+    (the realistic case for model embeddings) recall@k ≥ 0.9 at
+    n_probe/n_centroids = 1/4 (test-pinned on planted clusters in
+    ``tests/test_datasource_ivf.py``); on isotropic-random vectors
+    expected recall degrades toward n_probe/n_centroids — raise
+    n_probe or fall back to brute force for unclustered data."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
     )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    cents = [
+        (i, [float(x) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    return _ivf_search(emb, queries, cents, vec_col, id_col, k, n_probe)
+
+
+def _ivf_search(
+    emb: DataFrame,
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    vec_col: str,
+    id_col: str,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF dataflow: map-side centroid assignment (centroids
+    are literals — zero shuffle), bucket equi-join of broadcast
+    probed queries against the corpus, per-query window top-k."""
 
     def scores(vcol: str) -> F.Column:
         return F.array(
@@ -122,11 +179,11 @@ def ivf_topk(
                 F.struct(
                     vectors.cosine(
                         vcol,
-                        F.array(*[F.lit(float(x)) for x in r["cv"]]),
+                        F.array(*[F.lit(x) for x in cv]),
                     ).alias("cos"),
-                    F.lit(int(r["cid"])).alias("cid"),
+                    F.lit(cid).alias("cid"),
                 )
-                for r in cents
+                for cid, cv in cents
             ]
         )
 

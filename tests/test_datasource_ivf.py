@@ -63,3 +63,45 @@ def test_ivf_self_excluded_and_ranked(spark):
     out = ivf_topk(emb, q, "embedding", "vec_id", k=3).collect()
     assert all(r.neighbor_id != 9 for r in out)
     assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == [1, 2, 3]
+
+
+def test_ivf_trained_kmeans_recall_on_clustered_data(spark):
+    """IVF with TRAINED centroids must reach recall@10 >= 0.9 vs
+    brute force on clustered data (8 planted clusters, 64-dim,
+    deterministic LCG noise), probing only 2 of 8 cells — the
+    pruning IVF exists for. Parameters: k-means|| seeded, maxIter
+    20, n_probe/n_centroids = 1/4."""
+    from etl_covid19_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_trained,
+    )
+
+    state = 42
+
+    def rnd():
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (2**31)
+        return state / 2**31 - 0.5
+
+    centers = [[rnd() * 8 for _ in range(64)] for _ in range(8)]
+    rows = []
+    for vid in range(400):
+        c = centers[vid % 8]
+        rows.append((vid, [x + rnd() * 0.5 for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    bf = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    ivf = ivf_topk_trained(
+        emb, queries, "embedding", "vec_id",
+        k=10, n_centroids=8, n_probe=2, max_iter=20, seed=7,
+    )
+    bf_sets, ivf_sets = {}, {}
+    for r in bf.collect():
+        bf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in ivf.collect():
+        ivf_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [
+        len(bf_sets[q] & ivf_sets.get(q, set())) / 10 for q in bf_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
