@@ -41,16 +41,32 @@ def run_day(
     """Execute the reference pipeline for one run date. Returns row
     counts per stage (the observability the reference gets from task
     logs)."""
+    from pyspark.sql import Observation
+
     try:
-        raw = rest.extract(spark, ds, isos, fetch).withColumn("ds", F.lit(ds))
+        # stage counts ride the write jobs via observe() — no stage
+        # is ever scanned twice just for observability
+        raw_obs = Observation()
+        raw = (
+            rest.extract(spark, ds, isos, fetch)
+            .withColumn("ds", F.lit(ds))
+            .observe(raw_obs, F.count(F.lit(1)).alias("n"))
+        )
         write_zone(raw, f"{base_dir}/raw")
 
         landed = read_zone(spark, f"{base_dir}/raw", ds=ds)
-        clean = covid.clean(landed).withColumn("ds", F.lit(ds))
         # O6: the gate runs BEFORE the clean zone commits — a bad day
-        # never becomes visible downstream
-        n_clean = covid.quality_gate(clean, ds)
-        write_zone(clean, f"{base_dir}/clean")
+        # never becomes visible downstream. The gated frame is
+        # persisted across (count, write) so the barrier costs one
+        # compute pass, not two; a day's slice is bounded, so the
+        # cache footprint is too. (observed_write is the zero-cache
+        # alternative when gate-after-write + rollback is acceptable.)
+        clean = covid.clean(landed).withColumn("ds", F.lit(ds)).persist()
+        try:
+            n_clean = covid.quality_gate(clean, ds)
+            write_zone(clean, f"{base_dir}/clean")
+        finally:
+            clean.unpersist(blocking=False)
 
         star = covid.build_star(read_zone(spark, f"{base_dir}/clean", ds=ds))
         # dims are rebuilt per day from that day's slice and written
@@ -60,12 +76,17 @@ def run_day(
             f"{base_dir}/mart/region_dimension",
             partition_by=(),
         )
-        fact = star["fact_covid19"].withColumn("ds", F.lit(ds))
+        fact_obs = Observation()
+        fact = (
+            star["fact_covid19"]
+            .withColumn("ds", F.lit(ds))
+            .observe(fact_obs, F.count(F.lit(1)).alias("n"))
+        )
         write_zone(fact, f"{base_dir}/mart/fact_covid19")
         return {
-            "raw": raw.count(),
+            "raw": int(raw_obs.get["n"]),
             "clean": n_clean,
-            "fact": fact.count(),
+            "fact": int(fact_obs.get["n"]),
         }
     except Exception as exc:  # noqa: BLE001 — hook = Telegram analog (S9)
         if on_failure is not None:
