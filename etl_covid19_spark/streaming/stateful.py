@@ -35,6 +35,10 @@ from typing import Any
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
 
 SESSION_SCHEMA = T.StructType(
     [
@@ -166,5 +170,81 @@ def sessionize_stream(
             stateStructType=STATE_SCHEMA,
             outputMode="append",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's richer stateful API
+# ---------------------------------------------------------------------------
+
+RUNNING_STATS_SCHEMA = (
+    "user_id long, batch_events long, total_events long, total_value double"
+)
+
+
+class RunningUserStats(StatefulProcessor):
+    """Per-key running totals via `transformWithStateInPandas` — the
+    second custom stateful operator next to `sessionize_stream`,
+    showing the newer API's advantages over `applyInPandasWithState`:
+    named TYPED state variables managed by the state store (here one
+    ValueState; ListState/MapState and timers compose the same way),
+    RocksDB-backed so per-key state can exceed executor heap, and
+    state TTL available declaratively.
+
+    Emits one row per (key, micro-batch) with the batch's event count
+    and the running totals — the streaming analog of a cumulative
+    window aggregate, in Update mode.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._totals = handle.getValueState(
+            "totals", "n BIGINT, total DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):  # noqa: N803 (API)
+        n, total = (0, 0.0)
+        if self._totals.exists():
+            n, total = self._totals.get()
+        batch_n, batch_total = 0, 0.0
+        for pdf in rows:
+            batch_n += len(pdf)
+            batch_total += float(pdf["value"].sum())
+        n += batch_n
+        total += batch_total
+        self._totals.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "batch_events": [batch_n],
+                "total_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_user_stats(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Cumulative per-user event totals over a stream. One shuffle on
+    the key per micro-batch; state is one small struct per key in the
+    RocksDB state store (set
+    ``spark.sql.streaming.stateStore.providerClass`` to
+    ``RocksDBStateStoreProvider`` — transformWithState requires it)."""
+    return (
+        stream.selectExpr(
+            f"{key_col} AS user_id", f"{value_col} AS value"
+        )
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningUserStats(),
+            outputStructType=RUNNING_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )
