@@ -48,3 +48,75 @@ def read_zone(
     if columns:
         df = df.select(*columns)
     return df
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: F.Column,
+    partition_col: str = "ds",
+) -> int:
+    """Row-level DELETE on an immutable parquet zone — the engine's
+    honest equivalent of the reference's ``DELETE FROM covid19_table
+    WHERE region_name IN (...)`` (``dags/ETL_covid19_SQL.py:96-97``,
+    F3) without a mutable table format.
+
+    Mechanics: (1) one column-pruned scan finds the PARTITIONS that
+    contain matching rows; (2) only those partitions are read back,
+    filtered to the survivors, and dynamic-partition-overwritten in
+    place. Untouched partitions are never rewritten (test-pinned on
+    file listings), so cost is proportional to affected data, not
+    zone size. Commit is atomic per partition via Spark's rename
+    protocol; a crash mid-delete leaves whole partitions either old
+    or new, and re-running converges (idempotent).
+
+    Returns the number of deleted rows.
+    """
+    zone = spark.read.parquet(path)
+    affected = [
+        r[0]
+        for r in zone.filter(predicate).select(partition_col).distinct().collect()
+    ]
+    if not affected:
+        return 0
+    slice_df = zone.filter(F.col(partition_col).isin(affected)).persist()
+    try:
+        n_deleted = slice_df.filter(predicate).count()
+        kept = slice_df.filter(~predicate)
+        write_zone(kept, path, partition_by=(partition_col,))
+    finally:
+        slice_df.unpersist(blocking=False)
+    return n_deleted
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    partition_col: str = "ds",
+) -> None:
+    """MERGE (upsert) into a parquet zone: zone rows whose `keys`
+    match an update row are replaced; unmatched update rows are
+    inserted — WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED THEN
+    INSERT, as partition rewrites.
+
+    `updates` must carry `partition_col`, and keys are assumed
+    partition-stable (a fact keyed by (ds, region) never moves
+    between ds partitions — true for every reference table; a
+    migrating key needs a delete in the old partition first).
+
+    Only the partitions present in `updates` are rewritten: their
+    current rows are anti-joined against the update keys (dropping
+    superseded versions) and unioned with the updates. At 100 TB the
+    anti-join shuffles one affected partition's keys, not the zone.
+    """
+    affected = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    if not affected:
+        return
+    zone = spark.read.parquet(path)
+    current = zone.filter(F.col(partition_col).isin(affected))
+    merged = current.join(
+        updates.select(*keys), on=keys, how="left_anti"
+    ).unionByName(updates.select(*current.columns))
+    write_zone(merged, path, partition_by=(partition_col,))

@@ -1,0 +1,111 @@
+"""Row-level mutation on immutable parquet zones (DELETE / MERGE as
+partition rewrites) — the engine-native answer to the reference's
+SQL-flavor DELETE (``dags/ETL_covid19_SQL.py:96-97``) and key-matched
+UPDATE, without a mutable table format.
+
+The scale contract tested here: only partitions containing affected
+rows are rewritten — untouched partitions keep their exact files.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.sources.parquet_zone import (
+    delete_where,
+    merge_upsert,
+    read_zone,
+    write_zone,
+)
+
+
+def _files(path: str, ds: str) -> set[str]:
+    d = os.path.join(path, f"ds={ds}")
+    return {
+        f"{f}:{os.path.getmtime(os.path.join(d, f))}"
+        for f in os.listdir(d)
+        if f.endswith(".parquet")
+    }
+
+
+@pytest.fixture()
+def zone(spark, tmp_path):
+    path = str(tmp_path / "zone")
+    rows = [
+        Row(ds="2023-01-01", region="Hubei", confirmed=10),
+        Row(ds="2023-01-01", region="Unknown", confirmed=1),
+        Row(ds="2023-01-02", region="Hubei", confirmed=20),
+        Row(ds="2023-01-02", region="Recovered", confirmed=2),
+        Row(ds="2023-01-03", region="Hubei", confirmed=30),
+    ]
+    write_zone(spark.createDataFrame(rows), path)
+    return path
+
+
+def test_delete_where_rewrites_only_affected_partitions(spark, zone):
+    untouched_before = _files(zone, "2023-01-03")
+    n = delete_where(
+        spark, zone, F.col("region").isin("Unknown", "Recovered")
+    )
+    assert n == 2
+    left = {
+        (str(r.ds), r.region) for r in read_zone(spark, zone).collect()
+    }
+    assert left == {
+        ("2023-01-01", "Hubei"),
+        ("2023-01-02", "Hubei"),
+        ("2023-01-03", "Hubei"),
+    }
+    # the partition with no matches kept its exact files (name+mtime)
+    assert _files(zone, "2023-01-03") == untouched_before
+
+
+def test_delete_where_no_matches_is_noop(spark, zone):
+    before = {ds: _files(zone, ds) for ds in
+              ("2023-01-01", "2023-01-02", "2023-01-03")}
+    assert delete_where(spark, zone, F.col("region") == "Nowhere") == 0
+    after = {ds: _files(zone, ds) for ds in
+             ("2023-01-01", "2023-01-02", "2023-01-03")}
+    assert after == before
+
+
+def test_merge_upsert_updates_and_inserts(spark, zone):
+    untouched_before = _files(zone, "2023-01-03")
+    updates = spark.createDataFrame(
+        [
+            # WHEN MATCHED: replaces the existing (ds, region) row
+            Row(ds="2023-01-01", region="Hubei", confirmed=11),
+            # WHEN NOT MATCHED: inserted
+            Row(ds="2023-01-01", region="Beijing", confirmed=5),
+        ]
+    )
+    merge_upsert(spark, zone, updates, keys=["ds", "region"])
+    got = {
+        (str(r.ds), r.region): r.confirmed
+        for r in read_zone(spark, zone).collect()
+    }
+    assert got == {
+        ("2023-01-01", "Hubei"): 11,
+        ("2023-01-01", "Beijing"): 5,
+        ("2023-01-01", "Unknown"): 1,
+        ("2023-01-02", "Hubei"): 20,
+        ("2023-01-02", "Recovered"): 2,
+        ("2023-01-03", "Hubei"): 30,
+    }
+    # partitions absent from the updates were not rewritten
+    assert _files(zone, "2023-01-03") == untouched_before
+
+
+def test_merge_upsert_is_idempotent(spark, zone):
+    updates = spark.createDataFrame(
+        [Row(ds="2023-01-02", region="Hubei", confirmed=99)]
+    )
+    merge_upsert(spark, zone, updates, keys=["ds", "region"])
+    merge_upsert(spark, zone, updates, keys=["ds", "region"])
+    got = read_zone(spark, zone, ds="2023-01-02").collect()
+    assert {(r.region, r.confirmed) for r in got} == {
+        ("Hubei", 99),
+        ("Recovered", 2),
+    }
