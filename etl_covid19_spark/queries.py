@@ -2886,3 +2886,61 @@ def q_map_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(F.map_keys(majority), ",").alias("majority_statuses"),
         encode(ppm).alias("ppm_encoded"),
     )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, o_orderdate,
+             CAST(o_totalprice AS DECIMAL(18,4)) AS price
+      FROM orders WHERE o_custkey < 200
+    )
+    SELECT o_custkey,
+           CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS order_date_key,
+           CAST(SUM(price) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS trailing_90d_revenue,
+           CAST(COUNT(*) OVER (
+                 PARTITION BY o_custkey ORDER BY o_orderdate
+                 RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS trailing_90d_orders
+    FROM cust
+    """,
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE window frames (INTERVAL-bounded): trailing
+    90-day revenue per customer. RANGE frames bound by *values* of
+    the ordering column, not row counts — the standard trailing-
+    window analytic, and at scale a single hash-partition + one
+    in-partition sort per key (no self-join formulation). Expressed
+    through the SQL surface because interval range frames are a
+    SQL-grammar feature (the DataFrame rangeBetween API takes only
+    numeric offsets)."""
+    from etl_covid19_spark.sources.catalog import load_table
+
+    load_table(spark, "orders", sf_dir).createOrReplaceTempView(
+        "orders_range_v"
+    )
+    return spark.sql(
+        """
+        WITH cust AS (
+          SELECT o_custkey, o_orderdate,
+                 CAST(o_totalprice AS DECIMAL(18,4)) AS price
+          FROM orders_range_v WHERE o_custkey < 200
+        )
+        SELECT o_custkey,
+               CAST(date_format(o_orderdate, 'yyyyMMdd') AS INT)
+                 AS order_date_key,
+               CAST(SUM(price) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) AS trailing_90d_revenue,
+               COUNT(*) OVER (
+                     PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+                 AS trailing_90d_orders
+        FROM cust
+        """
+    )
