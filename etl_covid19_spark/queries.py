@@ -2944,3 +2944,119 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cust
         """
     )
+
+
+@register(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — correlated EXISTS subquery (the one subquery
+    flavor the surface lacked; above_avg_orders covers the scalar
+    kind), adapted to the fixture's lineitem columns: orders with at
+    least one line shipped >60 days after ordering. Catalyst
+    decorrelates EXISTS into a left-semi join, so at scale this is
+    one shuffle on the order key, not a per-row probe."""
+    from etl_covid19_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q12_lineflag_priority",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_returnflag
+    """,
+)
+def q_q12_lineflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — conditional aggregation (CASE inside SUM)
+    over a fact-fact join, adapted to the fixture's columns (return
+    flag standing in for ship mode). The ship-date window pushes into
+    the lineitem scan; the join carries only surviving lines."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    l = _t(spark, sf_dir, "lineitem")
+    lines = l.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lines.join(o, lines.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "stratified_sample",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang, length(text) AS n_chars,
+             ((doc_id * 2654435761) % 1000 + 1000) % 1000 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           SUM(n_chars) AS sampled_chars
+    FROM scored
+    WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+    GROUP BY lang
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling — the training-data-mix
+    operator: per-stratum rates (20% of English docs, 50% of
+    everything else) selected by KEY-HASH bucketing, not an RNG.
+    Hash sampling is the scale-correct form: reproducible across
+    runs/engines (hence oracle-checkable, unlike sampleBy's RNG),
+    stable under repartitioning, and map-side only — the sample
+    decision never shuffles. The same bucket column splits
+    train/validation/test disjointly."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000))
+    rate = F.when(F.col("lang") == "en", F.lit(200)).otherwise(F.lit(500))
+    return (
+        d.withColumn("bucket", bucket)
+        .where(F.col("bucket") < rate)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.length("text")).alias("sampled_chars"),
+        )
+    )
