@@ -3060,3 +3060,45 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("text")).alias("sampled_chars"),
         )
     )
+
+
+@register(
+    "json_try_parse",
+    oracle="""
+    WITH mixed AS (
+      SELECT 'props' AS source, props AS payload FROM events
+      UNION ALL
+      SELECT 'text' AS source, text AS payload FROM documents
+    )
+    SELECT source,
+           SUM(CASE WHEN COALESCE(json_valid(payload), false)
+                    THEN 1 ELSE 0 END) AS n_valid,
+           SUM(CASE WHEN COALESCE(json_valid(payload), false)
+                    THEN 0 ELSE 1 END) AS n_invalid
+    FROM mixed
+    GROUP BY source
+    """,
+)
+def q_json_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance for the JSON surface: try_parse_json
+    classifies every payload as parseable or not WITHOUT failing the
+    job (the PERMISSIVE posture a raw ingest zone needs — one corrupt
+    API response must not kill a 100 TB backfill; the reference's
+    Postgres flavor would abort the whole INSERT). Valid JSON event
+    props and free-text documents are unioned and tallied per
+    source."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.lit("props").alias("source"), F.col("props").alias("payload")
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        F.lit("text").alias("source"), F.col("text").alias("payload")
+    )
+    ok = F.try_parse_json(F.col("payload")).isNotNull()
+    return (
+        ev.unionByName(docs)
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(ok, 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(ok, 0).otherwise(1)).alias("n_invalid"),
+        )
+    )

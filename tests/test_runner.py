@@ -70,3 +70,37 @@ def test_stream_ingest_matches_batch(spark, tmp_path):
     streamed = spark.read.parquet(f"{base}/clean")
     assert streamed.count() == expected
     assert set(streamed.columns) == set(batch_clean.columns)
+
+
+def test_stream_ingest_restart_resumes_without_duplicates(spark, tmp_path):
+    """Checkpointed restart semantics: a second run_stream_ingest over
+    the same checkpoint (a) does not re-process or duplicate the
+    already-committed days, and (b) picks up files landed since —
+    the exactly-once contract frequent incremental commits rely on."""
+    base = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    backfill(spark, "2023-01-01", "2023-01-02", base)
+
+    import shutil
+
+    shutil.rmtree(f"{base}/clean")
+    run_stream_ingest(spark, base, ckpt)
+    first = spark.read.parquet(f"{base}/clean")
+    n_first = first.count()
+    assert n_first > 0
+
+    # restart with NO new input: nothing may change
+    run_stream_ingest(spark, base, ckpt)
+    assert spark.read.parquet(f"{base}/clean").count() == n_first
+
+    # land one more day, restart: only the new day is added
+    run_day(spark, "2023-01-03", base)
+    # run_day wrote day 3's clean partition already; wipe it so the
+    # streaming path must rebuild it from the raw zone
+    shutil.rmtree(f"{base}/clean/ds=2023-01-03")
+    run_stream_ingest(spark, base, ckpt)
+    after = spark.read.parquet(f"{base}/clean")
+    assert after.count() == n_first + after.filter("ds = '2023-01-03'").count()
+    assert after.filter("ds = '2023-01-03'").count() > 0
+    # earlier days untouched (no duplicates from reprocessing)
+    assert after.filter("ds != '2023-01-03'").count() == n_first
