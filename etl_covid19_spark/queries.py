@@ -3102,3 +3102,43 @@ def q_json_try_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(ok, 0).otherwise(1)).alias("n_invalid"),
         )
     )
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             64 + ascii(substr(text, 1, 1)) % 64 AS w,
+             64 + ascii(substr(text, length(text), 1)) % 64 AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           GREATEST(CAST(FLOOR(n_bytes / 4.0) AS BIGINT), 1) AS thumb_bytes,
+           GREATEST(CAST(FLOOR(w / (GREATEST(w, h) / 32.0)) AS INT), 1)
+             AS thumb_w,
+           GREATEST(CAST(FLOOR(h / (GREATEST(w, h) / 32.0)) AS INT), 1)
+             AS thumb_h
+    FROM dims
+    """,
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The thumbnail pass over a binary media column, driven through
+    the REAL Arrow mapInPandas plumbing (operators/multimodal.
+    resize_images; the decoder is the documented deterministic stub —
+    no codec libs in this env — so the oracle can mirror its math).
+    The blob itself is reduced to its byte length for comparison;
+    blob column pruning and batch shape are what this query pins."""
+    from etl_covid19_spark.operators.multimodal import resize_images
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    out = resize_images(d, "doc_id", "payload", max_side=32)
+    return out.select(
+        "doc_id",
+        F.length(F.col("thumb")).cast("bigint").alias("thumb_bytes"),
+        "thumb_w",
+        "thumb_h",
+    )
