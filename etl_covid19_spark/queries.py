@@ -3142,3 +3142,55 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thumb_w",
         "thumb_h",
     )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS column_name,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(o_custkey) AS n_nulls,
+           COUNT(DISTINCT o_custkey) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+           COUNT(DISTINCT o_orderstatus),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+           COUNT(DISTINCT o_orderpriority),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+)
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profiling — the data-quality reconnaissance every
+    warehouse zone needs before rules can be written (the reference
+    hardcodes its 240±2% expectation; profiling is how such numbers
+    are discovered). One scan per profiled column set: counts, null
+    counts, exact distinct cardinalities, min/max (stringified for a
+    uniform schema). At 100 TB swap COUNT(DISTINCT) for the HLL
+    sketch (sketch_distinct_users) — same plan shape, bounded
+    memory."""
+    o = _t(spark, sf_dir, "orders")
+
+    def profile(col: str, stringify: bool) -> DataFrame:
+        mn, mx = F.min(F.col(col)), F.max(F.col(col))
+        if stringify:
+            mn, mx = mn.cast("string"), mx.cast("string")
+        return o.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(col))).alias("n_nulls"),
+            F.count_distinct(F.col(col)).alias("n_distinct"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        ).select(F.lit(col).alias("column_name"), "*")
+
+    return (
+        profile("o_custkey", True)
+        .unionByName(profile("o_orderstatus", False))
+        .unionByName(profile("o_orderpriority", False))
+    )

@@ -84,3 +84,33 @@ def test_compact_zone_collapses_small_files(spark, tmp_path):
     assert spark.read.parquet(path).agg(F.sum("v")).collect()[0][0] == sum(
         range(1000)
     )
+
+
+def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
+    """Morton clustering must make point predicates on EACH of the
+    two cluster columns footer-skippable (match only a minority of
+    files), which single-column range clustering cannot do for the
+    secondary column."""
+    from etl_covid19_spark.sources.parquet_zone import zorder_write
+
+    path = str(tmp_path / "zordered")
+    df = spark.range(200_000).selectExpr(
+        "pmod(xxhash64(id), 1024) AS x",
+        "pmod(xxhash64(id + 99), 1024) AS y",
+        "id AS payload",
+    )
+    zorder_write(df, path, "x", "y", n_files=16, bits=10)
+
+    for col in ("x", "y"):
+        ranges = _file_ranges(path, col)
+        n = len(ranges)
+        assert n >= 8
+        probe = 512
+        matching = sum(1 for lo, hi in ranges if lo <= probe <= hi)
+        # blocky locality in BOTH dimensions: an unclustered (or
+        # single-column-clustered) layout has the secondary dimension
+        # matching 100% of files; the z-grid bounds it well below
+        # that even though quantile-sampled range boundaries don't
+        # align exactly to z-cells (files straddling a cell edge
+        # widen their min/max)
+        assert matching <= (2 * n) // 3, (col, matching, n)
