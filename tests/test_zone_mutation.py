@@ -109,3 +109,71 @@ def test_merge_upsert_is_idempotent(spark, zone):
         ("Hubei", 99),
         ("Recovered", 2),
     }
+
+
+def test_refresh_daily_rollup_matches_full_recompute(spark, tmp_path):
+    """The incrementally-maintained rollup must equal a from-scratch
+    aggregation of the whole fact zone — including after a day's
+    facts are rewritten and its rollup slice refreshed again."""
+    from etl_covid19_spark.plans.rollup import refresh_daily_rollup
+
+    fact_path = str(tmp_path / "fact")
+    rollup_path = str(tmp_path / "rollup")
+    days = {
+        "2023-01-01": [("Hubei", 10), ("Beijing", 4)],
+        "2023-01-02": [("Hubei", 20), ("Beijing", 6), ("Hubei", 1)],
+        "2023-01-03": [("Hubei", 30)],
+    }
+    for ds, rows in days.items():
+        write_zone(
+            spark.createDataFrame(
+                [Row(ds=ds, region=r, confirmed=c) for r, c in rows]
+            ),
+            fact_path,
+        )
+        refresh_daily_rollup(
+            spark, fact_path, rollup_path, ds,
+            group_cols=["region"],
+            aggs={
+                "total_confirmed": F.sum("confirmed"),
+                "n_rows": F.count(F.lit(1)),
+            },
+        )
+
+    def full_recompute():
+        return {
+            (str(r.ds), r.region): (r.total_confirmed, r.n_rows)
+            for r in spark.read.parquet(fact_path)
+            .groupBy("ds", "region")
+            .agg(
+                F.sum("confirmed").alias("total_confirmed"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+            .collect()
+        }
+
+    def rollup_state():
+        return {
+            (str(r.ds), r.region): (r.total_confirmed, r.n_rows)
+            for r in spark.read.parquet(rollup_path).collect()
+        }
+
+    assert rollup_state() == full_recompute()
+
+    # rewrite one day's facts (late-arriving correction), refresh:
+    # the rollup's old slice must be REPLACED, not incremented
+    write_zone(
+        spark.createDataFrame(
+            [Row(ds="2023-01-02", region="Hubei", confirmed=99)]
+        ),
+        fact_path,
+    )
+    refresh_daily_rollup(
+        spark, fact_path, rollup_path, "2023-01-02",
+        group_cols=["region"],
+        aggs={
+            "total_confirmed": F.sum("confirmed"),
+            "n_rows": F.count(F.lit(1)),
+        },
+    )
+    assert rollup_state() == full_recompute()
