@@ -38,11 +38,23 @@ def read_zone(
     path: str,
     ds: str | None = None,
     columns: tuple[str, ...] | None = None,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Partition-pruned scan of a zone; ``ds`` narrows to one day the
     way every reference read does (``WHERE date_of_data = '<ds>'``,
-    ``spark_transform_data.py:24``)."""
-    df = spark.read.parquet(path)
+    ``spark_transform_data.py:24``).
+
+    ``merge_schema`` handles additive schema evolution: a zone whose
+    later days gained columns (the API added a field) reads as the
+    UNION schema, old partitions null-filling the new columns —
+    instead of silently projecting only whichever file's schema the
+    reader sampled. Off by default: schema merging reads every file
+    footer up front, which at 100 TB is a planning cost to pay only
+    when evolution actually happened."""
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(path)
     if ds is not None:
         df = df.filter(F.col("ds") == F.lit(ds))
     if columns:

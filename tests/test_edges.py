@@ -68,3 +68,33 @@ def test_streaming_listener_sees_lifecycle(spark, tmp_path):
         detach_alerts(spark, listener)
     assert "started" in events
     assert "terminated" in events
+
+
+def test_alert_sink_datasource_delivers_and_commits(spark, tmp_path):
+    """The Python DataSource WRITER path (S9 at scale): rows are
+    delivered executor-side in per-task batches; the driver's commit
+    record carries the total, completing the two-phase protocol."""
+    import glob
+    import json
+
+    from etl_covid19_spark.sources.alert_datasource import AlertSinkDataSource
+
+    spool = str(tmp_path / "spool")
+    spark.dataSource.register(AlertSinkDataSource)
+    alerts = spark.createDataFrame(
+        [(i, f"check_{i % 3}", "FAILED") for i in range(20)],
+        "alert_id long, check string, status string",
+    ).repartition(4)
+    alerts.write.format("alert_sink").option("spool_dir", spool).mode(
+        "append"
+    ).save()
+
+    rows, commits = [], []
+    for path in glob.glob(f"{spool}/alerts-*.jsonl"):
+        with open(path) as f:
+            for line in f:
+                rec = json.loads(line)
+                (commits if rec.get("_commit") else rows).append(rec)
+    assert len(rows) == 20
+    assert {r["alert_id"] for r in rows} == set(range(20))
+    assert commits and commits[-1]["n_rows"] == 20

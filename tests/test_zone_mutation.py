@@ -177,3 +177,23 @@ def test_refresh_daily_rollup_matches_full_recompute(spark, tmp_path):
         },
     )
     assert rollup_state() == full_recompute()
+
+
+def test_read_zone_merge_schema_handles_additive_evolution(spark, tmp_path):
+    """A zone whose later days gained a column must read as the union
+    schema with old days null-filled when merge_schema is requested."""
+    path = str(tmp_path / "evolving")
+    write_zone(
+        spark.createDataFrame([Row(ds="2023-01-01", region="Hubei",
+                                   confirmed=10)]),
+        path,
+    )
+    write_zone(
+        spark.createDataFrame([Row(ds="2023-01-02", region="Hubei",
+                                   confirmed=20, vaccinated=5)]),
+        path,
+    )
+    merged = read_zone(spark, path, merge_schema=True)
+    assert "vaccinated" in merged.columns
+    rows = {str(r.ds): r.vaccinated for r in merged.collect()}
+    assert rows == {"2023-01-01": None, "2023-01-02": 5}
