@@ -3194,3 +3194,42 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("o_orderstatus", False))
         .unionByName(profile("o_orderpriority", False))
     )
+
+
+@register(
+    "null_safe_join",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS status_key,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    b AS (
+      SELECT NULLIF(o_orderstatus, 'O') AS status_key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT a.status_key, a.n_orders, b.revenue
+    FROM a JOIN b ON a.status_key IS NOT DISTINCT FROM b.status_key
+    """,
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL
+    keys match each other instead of silently dropping — the
+    semantics gap behind many lost-rows bugs when dimension keys are
+    nullable. Planned as an ordinary hash join (null-safe equality is
+    still an equi-join key for Catalyst), so no nested-loop
+    penalty."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("status_key")
+    a = o.select(key).groupBy("status_key").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    b = o.select(key, "o_totalprice").groupBy("status_key").agg(
+        dsum("o_totalprice").alias("revenue")
+    )
+    return (
+        a.join(b, a["status_key"].eqNullSafe(b["status_key"]))
+        .select(a["status_key"], "n_orders", "revenue")
+    )

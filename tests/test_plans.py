@@ -103,3 +103,27 @@ def test_no_nested_loop_join_in_any_headline_plan(spark):
         plan = plan_of(spark, name)
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The hint surface users reach for when AQE guesses wrong: the
+    same join planned as broadcast, shuffle-hash, or sort-merge on
+    request. At 100 TB forcing MERGE over a mis-sized broadcast (or
+    vice versa) is a one-line fix — worth pinning that the planner
+    actually obeys."""
+    from etl_covid19_spark.sources.catalog import load_table
+
+    o = load_table(spark, "orders", SF)
+    c = load_table(spark, "customer", SF).select("c_custkey")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, node in cases.items():
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey).select(
+            "o_orderkey"
+        )
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, (hint, node)
