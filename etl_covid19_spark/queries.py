@@ -3233,3 +3233,57 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, a["status_key"].eqNullSafe(b["status_key"]))
         .select(a["status_key"], "n_orders", "revenue")
     )
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id,
+           arg_max(event_type, ts) AS last_event_type,
+           arg_max(value, ts) AS last_value,
+           epoch_us(MAX(ts)) AS last_ts_us,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key via max_by/arg_max — the snapshot
+    pattern (current state from an event log) as ONE hash aggregate.
+    The ROW_NUMBER()=1 window formulation gives the same answer but
+    pays a per-key sort; max_by keeps it a streaming-friendly
+    aggregate with map-side partials. (ts is unique per user in this
+    fixture, so arg_max is deterministic.)"""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "ts").alias("last_event_type"),
+        F.max_by("value", "ts").alias("last_value"),
+        F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@register(
+    "array_agg_kit",
+    oracle="""
+    SELECT o_orderpriority,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           list_sort(list(DISTINCT o_orderstatus))[1] AS first_status,
+           len(list(DISTINCT o_orderstatus)) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_array_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """List aggregation surface: collect_set → sorted array columns
+    (canonical order makes array outputs hash-stable across
+    engines), element access, cardinality. Arrays-as-values is how
+    training pipelines carry per-group token lists / id sets without
+    a second explode round trip."""
+    o = _t(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
+    return o.groupBy("o_orderpriority").agg(
+        statuses.alias("statuses"),
+        statuses.getItem(0).alias("first_status"),
+        F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
+    )
