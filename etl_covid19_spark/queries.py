@@ -3287,3 +3287,167 @@ def q_array_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         statuses.getItem(0).alias("first_status"),
         F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
     )
+
+
+@register(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tokens
+      FROM documents
+    ),
+    packed AS (
+      SELECT lang, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (
+                    PARTITION BY lang ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT lang, pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens
+    FROM packed
+    GROUP BY lang, pack_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for LLM training: assign documents to
+    fixed-token-budget packs (2048 here) by running token total in a
+    deterministic order — the distributed form of greedy packing
+    (exact first-fit is inherently sequential; running-total
+    bucketing is the standard parallel approximation, one window
+    cumsum per stratum, no shuffle beyond the partition-by). Output
+    is per-pack document and token counts."""
+    d = _t(spark, sf_dir, "documents")
+    n_tokens = F.size(text.tokens("text"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = d.select(
+        "lang", "doc_id", n_tokens.alias("n_tokens")
+    ).withColumn(
+        "pack_id",
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)
+        ),
+    )
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("pack_tokens"),
+    )
+
+
+@register(
+    "contamination_check",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+    eval_p AS (SELECT doc_id, sh FROM p WHERE doc_id % 50 = 0),
+    train_p AS (SELECT doc_id, sh FROM p WHERE doc_id % 50 <> 0)
+    SELECT e.doc_id AS eval_doc_id,
+           COUNT(DISTINCT t.doc_id) AS n_contaminating_docs,
+           COUNT(DISTINCT t.sh) AS n_shared_shingles
+    FROM eval_p e JOIN train_p t ON e.sh = t.sh
+    GROUP BY e.doc_id
+    """,
+)
+def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: for each held-out eval
+    document (doc_id % 50 = 0 stands in for a benchmark set), find
+    training documents sharing any n-gram shingle — the standard
+    n-gram-overlap decontamination pass. Dataflow is a postings
+    equi-join keyed by the (tiny) eval side's shingles, so cost
+    scales with |eval|·avg_df, not the corpus; the shingle strings
+    here make the oracle portable, the hashed-postings variant in
+    operators/dedup is the byte-frugal scale path."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(text.word_shingles("text", 3)).alias("sh")
+    )
+    eval_p = grams.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    train_p = grams.where(F.col("doc_id") % 50 != 0)
+    joined = eval_p.join(train_p, "sh")
+    return joined.groupBy("eval_doc_id").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_contaminating_docs"),
+        F.count_distinct(F.col("sh")).alias("n_shared_shingles"),
+    )
+
+
+@register(
+    "pii_redaction",
+    oracle="""
+    WITH seeded AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0
+                  THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                       || '@example.com or +1-555-0100'
+                  ELSE text END AS raw
+      FROM documents
+    ),
+    red AS (
+      SELECT doc_id, raw,
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]', '<PHONE>', 'g') AS clean
+      FROM seeded
+    )
+    SELECT doc_id,
+           length(raw) - length(clean) AS bytes_removed,
+           CAST(raw <> clean AS BOOLEAN) AS was_redacted,
+           length(clean) AS clean_len
+    FROM red
+    """,
+)
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — regex redaction of emails/phone numbers, the
+    compliance pass every training corpus goes through. Patterns are
+    RE2-portable (no lookarounds) so the oracle runs them verbatim;
+    a deterministic PII seed is injected into every 10th document so
+    the redaction path is actually exercised. Pure codegen'd
+    regexp_replace — no UDF in the hot path."""
+    d = _t(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-0100"),
+        ),
+    ).otherwise(F.col("text"))
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+    seeded = d.select("doc_id", raw.alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), email, "<EMAIL>"),
+        phone,
+        "<PHONE>",
+    )
+    return seeded.select(
+        "doc_id",
+        (F.length("raw") - F.length(clean)).alias("bytes_removed"),
+        (F.col("raw") != clean).alias("was_redacted"),
+        F.length(clean).alias("clean_len"),
+    )
