@@ -3177,22 +3177,29 @@ def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     memory."""
     o = _t(spark, sf_dir, "orders")
 
-    def profile(col: str, stringify: bool) -> DataFrame:
-        mn, mx = F.min(F.col(col)), F.max(F.col(col))
-        if stringify:
-            mn, mx = mn.cast("string"), mx.cast("string")
-        return o.agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            (F.count(F.lit(1)) - F.count(F.col(col))).alias("n_nulls"),
-            F.count_distinct(F.col(col)).alias("n_distinct"),
-            mn.alias("min_value"),
-            mx.alias("max_value"),
-        ).select(F.lit(col).alias("column_name"), "*")
-
-    return (
-        profile("o_custkey", True)
-        .unionByName(profile("o_orderstatus", False))
-        .unionByName(profile("o_orderpriority", False))
+    # ONE scan computes every column's stats as a wide aggregate row;
+    # stack() pivots it to per-column rows afterwards — a union of
+    # per-column aggregates would scan the table once per column,
+    # which is the difference between 1 and N passes at 100 TB
+    cols = ["o_custkey", "o_orderstatus", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__n_rows"),
+            (F.count(F.lit(1)) - F.count(F.col(c))).alias(f"{c}__n_nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__n_distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    wide = o.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n_rows, {c}__n_nulls, {c}__n_distinct, "
+        f"{c}__min, {c}__max"
+        for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, min_value, max_value)"
     )
 
 
@@ -3293,15 +3300,16 @@ def q_array_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     oracle="""
     WITH toks AS (
-      SELECT doc_id, lang,
+      SELECT doc_id, lang, doc_id % 8 AS shard,
              len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
                              x -> x <> '')) AS n_tokens
       FROM documents
     ),
     packed AS (
       SELECT lang, doc_id, n_tokens,
+             shard * 1000000 +
              CAST(FLOOR((SUM(n_tokens) OVER (
-                    PARTITION BY lang ORDER BY doc_id
+                    PARTITION BY lang, shard ORDER BY doc_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     - n_tokens) / 2048.0) AS BIGINT) AS pack_id
       FROM toks
@@ -3318,21 +3326,29 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-token-budget packs (2048 here) by running token total in a
     deterministic order — the distributed form of greedy packing
     (exact first-fit is inherently sequential; running-total
-    bucketing is the standard parallel approximation, one window
-    cumsum per stratum, no shuffle beyond the partition-by). Output
-    is per-pack document and token counts."""
+    bucketing is the standard parallel approximation). The cumsum
+    window partitions on (stratum, shard), NOT the stratum alone: a
+    window keyed by language would pull an entire language through
+    ONE task at corpus scale, while deterministic doc_id shards keep
+    every window partition bounded — pack ids are disambiguated by a
+    shard offset, costing at most one underfull pack per shard.
+    Output is per-pack document and token counts."""
     d = _t(spark, sf_dir, "documents")
     n_tokens = F.size(text.tokens("text"))
     w = (
-        Window.partitionBy("lang")
+        Window.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     packed = d.select(
-        "lang", "doc_id", n_tokens.alias("n_tokens")
+        "lang",
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        n_tokens.alias("n_tokens"),
     ).withColumn(
         "pack_id",
-        F.floor(
+        F.col("shard") * F.lit(1000000)
+        + F.floor(
             (F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(2048.0)
         ),
     )
@@ -3385,7 +3401,14 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_p = grams.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "sh"
     )
-    train_p = grams.where(F.col("doc_id") % 50 != 0)
+    # prune the (corpus-sized) train postings down to eval shingles
+    # BEFORE the shuffle join: the eval shingle set is small by
+    # construction, so it broadcasts, and only matching train
+    # postings ever move
+    eval_sh = eval_p.select("sh").distinct()
+    train_p = grams.where(F.col("doc_id") % 50 != 0).join(
+        F.broadcast(eval_sh), "sh", "left_semi"
+    )
     joined = eval_p.join(train_p, "sh")
     return joined.groupBy("eval_doc_id").agg(
         F.count_distinct(F.col("doc_id")).alias("n_contaminating_docs"),
