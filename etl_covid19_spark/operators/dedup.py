@@ -118,23 +118,31 @@ class _BoundedDFCache:
     """
 
     def __init__(self, max_entries: int = 8):
+        import threading
+
         self._max = max_entries
         self._entries: dict[tuple, DataFrame] = {}
+        # guards the dict AND the build: concurrent query threads
+        # (a multi-tenant driver) must not double-persist the same
+        # postings or evict a frame mid-insert
+        self._lock = threading.Lock()
 
     def get_or_build(self, key: tuple, build) -> DataFrame:
-        df = self._entries.pop(key, None)
-        if df is None:
-            df = build().persist()
-        self._entries[key] = df  # (re)insert at LRU tail
-        while len(self._entries) > self._max:
-            oldest = next(iter(self._entries))
-            self._entries.pop(oldest).unpersist(blocking=False)
-        return df
+        with self._lock:
+            df = self._entries.pop(key, None)
+            if df is None:
+                df = build().persist()
+            self._entries[key] = df  # (re)insert at LRU tail
+            while len(self._entries) > self._max:
+                oldest = next(iter(self._entries))
+                self._entries.pop(oldest).unpersist(blocking=False)
+            return df
 
     def clear(self) -> None:
-        for df in self._entries.values():
-            df.unpersist(blocking=False)
-        self._entries.clear()
+        with self._lock:
+            for df in self._entries.values():
+                df.unpersist(blocking=False)
+            self._entries.clear()
 
 
 _DF_CACHE = _BoundedDFCache()

@@ -3474,3 +3474,109 @@ def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("raw") != clean).alias("was_redacted"),
         F.length(clean).alias("clean_len"),
     )
+
+
+@register(
+    "stream_static_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE)
+             AS purchase_value
+    FROM events e
+    JOIN customer c ON c.c_custkey = (e.user_id % 100) + 1
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static (dimension-enrichment) join, executed as a REAL
+    stream: purchase events replayed through readStream are joined
+    to the static customer dimension and aggregated per segment in
+    complete mode. The static side needs no watermark or state —
+    each micro-batch joins the dimension's current snapshot
+    (broadcast under the threshold), which is how streaming facts
+    pick up dimension keys at scale without a stateful join."""
+    import uuid
+
+    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            ((F.col("user_id") % 100) + 1).alias("c_custkey"), "value"
+        )
+    )
+    joined = stream.join(F.broadcast(cust), "c_custkey")
+    agg_df = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("purchase_value"),
+    )
+    name = f"stream_static_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@register(
+    "streaming_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_distinct_users
+    FROM d GROUP BY event_type
+    """,
+)
+def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication, executed as a REAL stream:
+    dropDuplicates on (user_id, event_type) maintains seen-key state
+    in the state store and emits each key once; the drained result
+    equals batch DISTINCT. The bounded-state production variant
+    (dropDuplicatesWithinWatermark, which can evict old keys) is
+    exercised in tests/test_stateful.py — this registry entry keeps
+    the oracle exact."""
+    import uuid
+
+    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "event_type")
+        .dropDuplicates(["user_id", "event_type"])
+    )
+    agg_df = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_distinct_users")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
