@@ -3580,3 +3580,41 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "explode_outer_tokens",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> length(x) >= 12) AS long_toks
+      FROM documents WHERE doc_id < 200
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(long_toks) = 0
+                         THEN [NULL] ELSE long_toks END) AS tok
+      FROM t
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_rows,
+           COUNT(tok) AS n_tokens
+    FROM e GROUP BY doc_id
+    """,
+)
+def q_explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode_outer — the null-preserving fan-out: documents with NO
+    qualifying tokens keep one NULL row instead of vanishing. The
+    inner/outer distinction is the classic silent-row-loss bug in
+    fan-out pipelines (a doc with no long tokens disappearing from a
+    per-doc report); the counts pin that every input doc survives."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    long_toks = F.filter(text.tokens("text"), lambda t: F.length(t) >= 12)
+    exploded = d.select(
+        "doc_id", F.explode_outer(long_toks).alias("tok")
+    )
+    return exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("tok").alias("n_tokens"),
+    )
