@@ -3618,3 +3618,60 @@ def q_explode_outer_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.count("tok").alias("n_tokens"),
     )
+
+
+@register(
+    "streaming_topk",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY n_events DESC, user_id ASC
+    LIMIT 10
+    """,
+)
+def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k, executed as a REAL stream: per-user counts
+    aggregated in complete mode with ORDER BY + LIMIT on the stream
+    (sorts are only legal on streams in complete mode — each trigger
+    re-ranks the full aggregate state, which is exactly the
+    leaderboard semantics wanted). Drained with AvailableNow, the
+    final table is the batch top-10 — deterministic via the user_id
+    tiebreak."""
+    import uuid
+
+    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+
+    ensure_runtime_confs(spark)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts long, user_id long, "
+            "event_type string, value double, props string"
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .select("user_id", "value")
+    )
+    ranked = (
+        stream.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), F.col("user_id").asc())
+        .limit(10)
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    q = (
+        ranked.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

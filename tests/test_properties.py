@@ -113,3 +113,50 @@ def test_stratified_sample_is_deterministic_and_stratified(spark):
     b = {(r.lang): (r.n_sampled, r.sampled_chars)
          for r in REGISTRY["stratified_sample"].fn(spark, sf).collect()}
     assert a == b and a
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: min-label propagation must agree with
+    a reference union-find on seeded random graphs (islands, chains,
+    and dense blobs all arise across draws)."""
+    from pyspark.sql import Row
+
+    from etl_covid19_spark.operators.dedup import connected_components
+
+    state = 1234567
+
+    def rnd(n):
+        nonlocal state
+        state = (state * 1103515245 + 12345) % (2**31)
+        return state % n
+
+    for trial in range(3):
+        n_nodes, n_edges = 60, 45
+        edges = [(rnd(n_nodes), rnd(n_nodes)) for _ in range(n_edges)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {x: find(x) for x in touched}
+
+        got = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                spark.createDataFrame(
+                    [Row(doc_a=a, doc_b=b) for a, b in edges]
+                ),
+                max_iter=60,
+            ).collect()
+        }
+        assert got == expected, f"trial {trial}"
