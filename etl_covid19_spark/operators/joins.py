@@ -162,3 +162,72 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return l.join(r, on=[*on, "_salt"]).drop("_salt")
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join via ``cogroup().applyInPandas`` — same semantics as
+    `asof_join` (latest right row with ``right_ts <= left_ts`` per
+    key), demonstrating the two-table Arrow extension point: both
+    sides shuffle ONCE on the key, and each key's pair of Arrow
+    batches meets a single Python function (``pandas.merge_asof``).
+
+    This is the shape for per-key two-table logic Catalyst can't
+    express (interval reconciliation, custom event alignment,
+    model-based matching). For the plain as-of itself the window
+    formulation in `asof_join` stays the default: identical shuffle
+    count, but JVM-side. Constraint of the cogrouped shape at scale:
+    ONE key's rows must fit in one task's memory (the window path has
+    no such limit) — skewed keys want pre-splitting or the window
+    path.
+    """
+    import pandas as pd
+
+    out_fields = [f"`{c}` {left.schema[c].dataType.simpleString()}"
+                  for c in left.columns]
+    out_fields += [f"`asof_{c}` {right.schema[c].dataType.simpleString()}"
+                   for c in right_cols]
+    schema = ", ".join(out_fields)
+    out_cols = list(left.columns) + [f"asof_{c}" for c in right_cols]
+    rsel = list(dict.fromkeys([*on, right_ts, *right_cols]))
+    inner = how == "inner"
+
+    # Alias every right column to a fresh name BEFORE cogrouping:
+    # when both sides derive from the same parent frame, Spark's
+    # cogroup dedups right-side attributes that share an expression
+    # id with a left-side column, so the right pandas frame would
+    # silently arrive without them. Fresh aliases force fresh
+    # attribute ids (and rule out pandas-side name collisions too).
+    r_in = right.select(*[F.col(c).alias(f"_r_{c}") for c in rsel])
+    rts = f"_r_{right_ts}"
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=out_cols)
+        merged = pd.merge_asof(
+            l.sort_values(left_ts),
+            r[[rts] + [f"_r_{c}" for c in right_cols if f"_r_{c}" != rts]]
+            .sort_values(rts),
+            left_on=left_ts,
+            right_on=rts,
+            direction="backward",
+        )
+        if inner:
+            merged = merged[merged[rts].notna()]
+        merged = merged.rename(
+            columns={f"_r_{c}": f"asof_{c}" for c in right_cols}
+        )
+        return merged[out_cols]
+
+    return (
+        left.groupBy(*on)
+        .cogroup(r_in.groupBy(*[f"_r_{k}" for k in on]))
+        .applyInPandas(merge, schema=schema)
+    )

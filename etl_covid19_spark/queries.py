@@ -3675,3 +3675,87 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Python extension surface: UDTF + cogrouped Arrow (SURVEY.md §6)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "udtf_sentence_spans",
+    oracle=r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split(text, '.'),
+                                        x -> trim(x, ' ' || chr(9) || chr(10) || chr(13))),
+                         x -> x <> '') AS sents
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(i - 1 AS INT) AS span_idx,
+           sents[i] AS sentence,
+           CAST(length(sents[i]) AS INT) AS n_chars
+    FROM s, unnest(range(1, len(sents) + 1)) AS t(i)
+    """,
+)
+def q_udtf_sentence_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4 table-function extension point) splitting
+    each document into sentence spans via ``LATERAL sentence_spans``
+    — the grammar-level row→rows shape where the span index is
+    sequential state across emitted rows (functions/udtf_kit has the
+    when-to-UDTF rule; delimiter splits without such state stay in
+    explode(split())). Arrow-batched, map-side only — no shuffle."""
+    from etl_covid19_spark.functions.udtf_kit import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.span_idx, s.sentence, s.n_chars
+        FROM udtf_docs d, LATERAL sentence_spans(d.text) s
+        """
+    )
+
+
+@register(
+    "asof_join_cogrouped",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    e AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'error'
+    )
+    SELECT c.event_id, c.user_id,
+           epoch_us(c.ts) AS ts_us,
+           epoch_us(e.ts) AS err_ts_us,
+           e.value AS err_value
+    FROM c ASOF JOIN e ON c.user_id = e.user_id AND e.ts <= c.ts
+    """,
+)
+def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The as-of join again, through ``cogroup().applyInPandas`` —
+    the two-table Arrow extension point (per-key pandas.merge_asof).
+    Same oracle as asof_join_events, so the driver proves the custom
+    cogrouped operator IS the window formulation, row for row. The
+    JVM window path stays the default/headline; this is the template
+    for per-key two-table logic Catalyst can't express."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts", "value"
+    )
+    out = J.asof_join_cogrouped(
+        clicks, errors, on=["user_id"], left_ts="ts", right_ts="ts",
+        right_cols=["ts", "value"], how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.col("asof_ts")).alias("err_ts_us"),
+        F.col("asof_value").alias("err_value"),
+    )
