@@ -130,3 +130,74 @@ def fingerprint(col: Column | str, mod: int = 1_000_000_007, base: int = 131) ->
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * base + code(t)) % mod,
     )
+
+
+def dup_token_fraction(col: Column | str) -> Column:
+    """Fraction of token occurrences beyond each token's first
+    (unigram repetition — 0.0 for an all-distinct document). One of
+    the Gopher-family repetition signals (Rae et al. 2021, §A1.1):
+    excessively repetitive documents are low-quality for LM training
+    even when their token-level stats look fine."""
+    toks = tokens(col)
+    n = F.size(toks)
+    nd = F.size(F.array_distinct(toks))
+    return F.when(
+        n > 0, (n - nd).cast("double") / n.cast("double")
+    ).otherwise(F.lit(0.0))
+
+
+def top_ngram_stats(col: Column | str, n: int) -> Column:
+    """struct(gram, n_occurrences, char_frac) for the most frequent
+    word n-gram (ties break to the lexicographically smallest gram).
+    `char_frac` is the Gopher "fraction of characters contained in
+    the most frequent n-gram": occurrences × the gram's non-space
+    chars over the document's total token chars.
+
+    Scale shape: a single map-side fold — grams are materialized per
+    row, sorted, and scanned once with an aggregate() accumulator
+    tracking the best run, so the mode is found with NO shuffle and
+    no per-doc groupBy (the explode→count→window alternative keys
+    two shuffles by doc_id). Memory is O(tokens) per row, the same
+    bound the tokenizer already implies."""
+    toks = tokens(col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    acc0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("").alias("best_gram"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run > acc["best"]
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.when(better, run).otherwise(acc["best"]).alias("best"),
+            F.when(better, x).otherwise(acc["best_gram"]).alias("best_gram"),
+        )
+
+    folded = F.aggregate(F.array_sort(grams), acc0, step)
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+    )
+    gram_chars = F.length(F.translate(folded["best_gram"], " ", ""))
+    frac = F.when(
+        (total_chars > 0) & (folded["best"] > 0),
+        (folded["best"] * gram_chars).cast("double")
+        / total_chars.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return F.struct(
+        folded["best_gram"].alias("gram"),
+        folded["best"].alias("n"),
+        frac.alias("char_frac"),
+    )

@@ -3759,3 +3759,88 @@ def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("asof_ts")).alias("err_ts_us"),
         F.col("asof_value").alias("err_value"),
     )
+
+
+@register(
+    "repetition_signals",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             len(list_distinct(toks)) AS n_distinct,
+             list_sum(list_transform(toks, x -> length(x))) AS total_chars
+      FROM t
+    ),
+    g2 AS (
+      SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+      FROM t, unnest(range(1, len(toks))) r(i) WHERE len(toks) >= 2
+    ),
+    g3 AS (
+      SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g
+      FROM t, unnest(range(1, len(toks) - 1)) r(i) WHERE len(toks) >= 3
+    ),
+    c2 AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1, 2),
+    c3 AS (SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1, 2),
+    top2 AS (
+      SELECT doc_id, g, c FROM (
+        SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM c2) WHERE rn = 1
+    ),
+    top3 AS (
+      SELECT doc_id, g, c FROM (
+        SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g ASC) AS rn
+        FROM c3) WHERE rn = 1
+    )
+    SELECT b.doc_id,
+           CASE WHEN b.n_toks > 0
+                THEN CAST(b.n_toks - b.n_distinct AS DOUBLE)
+                     / CAST(b.n_toks AS DOUBLE)
+                ELSE 0.0 END AS dup_token_frac,
+           COALESCE(t2.g, '') AS top_bigram,
+           COALESCE(t2.c, 0) AS top_bigram_n,
+           CASE WHEN b.total_chars > 0 AND t2.c > 0
+                THEN CAST(t2.c * length(replace(t2.g, ' ', '')) AS DOUBLE)
+                     / CAST(b.total_chars AS DOUBLE)
+                ELSE 0.0 END AS top_bigram_char_frac,
+           COALESCE(t3.g, '') AS top_trigram,
+           COALESCE(t3.c, 0) AS top_trigram_n,
+           CASE WHEN b.total_chars > 0 AND t3.c > 0
+                THEN CAST(t3.c * length(replace(t3.g, ' ', '')) AS DOUBLE)
+                     / CAST(b.total_chars AS DOUBLE)
+                ELSE 0.0 END AS top_trigram_char_frac
+    FROM base b
+    LEFT JOIN top2 t2 USING (doc_id)
+    LEFT JOIN top3 t3 USING (doc_id)
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-family repetition quality signals (Rae et al. 2021):
+    unigram duplicate fraction plus the most frequent word bi-/tri-
+    gram with its character-coverage fraction. Spark computes each
+    doc's n-gram mode with a map-side sorted-array fold (zero
+    shuffle; functions/text.top_ngram_stats has the scale note); the
+    oracle recomputes it the relational way (unnest → count →
+    window), so the fold's tie-breaking and char math are proven
+    against an independent formulation."""
+    d = _t(spark, sf_dir, "documents")
+    t2 = text.top_ngram_stats("text", 2)
+    t3 = text.top_ngram_stats("text", 3)
+    return d.select(
+        "doc_id",
+        text.dup_token_fraction("text").alias("dup_token_frac"),
+        t2["gram"].alias("top_bigram"),
+        t2["n"].alias("top_bigram_n"),
+        t2["char_frac"].alias("top_bigram_char_frac"),
+        t3["gram"].alias("top_trigram"),
+        t3["n"].alias("top_trigram_n"),
+        t3["char_frac"].alias("top_trigram_char_frac"),
+    )

@@ -74,3 +74,32 @@ def test_cogrouped_asof_key_only_on_one_side(spark):
     # k=2 has no right rows (dropped on inner); k=3's right rows have
     # no left partner (never emitted)
     assert rows == [(1, 10, 1.5)]
+
+
+def test_repetition_signal_edges(spark):
+    from etl_covid19_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # top bigram: "a b" ×2 (beats "b a" on tie-break at equal? counts: a-b=2, b-a=2 → lex smaller "a b")
+            (2, "x"),                # single token: no bigrams
+            (3, ""),                 # empty: everything 0
+            (4, "w w w w"),          # "w w" ×3
+        ],
+        "doc_id int, text string",
+    )
+    t2 = T.top_ngram_stats("text", 2)
+    rows = {
+        r.doc_id: (r.dup, r.gram, r.n, round(r.frac, 6))
+        for r in df.select(
+            "doc_id",
+            T.dup_token_fraction("text").alias("dup"),
+            t2["gram"].alias("gram"),
+            t2["n"].alias("n"),
+            t2["char_frac"].alias("frac"),
+        ).collect()
+    }
+    assert rows[1] == (0.6, "a b", 2, round(4 / 5, 6))
+    assert rows[2] == (0.0, "", 0, 0.0)
+    assert rows[3] == (0.0, "", 0, 0.0)
+    assert rows[4] == (0.75, "w w", 3, round(6 / 4, 6))
