@@ -104,6 +104,13 @@ COMMENTARY = {
         "Correlated EXISTS decorrelated by Catalyst into a left-semi "
         "join — one shuffle on the order key, no per-row subquery probe."
     ),
+    "repetition_signals": (
+        "Gopher repetition signals: the per-document n-gram mode is a "
+        "map-side sorted-array fold (aggregate() accumulator over "
+        "array_sort) — a bare Project over the scan, ZERO exchanges, "
+        "where the relational formulation (explode → count → window) "
+        "would shuffle twice per doc key."
+    ),
 }
 
 
