@@ -23,11 +23,21 @@ def write_zone(
     path: str,
     partition_by: tuple[str, ...] = ("ds",),
     mode: str = "overwrite",
+    max_records_per_file: int | None = None,
 ) -> None:
     """Write a zone. `overwrite` + partitionOverwriteMode=dynamic
     (set in session.py) only replaces the partitions present in `df`
-    — the idempotent-retry contract (SURVEY.md §7.2 step 1)."""
+    — the idempotent-retry contract (SURVEY.md §7.2 step 1).
+
+    ``max_records_per_file`` caps file sizes independently of task
+    parallelism — the upper-bound half of file-size governance
+    (`compact_zone` is the lower-bound half): one hot task writing a
+    skewed partition otherwise emits one giant file that a later scan
+    can't split across row-group boundaries cheaply. Off by default;
+    size it so files land near the scan's maxPartitionBytes."""
     writer = df.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)

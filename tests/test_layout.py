@@ -114,3 +114,24 @@ def test_zorder_write_prunes_both_dimensions(spark, tmp_path):
         # align exactly to z-cells (files straddling a cell edge
         # widen their min/max)
         assert matching <= (2 * n) // 3, (col, matching, n)
+
+
+def test_write_zone_caps_records_per_file(spark, tmp_path):
+    """maxRecordsPerFile splits a single hot task's output into
+    bounded files — the upper-bound half of file-size governance
+    (compact_zone merges the small-file lower bound)."""
+    import glob
+
+    from etl_covid19_spark.sources.parquet_zone import write_zone
+
+    df = (
+        spark.range(1000)
+        .withColumn("ds", F.lit("2020-01-01"))
+        .coalesce(1)  # one task: without the cap, one file
+    )
+    path = str(tmp_path / "capped")
+    write_zone(df, path, max_records_per_file=100)
+    files = glob.glob(f"{path}/ds=2020-01-01/*.parquet")
+    assert len(files) == 10
+    total = spark.read.parquet(path).count()
+    assert total == 1000
