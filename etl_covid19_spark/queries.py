@@ -3844,3 +3844,74 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         t3["n"].alias("top_trigram_n"),
         t3["char_frac"].alias("top_trigram_char_frac"),
     )
+
+
+@register(
+    "source_reputation_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               AS n_punct
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, source,
+             round(0.3 * least(length(text) / 200.0, 1.0)
+             + 0.3 * (CASE WHEN list_reduce(list_prepend(0,
+                        list_transform(toks, x -> length(x))), (a, b) -> a + b)
+                        / greatest(len(toks), 1) BETWEEN 2 AND 12
+                      THEN 1.0 ELSE 0.3 END)
+             + 0.2 * (1.0 - least(n_punct / greatest(length(text), 1) * 5,
+                                  1.0))
+             + 0.2 * least(len(list_filter(toks, x -> lower(x) IN
+                 ('the','a','an','and','or','of','to','in','is','are','for',
+                  'on','with','as','at','by','it','this','that')))
+                 / greatest(len(toks), 1) * 4, 1.0), 6) AS q
+      FROM t
+    ),
+    s AS (
+      SELECT source,
+             COUNT(*) AS n_src_docs,
+             round(CAST(SUM(CAST(q AS DECIMAL(18, 6))) AS DOUBLE)
+                   / COUNT(*), 6) AS src_avg_q
+      FROM m GROUP BY source
+    )
+    SELECT m.doc_id, m.source, m.q, s.src_avg_q, s.n_src_docs
+    FROM m JOIN s USING (source)
+    WHERE s.src_avg_q >= 0.82
+    """,
+)
+def q_source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain/source-level reputation filtering — the two-level
+    corpus filter web-scale pipelines apply before any per-document
+    work (RefinedWeb/FineWeb-style: a document inherits its domain's
+    aggregate quality). Dataflow for 100 TB: per-doc scores stay
+    map-side; ONE aggregate shuffles fixed-width (source, decimal)
+    pairs down to |sources| rows; the source verdict table is tiny by
+    construction and broadcasts back onto the corpus — so the filter
+    costs one small aggregate plus a broadcast hash join, never a
+    corpus-sized shuffle. The average accumulates in DECIMAL so the
+    source verdict is order-independent (FP-sum nondeterminism would
+    flip sources sitting on the threshold)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", text.quality_score("text").alias("q")
+    )
+    src = (
+        scored.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_src_docs"),
+            F.round(
+                F.sum(F.col("q").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("src_avg_q"),
+        )
+        .where(F.col("src_avg_q") >= 0.82)
+    )
+    return scored.join(F.broadcast(src), "source").select(
+        "doc_id", "source", "q", "src_avg_q", "n_src_docs"
+    )
