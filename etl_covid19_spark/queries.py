@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_covid19_spark.functions import datetime_kit as dk
-from etl_covid19_spark.functions import json_kit, text
+from etl_covid19_spark.functions import json_kit, text, vectors
 from etl_covid19_spark.operators import aggregates as agg
 from etl_covid19_spark.operators import joins as J
 from etl_covid19_spark.operators import relational as R
@@ -3914,4 +3914,55 @@ def q_source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scored.join(F.broadcast(src), "source").select(
         "doc_id", "source", "q", "src_avg_q", "n_src_docs"
+    )
+
+
+@register(
+    "cosine_pairs_pandas",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(
+             CASE WHEN sqrt(list_reduce(list_transform(a.v, q -> q * q),
+                                        (q, w) -> q + w))
+                     * sqrt(list_reduce(list_transform(b.v, q -> q * q),
+                                        (q, w) -> q + w)) = 0
+                  THEN 0.0
+                  ELSE list_reduce(list_transform(list_zip(a.v, b.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (q, w) -> q + w)
+                       / (sqrt(list_reduce(list_transform(a.v, q -> q * q),
+                                           (q, w) -> q + w))
+                          * sqrt(list_reduce(list_transform(b.v, q -> q * q),
+                                             (q, w) -> q + w)))
+             END, 8) AS cosine
+    FROM e a JOIN e b ON b.vec_id = a.vec_id + 1
+    """,
+)
+def q_cosine_pairs_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized Arrow `pandas_udf` scoring (functions/vectors.
+    cosine_batch): consecutive-id embedding pairs scored by a numpy
+    einsum over each Arrow batch, rounded to 8 dp so the ~2-ulp
+    summation-order difference vs the sequential oracle fold
+    vanishes. Proves the pandas_udf surface end-to-end; the HOF
+    `cosine` stays the default (measured tie at 64 dims — docstring
+    has the numbers)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(
+        (F.col("vec_id") - 1).alias("id_a"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+    )
+    return (
+        a.join(b, "id_a")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(vectors.cosine_batch("va", "vb"), 8).alias("cosine"),
+        )
     )
