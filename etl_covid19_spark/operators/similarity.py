@@ -261,3 +261,63 @@ def lsh_bucket_ann(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    band_bits: int = 4,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH: every vector's top-k
+    most-cosine-similar neighbors among its LSH candidates — the
+    all-points counterpart of query-set ANN (`lsh_bucket_ann`) and
+    the input primitive for graph clustering, kNN-based dedup
+    thresholds, and diversity sampling over a corpus.
+
+    Dataflow reuses the sign-band candidate machinery
+    (dedup._sign_band_keys): explode band keys → self-equi-join on
+    the 8-byte key (ids only; both directions, so the graph is
+    row-per-source) → distinct pairs → vectors joined back → exact
+    cosine → per-source window top-k. No all-pairs scan: candidate
+    volume is Σ bucket², bounded by band sizing, and the rank window
+    partitions by source id, so no task ever sorts more than one
+    vector's candidate list. Ties break on (cosine desc, neighbor id
+    asc) — deterministic, so the SQL oracle reproduces the graph
+    exactly."""
+    from pyspark.sql import Window
+
+    from etl_covid19_spark.operators.dedup import _sign_band_keys
+
+    bands = _sign_band_keys(vec_col, band_bits, n_bands)
+    banded = emb.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array(*bands)).alias("band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=(F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") != F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
+    scored = (
+        cands.join(va, "src")
+        .join(vb, "dst")
+        .withColumn("cosine", vectors.cosine("va", "vb"))
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("src", "dst", "cosine", "rank")
+    )

@@ -3966,3 +3966,70 @@ def q_cosine_pairs_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(vectors.cosine_batch("va", "vb"), 8).alias("cosine"),
         )
     )
+
+
+def _knn_graph_oracle(k: int = 5, band_bits: int = 4, n_bands: int = 16) -> str:
+    """GENERATED oracle for the kNN graph: sign-bit band keys as CASE
+    expressions (same generator shape as _near_dup_lsh_oracle, both
+    pair directions), exact cosine via the same sequential fold, and
+    the per-source top-k window with the operator's tie-break."""
+    keys = []
+    for band in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN v[{band * band_bits + j + 1}] > 0 "
+            f"THEN {1 << j} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        keys.append(f"({band * (1 << band_bits)} + {bits})")
+    key_list = ", ".join(keys)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, unnest([{key_list}]) AS band_key FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, c.vec_id AS dst
+      FROM b a JOIN b c ON a.band_key = c.band_key AND a.vec_id <> c.vec_id
+    ),
+    scored AS (
+      SELECT src, dst,
+             CASE WHEN sqrt(list_reduce(list_transform(x.v, q -> q * q),
+                                        (q, w) -> q + w))
+                     * sqrt(list_reduce(list_transform(y.v, q -> q * q),
+                                        (q, w) -> q + w)) = 0
+                  THEN 0.0
+                  ELSE list_reduce(list_transform(list_zip(x.v, y.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (q, w) -> q + w)
+                       / (sqrt(list_reduce(list_transform(x.v, q -> q * q),
+                                           (q, w) -> q + w))
+                          * sqrt(list_reduce(list_transform(y.v, q -> q * q),
+                                             (q, w) -> q + w)))
+             END AS cosine
+      FROM cand JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst
+    )
+    SELECT src, dst, cosine, rank FROM (
+      SELECT src, dst, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst ASC) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("knn_graph", oracle=_knn_graph_oracle())
+def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate kNN graph over the embedding corpus: each vector's
+    top-5 cosine neighbors among its sign-band LSH candidates
+    (operators/similarity.knn_graph — the all-points primitive behind
+    graph clustering and diversity sampling). Candidate generation is
+    the banded equi-join, ranking is a per-source window — no
+    all-pairs scan, no global sort."""
+    from etl_covid19_spark.operators.similarity import knn_graph
+
+    return knn_graph(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        k=5, band_bits=4, n_bands=16,
+    )
