@@ -164,3 +164,36 @@ def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str, every_n: int = 3
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(idx).alias("frame_idx")
     )
+
+
+def blob_stats_arrow(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Blob stats via ``mapInArrow`` — the zero-conversion Arrow
+    path. Where `extract_media_meta` (mapInPandas) materializes each
+    batch as pandas objects (one Python bytes object per blob), this
+    operates on the raw Arrow RecordBatch: `binary_length` and
+    `binary_slice` are columnar C++ kernels over the value buffer, so
+    a batch of 100 MB of blobs is processed without creating a single
+    Python object per row. That is the right shape for cheap
+    per-blob byte accounting at 100 TB; mapInPandas remains the tool
+    once a real per-item decoder (PIL/av) needs the bytes in Python
+    anyway. The 2-byte magic is returned as binary and hex-encoded
+    JVM-side — no Python string building."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def batches(it: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in it:
+            payload = batch.column(bin_col)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column(id_col).cast(pa.int64()),
+                    pc.binary_length(payload).cast(pa.int64()),
+                    pc.binary_slice(payload, 0, 2),
+                ],
+                names=["doc_id", "n_bytes", "magic_bytes"],
+            )
+
+    out = df.mapInArrow(batches, schema="doc_id long, n_bytes long, magic_bytes binary")
+    return out.select(
+        "doc_id", "n_bytes", F.upper(F.hex("magic_bytes")).alias("magic")
+    )

@@ -4033,3 +4033,27 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         k=5, band_bits=4, n_bands=16,
     )
+
+
+@register(
+    "blob_stats_arrow",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           upper(substr(hex(encode(text)), 1, 4)) AS magic
+    FROM documents
+    """,
+)
+def q_blob_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-blob byte accounting through raw ``mapInArrow``
+    (operators/multimodal.blob_stats_arrow): columnar C++ kernels
+    over the Arrow value buffers, zero per-row Python objects —
+    completing the Arrow API family next to mapInPandas, cogrouped
+    applyInPandas, applyInPandasWithState, pandas_udf, and the
+    UDTF."""
+    from etl_covid19_spark.operators.multimodal import blob_stats_arrow
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return blob_stats_arrow(d, "doc_id", "payload")
