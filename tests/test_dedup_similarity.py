@@ -206,3 +206,35 @@ def test_capped_jaccard_bounds_skew_at_sf01(spark):
         docs, "text", "doc_id", threshold=0.5, max_df=cap
     ).collect()
     assert pairs and all(r.jaccard >= 0.5 for r in pairs)
+
+
+def test_knn_graph_recall_vs_exact(spark):
+    """The sign-band kNN graph recovers ≥0.85 of the exact top-5
+    graph at test SF (measured 0.908 with the default 4-bit × 16
+    bands) — the quality bound that makes 'approximate' a contract
+    instead of a vibe."""
+    from conftest import SF_SMALL
+    from pyspark.sql import Window
+
+    from etl_covid19_spark.functions import vectors as V
+    from etl_covid19_spark.operators.similarity import knn_graph
+    from etl_covid19_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    approx = knn_graph(emb, "embedding", "vec_id", k=5)
+    a = emb.select(F.col("vec_id").alias("src"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("dst"), F.col("embedding").alias("vb"))
+    allp = a.join(b, a.src != b.dst).withColumn(
+        "cosine", V.cosine("va", "vb")
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine").desc(), F.col("dst").asc()
+    )
+    exact = (
+        allp.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= 5)
+        .select("src", "dst")
+    )
+    total = exact.count()
+    hit = approx.select("src", "dst").intersect(exact).count()
+    assert total > 0 and hit / total >= 0.85
