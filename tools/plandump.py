@@ -104,6 +104,14 @@ COMMENTARY = {
         "Correlated EXISTS decorrelated by Catalyst into a left-semi "
         "join — one shuffle on the order key, no per-row subquery probe."
     ),
+    "knn_graph": (
+        "All-points kNN graph: sign-band keys explode → self "
+        "EQUI-join on the 8-byte band key (ids only) → distinct pairs "
+        "→ vectors joined back → per-source window top-k. No "
+        "BroadcastNestedLoopJoin, no global sort — the rank window "
+        "partitions by src, so no task sorts more than one vector's "
+        "candidate list."
+    ),
     "repetition_signals": (
         "Gopher repetition signals: the per-document n-gram mode is a "
         "map-side sorted-array fold (aggregate() accumulator over "
