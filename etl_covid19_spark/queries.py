@@ -4057,3 +4057,90 @@ def q_blob_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     return blob_stats_arrow(d, "doc_id", "payload")
+
+
+@register(
+    "temperature_mix",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    w AS (
+      SELECT list_reduce(list_sort(list(sqrt(CAST(n AS DOUBLE)))),
+                         (a, b) -> a + b) AS wsum
+      FROM c
+    ),
+    q AS (
+      SELECT lang, n,
+             CAST(floor(200 * sqrt(CAST(n AS DOUBLE)) / wsum) AS BIGINT)
+               AS quota
+      FROM c, w
+    ),
+    keyed AS (
+      SELECT doc_id, lang,
+             (doc_id * 2654435761) % 1000000007 AS mix_key
+      FROM documents
+    ),
+    pre AS (
+      SELECT k.doc_id, k.lang, k.mix_key, q.quota
+      FROM keyed k JOIN q USING (lang)
+      WHERE k.mix_key < CAST(2.0 * q.quota / q.n * 1000000007 AS BIGINT)
+    )
+    SELECT doc_id, lang, CAST(rk AS INT) AS mix_rank FROM (
+      SELECT doc_id, lang, quota,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY mix_key, doc_id) AS rk
+      FROM pre
+    ) WHERE rk <= quota
+    """,
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (the mT5/XLM-R data-mix
+    op): a 200-doc budget is allocated ∝ n_lang^(1/2), upsampling
+    tail languages relative to proportional sampling, and each
+    language's quota is filled by deterministic hash order.
+
+    Determinism across engines: the weight sum folds over the SORTED
+    weight list (both engines reduce left-to-right over identical
+    order — a bare SUM of doubles is order-nondeterministic and
+    could flip a floor() at the boundary).
+
+    Scale shape: quotas come from a |langs|-row aggregate; selection
+    is two-phase so no task ever sorts a whole language — a rate
+    pre-filter (2× the quota rate against the hash range) bounds
+    each language's candidates to ~2×quota rows, and the exact-rank
+    window runs on that bounded set. The pre-filter is mirrored in
+    the oracle, so both engines select identical rows by
+    construction."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    wsum = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.sqrt(F.col("n").cast("double")))),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("wsum")
+    )
+    quotas = counts.crossJoin(F.broadcast(wsum)).select(
+        "lang",
+        "n",
+        F.floor(
+            F.lit(200) * F.sqrt(F.col("n").cast("double")) / F.col("wsum")
+        ).alias("quota"),
+    )
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(1000000007)).alias(
+            "mix_key"
+        ),
+    )
+    pre = keyed.join(F.broadcast(quotas), "lang").where(
+        F.col("mix_key")
+        < (F.lit(2.0) * F.col("quota") / F.col("n") * F.lit(1000000007))
+        .cast("long")
+    )
+    w = Window.partitionBy("lang").orderBy("mix_key", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "lang", F.col("rk").cast("int").alias("mix_rank"))
+    )
