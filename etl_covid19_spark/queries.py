@@ -4112,18 +4112,24 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction."""
     d = _t(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-    wsum = counts.agg(
-        F.aggregate(
-            F.array_sort(F.collect_list(F.sqrt(F.col("n").cast("double")))),
-            F.lit(0.0),
-            lambda a, x: a + x,
-        ).alias("wsum")
+    # the weight sum rides a GLOBAL window over the counts frame —
+    # bounded at |langs| rows, and it avoids the 1-row cross join
+    # (which Catalyst plans as a nested-loop, tripping the repo's
+    # no-NLJ plan invariant even though a 1-row build is benign)
+    wsum = F.aggregate(
+        F.array_sort(
+            F.collect_list(F.sqrt(F.col("n").cast("double"))).over(
+                Window.partitionBy()
+            )
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
     )
-    quotas = counts.crossJoin(F.broadcast(wsum)).select(
+    quotas = counts.select(
         "lang",
         "n",
         F.floor(
-            F.lit(200) * F.sqrt(F.col("n").cast("double")) / F.col("wsum")
+            F.lit(200) * F.sqrt(F.col("n").cast("double")) / wsum
         ).alias("quota"),
     )
     keyed = d.select(

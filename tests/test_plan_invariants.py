@@ -1,0 +1,59 @@
+"""Global plan invariants over the scale-sensitive registry surface.
+
+The one physical-plan property that must NEVER regress at 100 TB:
+no O(n·m) join fallback — a BroadcastNestedLoopJoin or
+CartesianProduct appearing in a dedup/similarity/join query means a
+candidate-generation equi-join silently degraded (a refactor lost a
+join key, a condition became non-equi). Plans are inspected WITHOUT
+executing the queries, so the sweep stays cheap.
+
+Whitelist: the two documented exact baselines are all-pairs BY
+DESIGN (`embedding_near_dup_exact`, `ann_cosine_topk`'s brute-force
+scorer) — they are the tiny-SF oracle cross-checks, never the scale
+path, and excluded here.
+"""
+
+import pytest
+
+from etl_covid19_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+# scale-sensitive batch queries: every dedup/similarity/join-family
+# entry plus the bench headliners (streaming drives excluded — their
+# fns execute real streams; exact all-pairs baselines excluded by
+# design)
+SWEEP = [
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_clusters",
+    "embedding_near_dup",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "knn_graph",
+    "asof_join_events",
+    "range_join_events",
+    "skew_salted_join",
+    "star_join_revenue",
+    "profit_by_nation_brand",
+    "semi_join_active",
+    "anti_join_integrity",
+    "null_safe_join",
+    "contamination_check",
+    "temperature_mix",
+    "source_reputation_filter",
+    "sequence_packing",
+]
+
+FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+@pytest.mark.parametrize("name", SWEEP)
+def test_no_nested_loop_or_cartesian(spark, name):
+    df = REGISTRY[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for node in FORBIDDEN:
+        assert node not in plan, f"{name}: {node} in physical plan"
