@@ -650,3 +650,84 @@ def embedding_near_dup(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 8,
+    hashed: bool = True,
+) -> DataFrame:
+    """Exact substring (span) dedup, anchor-seeded — the Spark-shaped
+    form of Lee et al. 2022's duplicated-span removal (ROADMAP.md has
+    the design note): every token covered by an n-gram that occurs
+    more than once corpus-wide is removed from the document.
+
+    Dataflow (all equi-joins, work ∝ |grams|, never |docs|²):
+    (1) each doc explodes into positioned n-grams; (2) one groupBy
+    finds SEED grams (count > 1) — map-side combine keeps the shuffle
+    at |distinct grams|; (3) a semi-join marks each doc's seeded
+    positions and explodes them to covered token indices; (4) the
+    cleaned text is rebuilt map-side by filtering the token array
+    against the doc's covered set.
+
+    ``hashed=True`` joins on xxhash64(gram) — 8-byte shuffle keys,
+    the 100 TB path (a 64-bit collision can only over-delete one
+    span, the conservative direction for dedup). ``hashed=False``
+    joins on the gram string — engine-portable, what the SQL oracle
+    mirrors; equivalence of the two paths is test-pinned.
+
+    Returns (id_col, n_tokens, n_dup_tokens, clean_text).
+    """
+    toks = text.tokens(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(
+        F.col(id_col).alias("doc"), F.posexplode(grams).alias("p", "gram")
+    ).select(
+        "doc",
+        (F.col("p") + 1).alias("i"),  # 1-based gram start
+        (F.xxhash64("gram") if hashed else F.col("gram")).alias("gkey"),
+    )
+    seeds = (
+        g.groupBy("gkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") > 1)
+        .select("gkey")
+    )
+    covered = (
+        g.join(seeds, "gkey", "left_semi")
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))
+            ).alias("tpos"),
+        )
+        .distinct()
+        .groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_tokens"),
+            F.collect_set("tpos").alias("cpos"),
+        )
+    )
+    base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
+    joined = base.join(covered, "doc", "left")
+    cpos = F.coalesce(F.col("cpos"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(cpos, (i + 1).cast("int")),
+    )
+    return joined.select(
+        F.col("doc").alias(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_dup_tokens"), F.lit(0)).cast("long").alias(
+            "n_dup_tokens"
+        ),
+        F.concat_ws(" ", kept).alias("clean_text"),
+    )

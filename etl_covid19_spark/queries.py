@@ -4150,3 +4150,51 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= F.col("quota"))
         .select("doc_id", "lang", F.col("rk").cast("int").alias("mix_rank"))
     )
+
+
+@register(
+    "substring_dedup",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 6)) r(i) WHERE len(toks) >= 8
+    ),
+    seeds AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, i + off AS tpos
+      FROM g JOIN seeds USING (gram), unnest(range(0, 8)) o(off)
+    ),
+    covagg AS (
+      SELECT doc_id, COUNT(*) AS n_dup, list(tpos) AS cpos
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ca.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                           i -> NOT list_contains(COALESCE(ca.cpos, []), i)),
+               i -> t.toks[i]),
+             ' '), '') AS clean_text
+    FROM t LEFT JOIN covagg ca USING (doc_id)
+    """,
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring dedup (Lee et al. 2022 family): tokens covered
+    by any 8-gram occurring more than once corpus-wide are stripped
+    (operators/dedup.strip_duplicate_spans — anchor-seeded, all
+    equi-joins). The registry path joins on gram STRINGS so the SQL
+    oracle is engine-portable; the xxhash64 8-byte-key path is the
+    scale default, equivalence test-pinned."""
+    from etl_covid19_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=8, hashed=False
+    )

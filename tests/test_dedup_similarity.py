@@ -238,3 +238,41 @@ def test_knn_graph_recall_vs_exact(spark):
     total = exact.count()
     hit = approx.select("src", "dst").intersect(exact).count()
     assert total > 0 and hit / total >= 0.85
+
+
+def test_strip_duplicate_spans_hashed_equals_string_path(spark):
+    """The xxhash64 scale path and the engine-portable string-key
+    path select identical spans (no observable collision at test SF),
+    and planted exact duplicates are fully stripped."""
+    from conftest import SF_SMALL
+
+    from etl_covid19_spark.operators.dedup import strip_duplicate_spans
+    from etl_covid19_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    hashed = strip_duplicate_spans(docs, "text", "doc_id", hashed=True)
+    strings = strip_duplicate_spans(docs, "text", "doc_id", hashed=False)
+    assert hashed.exceptAll(strings).count() == 0
+    assert strings.exceptAll(hashed).count() == 0
+
+    planted = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "a b c d e f g h tail two"),
+            (3, "u v w x y z q r s t"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.n_dup_tokens, r.clean_text)
+        for r in strip_duplicate_spans(
+            planted, "text", "doc_id", hashed=True
+        ).collect()
+    }
+    # docs 1/2 share the 8-grams "a b c d e f g h" AND
+    # "b c d e f g h tail" — covered positions 1..9, so only the
+    # distinct final token survives (span EXTENSION falls out of
+    # overlapping anchors for free)
+    assert out[1] == (9, "one")
+    assert out[2] == (9, "two")
+    assert out[3] == (0, "u v w x y z q r s t")
