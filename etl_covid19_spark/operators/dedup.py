@@ -658,6 +658,7 @@ def strip_duplicate_spans(
     id_col: str,
     n: int = 8,
     hashed: bool = True,
+    keep_first: bool = False,
 ) -> DataFrame:
     """Exact substring (span) dedup, anchor-seeded — the Spark-shaped
     form of Lee et al. 2022's duplicated-span removal (ROADMAP.md has
@@ -671,6 +672,17 @@ def strip_duplicate_spans(
     positions and explodes them to covered token indices; (4) the
     cleaned text is rebuilt map-side by filtering the token array
     against the doc's covered set.
+
+    ``keep_first=False`` removes EVERY copy of a duplicated span (the
+    conservative default). ``keep_first=True`` matches Lee et al.'s
+    published semantics — exactly one copy of each duplicated span
+    survives: the same seed groupBy additionally carries
+    ``min(struct(doc, i))`` (partial-agg friendly, no window sort),
+    and that lexicographically-first occurrence is exempted from
+    coverage. Because every overlapping anchor of a cross-doc span
+    picks the same owner doc (struct ordering compares doc first),
+    whole spans survive intact in the first document that contains
+    them.
 
     ``hashed=True`` joins on xxhash64(gram) — 8-byte shuffle keys,
     the 100 TB path (a 64-bit collision can only over-delete one
@@ -695,15 +707,32 @@ def strip_duplicate_spans(
         (F.col("p") + 1).alias("i"),  # 1-based gram start
         (F.xxhash64("gram") if hashed else F.col("gram")).alias("gkey"),
     )
-    seeds = (
-        g.groupBy("gkey")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .where(F.col("cnt") > 1)
-        .select("gkey")
-    )
+    if keep_first:
+        owners = (
+            g.groupBy("gkey")
+            .agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.min(F.struct(F.col("doc"), F.col("i"))).alias("own"),
+            )
+            .where(F.col("cnt") > 1)
+            .select("gkey", "own")
+        )
+        seeded = g.join(owners, "gkey").where(
+            ~(
+                (F.col("doc") == F.col("own.doc"))
+                & (F.col("i") == F.col("own.i"))
+            )
+        )
+    else:
+        seeds = (
+            g.groupBy("gkey")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .where(F.col("cnt") > 1)
+            .select("gkey")
+        )
+        seeded = g.join(seeds, "gkey", "left_semi")
     covered = (
-        g.join(seeds, "gkey", "left_semi")
-        .select(
+        seeded.select(
             "doc",
             F.explode(
                 F.sequence(F.col("i"), F.col("i") + F.lit(n - 1))

@@ -4198,3 +4198,66 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=8, hashed=False
     )
+
+
+@register(
+    "substring_dedup_keep_first",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i, array_to_string(toks[i:i+7], ' ') AS gram
+      FROM t, unnest(range(1, len(toks) - 6)) r(i) WHERE len(toks) >= 8
+    ),
+    ranked AS (
+      SELECT doc_id, i,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn,
+             COUNT(*) OVER (PARTITION BY gram) AS c
+      FROM g
+    ),
+    cov AS (
+      SELECT DISTINCT doc_id, i + off AS tpos
+      FROM ranked, unnest(range(0, 8)) o(off)
+      WHERE c > 1 AND rn > 1
+    ),
+    covagg AS (
+      SELECT doc_id, COUNT(*) AS n_dup, list(tpos) AS cpos
+      FROM cov GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ca.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+           COALESCE(array_to_string(
+             list_transform(
+               list_filter(range(1, len(t.toks) + 1),
+                           i -> NOT list_contains(COALESCE(ca.cpos, []), i)),
+               i -> t.toks[i]),
+             ' '), '') AS clean_text
+    FROM t LEFT JOIN covagg ca USING (doc_id)
+    """,
+)
+def q_substring_dedup_keep_first(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Substring dedup with Lee et al. 2022's published KEEP-ONE-COPY
+    semantics: the lexicographically-first occurrence of each
+    duplicated 8-gram (min (doc_id, position), carried as a
+    min(struct) on the same seed aggregate — no window sort) is
+    exempted from removal, so exactly one copy of every duplicated
+    span survives corpus-wide. The oracle mirrors the ownership rule
+    with a row_number() window; closes the documented semantics delta
+    in ROADMAP.md ("keep ONE copy … needs an ownership tie-break")."""
+    from etl_covid19_spark.operators.dedup import strip_duplicate_spans
+
+    return strip_duplicate_spans(
+        _t(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        n=8,
+        hashed=False,
+        keep_first=True,
+    )

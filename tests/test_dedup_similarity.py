@@ -276,3 +276,55 @@ def test_strip_duplicate_spans_hashed_equals_string_path(spark):
     assert out[1] == (9, "one")
     assert out[2] == (9, "two")
     assert out[3] == (0, "u v w x y z q r s t")
+
+
+def test_strip_duplicate_spans_keep_first_retains_one_copy(spark):
+    """keep_first=True exempts the lexicographically-first occurrence
+    of each duplicated span: the min-(doc,pos) document keeps the
+    span intact, later copies are stripped; hashed and string key
+    paths agree."""
+    from conftest import SF_SMALL
+
+    from etl_covid19_spark.operators.dedup import strip_duplicate_spans
+    from etl_covid19_spark.sources.catalog import load_table
+
+    planted = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h tail one"),
+            (2, "a b c d e f g h tail two"),
+            (3, "u v w x y z q r s t"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (r.n_dup_tokens, r.clean_text)
+        for r in strip_duplicate_spans(
+            planted, "text", "doc_id", hashed=True, keep_first=True
+        ).collect()
+    }
+    # doc 1 owns both shared 8-grams (min doc_id) → untouched;
+    # doc 2 loses the whole 9-token shared span; doc 3 untouched
+    assert out[1] == (0, "a b c d e f g h tail one")
+    assert out[2] == (9, "two")
+    assert out[3] == (0, "u v w x y z q r s t")
+
+    # intra-doc repetition: the FIRST occurrence survives, the rest go
+    rep = spark.createDataFrame(
+        [(7, "p q r s t u v w x p q r s t u v w x")],
+        "doc_id int, text string",
+    )
+    row = strip_duplicate_spans(
+        rep, "text", "doc_id", hashed=True, keep_first=True
+    ).collect()[0]
+    assert row.n_tokens == 18 and row.n_dup_tokens == 9
+    assert row.clean_text == "p q r s t u v w x"
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    hashed = strip_duplicate_spans(
+        docs, "text", "doc_id", hashed=True, keep_first=True
+    )
+    strings = strip_duplicate_spans(
+        docs, "text", "doc_id", hashed=False, keep_first=True
+    )
+    assert hashed.exceptAll(strings).count() == 0
+    assert strings.exceptAll(hashed).count() == 0
