@@ -55,6 +55,59 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def incremental_exact_dedup(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    hashed: bool = True,
+) -> DataFrame:
+    """Cross-snapshot exact dedup: drop documents of ``new_df`` whose
+    content already exists anywhere in ``corpus_df`` (the previously
+    ingested corpus), then exact-dedup the survivors within the batch.
+    This is the daily-ingest shape at 100 TB — the historical corpus
+    must NOT be re-deduped, only probed.
+
+    Scale design: the corpus collapses to DISTINCT fixed-width keys
+    (xxhash64 + length, 12 bytes/doc) before the anti-join, so the
+    big side never ships document bodies; the anti-join is exactly
+    the shape Spark's runtime bloom-filter injection accelerates
+    (`spark.sql.optimizer.runtime.bloomFilter.enabled`, pinned in
+    tests/test_runtime_pruning.py) — the "bloom prefilter then exact
+    verify" pattern falls out of the optimizer rather than hand-built
+    sketch code. With the corpus key set stored sorted/bucketed by
+    hash, successive daily batches probe it shuffle-free.
+
+    ``hashed=False`` joins on the raw text (engine-portable, what the
+    SQL oracle mirrors); equivalence is test-pinned like
+    `strip_duplicate_spans`.
+
+    Returns (canonical_id, n_copies): one row per surviving distinct
+    batch document.
+    """
+    if hashed:
+        keys = lambda d: [  # noqa: E731
+            F.xxhash64(F.col(text_col)).alias("content_hash"),
+            F.length(F.col(text_col)).alias("content_len"),
+        ]
+        keynames = ["content_hash", "content_len"]
+    else:
+        keys = lambda d: [F.col(text_col).alias("content_key")]  # noqa: E731
+        keynames = ["content_key"]
+    seen = corpus_df.select(*keys(corpus_df)).distinct()
+    survivors = new_df.select(*keys(new_df), F.col(id_col)).join(
+        seen, keynames, "left_anti"
+    )
+    return (
+        survivors.groupBy(*keynames)
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )
+
+
 def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
     """(id, shingles array, set size) — shared prep for the Jaccard
     and MinHash paths."""

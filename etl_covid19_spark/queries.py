@@ -4261,3 +4261,255 @@ def q_substring_dedup_keep_first(
         hashed=False,
         keep_first=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H multi-join analogs (join reordering / DPP / disjunctive pushdown)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle="""
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape — six-way star-plus-snowflake join where the
+    customer↔supplier same-nation equality makes join ORDER matter:
+    region→nation prune first (broadcast), facts joined on keys, the
+    c_nationkey = s_nationkey constraint applied as a join condition
+    rather than a post-filter so no cross-nation pairs materialize.
+    CBO stats (ANALYZE-pinned in test_cbo_stats.py) let Catalyst
+    reorder the fact joins; dims broadcast under the threshold."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    joined = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supplier,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    return joined.groupBy("n_name").agg(
+        F.sum(ext * one_disc).cast("double").alias("revenue")
+    )
+
+
+@register(
+    "q10_returned_item",
+    oracle="""
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           c_acctbal, n_name
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q_q10_returned_item(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item revenue per customer over one
+    quarter, top-20. The returnflag filter prunes lineitem at the
+    scan; nation broadcasts; top-k plans as TakeOrderedAndProject
+    (no global sort). Tie-break on c_custkey keeps the LIMIT
+    deterministic across engines."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    grouped = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(ext * one_disc).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+    return agg.top_k(
+        grouped, [F.col("revenue").desc(), F.col("c_custkey").asc()], 20
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    SELECT CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(8,4)) END)
+                AS DOUBLE) AS promo_revenue,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS total_revenue,
+           CAST(SUM(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(1 - l_discount AS DECIMAL(8,4)) END)
+                AS DOUBLE) * 100
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE)
+               AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+)
+def q_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — conditional aggregation over a fact⋈dim
+    join: promo share of one month's revenue. The NULL-else CASE
+    keeps both conditional and total sums in exact DECIMAL until the
+    final DOUBLE cast; the pct is a plain double division of the two
+    already-equal operands (oracle-parity rule from the module
+    docstring)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    rev = ext * one_disc
+    out = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev))
+            .cast("double")
+            .alias("promo_revenue"),
+            F.sum(rev).cast("double").alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.col("promo_revenue") * 100 / F.col("total_revenue"),
+        )
+    )
+    return out
+
+
+@register(
+    "q19_disjunctive_pricing",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 11)
+       OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 30)
+    """,
+)
+def q_q19_disjunctive_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — OR-of-ANDs predicate spanning both join
+    sides, the classic pushdown stress test. Catalyst cannot push a
+    cross-side disjunction into either scan, so the implementation
+    adds the REDUNDANT per-side envelopes (brand IN-list on part,
+    quantity range on lineitem) that TPC-H implementations derive by
+    hand — semantics unchanged, but both scans prune before the join
+    and the disjunction only runs on the survivors."""
+    brands = ("Brand#11", "Brand#12", "Brand#13")
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin(*brands)  # redundant envelope → scan prune
+    ).select("p_partkey", "p_brand", "p_size")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)  # redundant envelope
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .where(cond)
+        .agg(
+            F.sum(ext * one_disc).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "incremental_dedup",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents b
+    WHERE doc_id >= 250
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id < 250 AND c.text = b.text)
+    GROUP BY b.text
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot exact dedup (operators/dedup.
+    incremental_exact_dedup): the daily-ingest shape — new batch
+    (doc_id >= 250) probed against the already-ingested corpus
+    (doc_id < 250) with an anti-join on distinct content keys, then
+    deduped within the batch. Registry path joins on raw text for
+    oracle portability; the xxhash64 12-byte-key scale path is
+    test-pinned equivalent."""
+    from etl_covid19_spark.operators.dedup import incremental_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_exact_dedup(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        "text",
+        "doc_id",
+        hashed=False,
+    )

@@ -328,3 +328,41 @@ def test_strip_duplicate_spans_keep_first_retains_one_copy(spark):
     )
     assert hashed.exceptAll(strings).count() == 0
     assert strings.exceptAll(hashed).count() == 0
+
+
+def test_incremental_dedup_probes_corpus_without_rededuping_it(spark):
+    """Batch docs whose text already exists in the corpus are
+    dropped; within-batch duplicates collapse to the min id; corpus
+    internals never appear. Hashed and string key paths agree."""
+    from conftest import SF_SMALL
+
+    from etl_covid19_spark.operators.dedup import incremental_exact_dedup
+    from etl_covid19_spark.sources.catalog import load_table
+
+    corpus = spark.createDataFrame(
+        [(1, "old news"), (2, "old news"), (3, "evergreen piece")],
+        "doc_id int, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "old news"),          # exists in corpus → dropped
+            (11, "fresh scoop"),       # new, unique
+            (12, "fresh scoop"),       # within-batch dup of 11
+            (13, "another original"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.canonical_id: r.n_copies
+        for r in incremental_exact_dedup(
+            batch, corpus, "text", "doc_id", hashed=True
+        ).collect()
+    }
+    assert out == {11: 2, 13: 1}
+
+    docs = load_table(spark, "documents", SF_SMALL)
+    new, old = docs.filter("doc_id >= 30"), docs.filter("doc_id < 30")
+    h = incremental_exact_dedup(new, old, "text", "doc_id", hashed=True)
+    s = incremental_exact_dedup(new, old, "text", "doc_id", hashed=False)
+    assert h.exceptAll(s).count() == 0
+    assert s.exceptAll(h).count() == 0

@@ -46,6 +46,13 @@ SWEEP = [
     "temperature_mix",
     "source_reputation_filter",
     "sequence_packing",
+    "substring_dedup",
+    "substring_dedup_keep_first",
+    "incremental_dedup",
+    "q5_local_supplier_volume",
+    "q10_returned_item",
+    "q14_promo_revenue",
+    "q19_disjunctive_pricing",
 ]
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")

@@ -127,3 +127,15 @@ def test_join_strategy_hints_are_honored(spark):
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert node in plan, (hint, node)
+
+
+def test_q19_redundant_envelopes_reach_both_scans(spark):
+    """The OR-of-ANDs predicate spans both join sides and cannot be
+    pushed as-is; the hand-derived per-side envelopes (brand IN-list
+    on part, quantity range on lineitem) must appear as PushedFilters
+    on their respective scans so both prune before the join."""
+    plan = plan_of(spark, "q19_disjunctive_pricing")
+    flat = plan.replace(" ", "")
+    assert "In(p_brand" in flat  # brand envelope reached the part scan
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in flat
+    assert "LessThanOrEqual(l_quantity,30.0)" in flat
