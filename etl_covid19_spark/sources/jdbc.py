@@ -43,7 +43,11 @@ def jdbc_read_options(
     """Build the option map for a JDBC scan. Exactly one of `query`
     (pushdown, reference-style S3) or `dbtable` must be given;
     partitioned reads require dbtable + a numeric/date column with
-    bounds (Spark generates one range predicate per partition)."""
+    bounds (Spark generates one range predicate per partition).
+
+    Note this is the V1 `format("jdbc")` path: filters push down,
+    aggregates do NOT. For aggregate/limit pushdown use
+    `register_jdbc_catalog` (DSv2)."""
     if (query is None) == (dbtable is None):
         raise ValueError("exactly one of query/dbtable required")
     if query is not None and partition_column is not None:
@@ -73,6 +77,42 @@ def read_jdbc(spark: SparkSession, **kwargs) -> DataFrameReader:
     """Configured JDBC reader (call `.load()` to run). Kept as a
     reader so callers can layer extra options."""
     return spark.read.format("jdbc").options(**jdbc_read_options(**kwargs))
+
+
+def register_jdbc_catalog(
+    spark: SparkSession,
+    name: str,
+    url: str,
+    driver: str | None = None,
+    push_down_aggregate: bool = True,
+    push_down_limit: bool = True,
+) -> None:
+    """Expose a JDBC database as a Spark DSv2 catalog
+    (`JDBCTableCatalog`), the scale path for edge reads Spark's V1
+    `format("jdbc")` reader can't optimize: with
+    ``pushDownAggregate``/``pushDownLimit`` the database computes
+    MIN/MAX/SUM/COUNT/AVG group-bys and LIMITs and ships one row per
+    group instead of the raw table — for a warehouse-sized edge scan
+    that is gigabytes vs bytes over the wire. After registration the
+    database is queryable as ``SELECT … FROM <name>.<schema>.<table>``
+    and the scan node advertises `PushedAggregates`/
+    `PushedGroupByExpressions` (asserted against live Derby in
+    tests/test_jdbc_wire.py). Limit pushdown is additionally gated on
+    the dialect being able to express it (Derby has no LIMIT clause,
+    so Spark correctly keeps CollectLimit engine-side there)."""
+    base = f"spark.sql.catalog.{name}"
+    spark.conf.set(
+        base,
+        "org.apache.spark.sql.execution.datasources.v2.jdbc."
+        "JDBCTableCatalog",
+    )
+    spark.conf.set(f"{base}.url", url)
+    if driver:
+        spark.conf.set(f"{base}.driver", driver)
+    spark.conf.set(
+        f"{base}.pushDownAggregate", str(push_down_aggregate).lower()
+    )
+    spark.conf.set(f"{base}.pushDownLimit", str(push_down_limit).lower())
 
 
 def write_jdbc(

@@ -115,3 +115,40 @@ def test_jdbc_append_is_append(spark, derby_url):
         spark, url=derby_url, dbtable="wire_append", driver=DRIVER
     ).load()
     assert back.count() == 10
+
+
+def test_jdbc_catalog_aggregate_pushdown_returns_groups_not_rows(
+    spark, derby_url, roundtrip_table
+):
+    """DSv2 catalog path: the database computes the GROUP BY and
+    ships one row per group — the scan node advertises
+    PushedAggregates/PushedGroupByExpressions instead of a bare
+    column scan (V1 format('jdbc') cannot do this)."""
+    from etl_covid19_spark.sources.jdbc import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "derbycat", derby_url, driver=DRIVER)
+    df = spark.sql(
+        "SELECT cust, count(*) AS n, max(amount) AS max_amount "
+        "FROM derbycat.APP.WIRE_ORDERS GROUP BY cust"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedAggregates: [COUNT(*), MAX(amount)]" in plan
+    assert "PushedGroupByExpressions: [cust]" in plan
+    rows = {r.cust: (r.n, r.max_amount) for r in df.collect()}
+    assert len(rows) == 13
+    assert sum(n for n, _ in rows.values()) == 1000
+    assert all(mx == 6.0 for _, mx in rows.values())
+
+
+def test_jdbc_catalog_limit_is_dialect_gated(spark, derby_url, roundtrip_table):
+    """pushDownLimit is enabled on the catalog, but Derby's SQL
+    dialect has no LIMIT clause, so Spark must correctly DECLINE the
+    pushdown (CollectLimit stays Spark-side) rather than emit invalid
+    SQL — the conservative fallback a mixed-dialect edge needs.
+    Dialects with LIMIT (Postgres/MySQL/H2) advertise `PushedLimit`
+    on the same plumbing."""
+    from etl_covid19_spark.sources.jdbc import register_jdbc_catalog
+
+    register_jdbc_catalog(spark, "derbycat", derby_url, driver=DRIVER)
+    df = spark.sql("SELECT o_id FROM derbycat.APP.WIRE_ORDERS LIMIT 5")
+    assert len(df.collect()) == 5  # correct result despite no pushdown
