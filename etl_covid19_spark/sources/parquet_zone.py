@@ -224,6 +224,61 @@ def compact_zone(
     return len(partitions)
 
 
+def footer_stats_profile(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+) -> dict:
+    """MIN/MAX per column + row COUNT computed entirely from parquet
+    FOOTER statistics — zero data pages read. This is the zone-
+    maintenance fast path at 100 TB: freshness checks, partition
+    registration, and layout audits need these three numbers per
+    column, and scanning petabytes to recompute what every footer
+    already stores is the difference between seconds and hours.
+
+    Mechanics: Spark's DSv2 parquet scan supports aggregate pushdown
+    (`spark.sql.parquet.aggregatePushdown`) for MIN/MAX/COUNT over
+    un-nested, non-filtered scans; the plan shows
+    ``PushedAggregation: [MIN(..), MAX(..), COUNT(*)]`` and the scan
+    returns one pre-aggregated row per file from footer metadata.
+    The V1 file source ignores the conf, so the helper briefly routes
+    parquet through DSv2 (`useV1SourceList`), restoring both confs
+    after the action — scoped to this call, documented session-level
+    visibility during it.
+
+    Returns {"count": n, "<col>": (min, max), ...}.
+    """
+    conf = spark.conf
+    prev_push = conf.get("spark.sql.parquet.aggregatePushdown")
+    prev_v1 = conf.get("spark.sql.sources.useV1SourceList")
+    try:
+        conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        conf.set(
+            "spark.sql.sources.useV1SourceList",
+            ",".join(
+                s for s in prev_v1.split(",") if s.strip() != "parquet"
+            ),
+        )
+        aggs = [F.count(F.lit(1)).alias("count")]
+        for c in columns:
+            aggs.append(F.min(c).alias(f"{c}__min"))
+            aggs.append(F.max(c).alias(f"{c}__max"))
+        df = spark.read.parquet(path).agg(*aggs)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        if "PushedAggregation: [" not in plan or "COUNT(*)" not in plan:
+            raise RuntimeError(
+                "footer-stats pushdown did not engage; plan:\n" + plan
+            )
+        row = df.collect()[0]
+    finally:
+        conf.set("spark.sql.parquet.aggregatePushdown", prev_push)
+        conf.set("spark.sql.sources.useV1SourceList", prev_v1)
+    out: dict = {"count": row["count"]}
+    for c in columns:
+        out[c] = (row[f"{c}__min"], row[f"{c}__max"])
+    return out
+
+
 def morton_key(a: F.Column | str, b: F.Column | str, bits: int = 16) -> F.Column:
     """Z-order (Morton) interleave of two non-negative int columns,
     `bits` bits each → one long. Range-partitioning + sorting on this

@@ -135,3 +135,25 @@ def test_write_zone_caps_records_per_file(spark, tmp_path):
     assert len(files) == 10
     total = spark.read.parquet(path).count()
     assert total == 1000
+
+
+def test_footer_stats_profile_reads_no_data_pages(spark, tmp_path):
+    """MIN/MAX/COUNT from parquet footers via DSv2 aggregate
+    pushdown: the helper asserts PushedAggregation engaged (raising
+    otherwise), results match a full scan, and the session confs are
+    restored afterwards."""
+    from etl_covid19_spark.sources.parquet_zone import footer_stats_profile
+
+    path = str(tmp_path / "statszone")
+    spark.range(0, 50_000, 1, 8).selectExpr(
+        "id", "CAST(id % 997 AS DOUBLE) AS v"
+    ).write.parquet(path)
+
+    prev_v1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    stats = footer_stats_profile(spark, path, ["id", "v"])
+    assert stats["count"] == 50_000
+    assert stats["id"] == (0, 49_999)
+    assert stats["v"] == (0.0, 996.0)
+    # conf restored: parquet back on the V1 list, pushdown off
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == prev_v1
+    assert spark.conf.get("spark.sql.parquet.aggregatePushdown") == "false"
