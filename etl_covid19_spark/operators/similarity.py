@@ -321,3 +321,57 @@ def knn_graph(
         .where(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )
+
+
+def embedding_quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    levels: int = 255,
+) -> DataFrame:
+    """Per-dimension affine int8 quantization of an embedding column
+    — the standard 4× compression step before ANN indexing at scale
+    (float32 → uint8 per dimension, global per-dim min/max affine
+    map, the scalar-quantization baseline of the IVF/PQ family).
+
+    Dataflow: (1) per-dim min/max via posexplode + groupBy(dim) —
+    partial aggregation collapses each partition to d rows before the
+    shuffle, so the exchange carries d·partitions tiny rows, never
+    the corpus; (2) the d-row stats table is collected as BOUNDED
+    model parameters (same contract as the IVF centroids,
+    `ivf_topk`) and re-enters the plan as literal arrays; (3) the
+    quantize itself is a map-side `transform` over the array —
+    whole-stage codegen, zero shuffle, embarrassingly parallel.
+
+    All arithmetic is double ((x−mn)·levels/(mx−mn), floored,
+    clamped) so the DuckDB oracle reproduces it bit-for-bit;
+    constant dimensions (mx == mn) quantize to 0.
+
+    Returns (id_col, q_embedding array<int>).
+    """
+    stats_rows = (
+        df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    stats = {r.d: (float(r.mn), float(r.mx)) for r in stats_rows}
+    dim = len(stats)
+    mn_arr = F.array(*[F.lit(stats[i][0]) for i in range(dim)])
+    mx_arr = F.array(*[F.lit(stats[i][1]) for i in range(dim)])
+    lv = F.lit(float(levels))
+
+    def _q(x, i):
+        mn = F.element_at(mn_arr, i + 1)
+        mx = F.element_at(mx_arr, i + 1)
+        scaled = (x.cast("double") - mn) * lv / (mx - mn)
+        return (
+            F.when(mx == mn, F.lit(0))
+            .otherwise(F.least(F.floor(scaled), F.lit(levels)))
+            .cast("int")
+        )
+
+    return df.select(
+        F.col(id_col),
+        F.transform(F.col(vec_col), _q).alias("q_embedding"),
+    )

@@ -4513,3 +4513,41 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         hashed=False,
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, i AS o, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+    ),
+    s AS (
+      SELECT o - 1 AS d, MIN(x) AS mn, MAX(x) AS mx
+      FROM ex GROUP BY o
+    ),
+    qv AS (
+      SELECT ex.vec_id, ex.o,
+             CAST(CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST(FLOOR((ex.x - s.mn) * CAST(255 AS DOUBLE)
+                                   / (s.mx - s.mn)), 255) END AS INT) AS q
+      FROM ex JOIN s ON ex.o - 1 = s.d
+    )
+    SELECT vec_id, list(q ORDER BY o) AS q_embedding
+    FROM qv GROUP BY vec_id
+    """,
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (per-dim affine) int8 quantization of the embeddings
+    table (operators/similarity.embedding_quantize_int8): the 4×
+    compression step before ANN indexing at 100 TB. Stats shuffle is
+    d rows per partition (partial agg); the d-row model re-enters as
+    literals; the quantize is map-side codegen. Double arithmetic
+    end-to-end keeps the oracle bit-identical."""
+    from etl_covid19_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+
+    return embedding_quantize_int8(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )

@@ -366,3 +366,37 @@ def test_incremental_dedup_probes_corpus_without_rededuping_it(spark):
     s = incremental_exact_dedup(new, old, "text", "doc_id", hashed=False)
     assert h.exceptAll(s).count() == 0
     assert s.exceptAll(h).count() == 0
+
+
+def test_embedding_quantize_int8_bounds_and_error(spark):
+    """Quantized codes live in [0, 255]; dequantizing (mid-rise)
+    reconstructs each coordinate within one quantization step of the
+    original — the defining guarantee of per-dim affine scalar
+    quantization."""
+    from conftest import SF_SMALL
+
+    from etl_covid19_spark.operators.similarity import (
+        embedding_quantize_int8,
+    )
+    from etl_covid19_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    q = embedding_quantize_int8(emb, "embedding", "vec_id")
+    joined = emb.join(q, "vec_id").collect()
+    assert len(joined) > 0
+
+    import collections
+
+    dims = collections.defaultdict(list)
+    for r in joined:
+        for d, x in enumerate(r.embedding):
+            dims[d].append(float(x))
+    steps = {
+        d: (max(xs) - min(xs)) / 255 or 1.0 for d, xs in dims.items()
+    }
+    mins = {d: min(xs) for d, xs in dims.items()}
+    for r in joined:
+        for d, (x, code) in enumerate(zip(r.embedding, r.q_embedding)):
+            assert 0 <= code <= 255
+            deq = mins[d] + code * steps[d]
+            assert abs(float(x) - deq) <= steps[d] * (1 + 1e-9)
