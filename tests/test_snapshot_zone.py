@@ -1,0 +1,102 @@
+"""Snapshot-manifest zone: atomic commits, time travel, file-level
+DELETE/MERGE, crashed-writer invisibility, vacuum."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.sources import snapshot_zone as sz
+
+
+@pytest.fixture()
+def zone(spark, tmp_path):
+    path = str(tmp_path / "snapzone")
+    df = spark.range(100).selectExpr("id", "id % 10 AS k")
+    assert sz.snapshot_write(df, path, mode="overwrite") == 0
+    return path
+
+
+def test_append_overwrite_and_time_travel(spark, zone):
+    more = spark.range(100, 150).selectExpr("id", "id % 10 AS k")
+    v1 = sz.snapshot_write(more, zone, mode="append")
+    assert v1 == 1
+    assert sz.snapshot_read(spark, zone).count() == 150
+    # time travel: v0 still readable after the append
+    assert sz.snapshot_read(spark, zone, version=0).count() == 100
+    v2 = sz.snapshot_write(
+        spark.range(7).selectExpr("id", "id AS k"), zone, mode="overwrite"
+    )
+    assert v2 == 2
+    assert sz.snapshot_read(spark, zone).count() == 7
+    assert sz.snapshot_read(spark, zone, version=1).count() == 150
+
+
+def test_delete_rewrites_only_affected_files(spark, zone):
+    # spread v0 across many files so the predicate hits a subset
+    df = spark.range(1000).selectExpr("id", "id % 4 AS bucket")
+    path = zone + "_many"
+    sz.snapshot_write(df.repartition(8, "bucket"), path, mode="overwrite")
+    before = set(sz._read_manifest(path, 0)["files"])
+
+    n = sz.snapshot_delete_where(spark, path, F.col("bucket") == 3)
+    assert n == 250
+    after = set(sz._read_manifest(path, 1)["files"])
+    carried = before & after
+    assert carried, "untouched files must carry by reference"
+    # deleted rows are gone, survivors intact, old snapshot unchanged
+    cur = sz.snapshot_read(spark, path)
+    assert cur.filter("bucket = 3").count() == 0
+    assert cur.count() == 750
+    assert sz.snapshot_read(spark, path, version=0).count() == 1000
+
+
+def test_merge_upsert_file_granularity(spark, zone):
+    updates = spark.createDataFrame(
+        [(5, 500), (6, 600), (999, 999)], "id long, k long"
+    )
+    v = sz.snapshot_merge_upsert(spark, zone, updates, keys=["id"])
+    assert v == 1
+    cur = sz.snapshot_read(spark, zone)
+    got = {r.id: r.k for r in cur.collect()}
+    assert got[5] == 500 and got[6] == 600  # matched → updated
+    assert got[999] == 999  # unmatched → inserted
+    assert len(got) == 101
+    assert got[7] == 7  # untouched row intact
+
+
+def test_crashed_writer_is_invisible(spark, zone):
+    """Data files without a committed manifest must not affect
+    readers — the atomicity contract."""
+    orphan = spark.range(5000).selectExpr("id", "id AS k")
+    sz._write_data_files(orphan, zone)  # simulate crash pre-commit
+    assert sz.snapshot_read(spark, zone).count() == 100
+
+
+def test_vacuum_drops_orphans_and_old_versions(spark, zone):
+    sz._write_data_files(
+        spark.range(10).selectExpr("id", "id AS k"), zone
+    )  # orphan
+    sz.snapshot_write(
+        spark.range(3).selectExpr("id", "id AS k"), zone, mode="overwrite"
+    )
+    deleted = sz.vacuum(zone, keep_versions=1)
+    assert deleted  # orphan + v0 files removed
+    assert sz.current_version(zone) == 1
+    assert sz.snapshot_read(spark, zone).count() == 3
+    with pytest.raises(FileNotFoundError):
+        sz._read_manifest(zone, 0)
+    # nothing dangling on disk beyond the live snapshot
+    live = set(sz._read_manifest(zone, 1)["files"])
+    on_disk = {
+        os.path.relpath(p, zone)
+        for p in glob.glob(os.path.join(zone, "data", "*", "*.parquet"))
+    }
+    assert on_disk == live
+
+
+def test_commit_conflict_raises(spark, zone):
+    files = sz._read_manifest(zone, 0)["files"]
+    with pytest.raises(RuntimeError, match="conflict"):
+        sz._commit(zone, files, "append", parent=None)  # v0 exists
