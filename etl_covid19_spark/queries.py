@@ -4551,3 +4551,118 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_quantize_int8(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
     )
+
+
+@register(
+    "dedup_cluster_representatives",
+    oracle=r"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS sh FROM g),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS nc
+      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM c
+      WHERE nc * 1.0 / (na + nb - nc) >= 0.8
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, label) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node
+    ),
+    q AS (
+      SELECT doc_id,
+             round(0.3 * least(length(text) / 200.0, 1.0)
+                 + 0.3 * (CASE WHEN
+                       list_reduce(list_prepend(0,
+                           list_transform(toks, x -> length(x))),
+                                   (a, b) -> a + b)
+                         / greatest(len(toks), 1) BETWEEN 2 AND 12
+                       THEN 1.0 ELSE 0.3 END)
+                 + 0.2 * (1.0 - least(
+                       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                         / greatest(length(text), 1) * 5, 1.0))
+                 + 0.2 * least(
+                       len(list_filter(toks, x -> lower(x) IN
+                           ('the','a','an','and','or','of','to','in','is',
+                            'are','for','on','with','as','at','by','it',
+                            'this','that')))
+                         / greatest(len(toks), 1) * 4, 1.0), 6) AS quality
+      FROM t
+    ),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, q.quality,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY q.quality DESC, c.doc_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+      FROM clusters c JOIN q USING (doc_id)
+    )
+    SELECT cluster_id, doc_id AS rep_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           quality AS rep_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q_dedup_cluster_representatives(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Near-dup clusters with QUALITY-BASED representative selection
+    — the curation policy real pipelines use instead of keep-min-id:
+    within each connected component, keep the highest-quality member
+    (ties → smallest id). Clusters come from the same LSH pair graph
+    as `dedup_clusters`; the per-cluster argmax is a window over the
+    component (components are near-dup groups — bounded, so the
+    window partition never skews)."""
+    from etl_covid19_spark.functions.text import quality_score
+    from etl_covid19_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", n=3, num_hashes=96, bands=24, threshold=0.8
+    )
+    clusters = connected_components(pairs)
+    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    ranked = clusters.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("cluster_id")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wc))
+        .where(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("rep_doc_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("quality").alias("rep_quality"),
+        )
+    )

@@ -400,3 +400,50 @@ def test_embedding_quantize_int8_bounds_and_error(spark):
             assert 0 <= code <= 255
             deq = mins[d] + code * steps[d]
             assert abs(float(x) - deq) <= steps[d] * (1 + 1e-9)
+
+
+def test_quantized_ann_preserves_neighbor_ranking(spark):
+    """Brute-force top-10 over int8-DEQUANTIZED embeddings recalls
+    ≥0.8 of the float top-10 — the compression is usable for ANN,
+    not just storage."""
+    from conftest import SF_SMALL
+
+    from etl_covid19_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_quantize_int8,
+    )
+    from etl_covid19_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "embeddings", SF_SMALL)
+    q = embedding_quantize_int8(emb, "embedding", "vec_id")
+    # dequantize mid-rise back to double arrays (code → mn + code*step)
+    stats = (
+        emb.select(F.posexplode("embedding").alias("d", "x"))
+        .groupBy("d")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .collect()
+    )
+    mn = {r.d: float(r.mn) for r in stats}
+    step = {r.d: (float(r.mx) - float(r.mn)) / 255 or 1.0 for r in stats}
+    dim = len(stats)
+    mn_arr = F.array(*[F.lit(mn[i]) for i in range(dim)])
+    st_arr = F.array(*[F.lit(step[i]) for i in range(dim)])
+    deq = q.select(
+        "vec_id",
+        F.transform(
+            "q_embedding",
+            lambda c, i: F.element_at(mn_arr, i + 1)
+            + (c.cast("double") + F.lit(0.5)) * F.element_at(st_arr, i + 1),
+        ).alias("embedding"),
+    )
+    queries = emb.filter(F.col("vec_id") < 8)
+    dq_queries = deq.filter(F.col("vec_id") < 8)
+    exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+    approx = brute_force_topk(deq, dq_queries, "embedding", "vec_id", k=10)
+    ex, ap = {}, {}
+    for r in exact.collect():
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in approx.collect():
+        ap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(ex[k] & ap.get(k, set())) / 10 for k in ex]
+    assert sum(recalls) / len(recalls) >= 0.8
