@@ -65,7 +65,13 @@ def _read_manifest(path: str, version: int) -> dict:
         return json.load(f)
 
 
-def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
+def _commit(
+    path: str,
+    files: list[str],
+    op: str,
+    parent: int | None,
+    meta: dict | None = None,
+) -> int:
     """Make a snapshot visible: write the manifest to a temp name,
     then one atomic rename. A concurrent writer racing to the same
     version loses the rename (target exists → we fail loudly) —
@@ -84,6 +90,7 @@ def _commit(path: str, files: list[str], op: str, parent: int | None) -> int:
         "op": op,
         "files": sorted(files),
         "committed_at": time.time(),
+        **(meta or {}),
     }
     tmp = target + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
@@ -224,6 +231,60 @@ def snapshot_merge_upsert(
         merged = kept.unionByName(merged)
     new_files = _write_data_files(merged, path)
     return _commit(path, untouched + new_files, "merge", parent)
+
+
+def last_committed_epoch(path: str) -> int | None:
+    """Highest streaming epoch any snapshot has committed (None if
+    the zone has never been fed by a stream)."""
+    latest = current_version(path)
+    if latest is None:
+        return None
+    epochs = [
+        e
+        for v in range(latest + 1)
+        if (e := _read_manifest(path, v).get("epoch")) is not None
+    ]
+    return max(epochs) if epochs else None
+
+
+def streaming_snapshot_sink(path: str):
+    """EXACTLY-ONCE streaming sink: a `foreachBatch` function that
+    appends each micro-batch as one atomic snapshot commit stamped
+    with the batch's epoch id. Structured Streaming replays a failed
+    batch under the SAME id — the sink consults the zone's committed
+    epochs and skips replays whose commit already landed, so a crash
+    between the snapshot commit and the checkpoint ack cannot
+    double-write (at-least-once delivery + idempotent epoch-keyed
+    commit = exactly-once output, the same ledger trick Delta's
+    `txnAppId/txnVersion` uses).
+
+    Usage::
+
+        stream.writeStream.foreachBatch(streaming_snapshot_sink(p))
+              .option("checkpointLocation", cp)
+              .trigger(availableNow=True).start()
+    """
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        last = last_committed_epoch(path)
+        if last is not None and batch_id <= last:
+            return  # replay of an already-committed epoch
+        parent = current_version(path)
+        new_files = _write_data_files(batch_df, path)
+        base = (
+            _read_manifest(path, parent)["files"]
+            if parent is not None
+            else []
+        )
+        _commit(
+            path,
+            base + new_files,
+            "stream-append",
+            parent,
+            meta={"epoch": batch_id},
+        )
+
+    return commit_batch
 
 
 def vacuum(path: str, keep_versions: int = 1) -> list[str]:

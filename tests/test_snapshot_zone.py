@@ -100,3 +100,38 @@ def test_commit_conflict_raises(spark, zone):
     files = sz._read_manifest(zone, 0)["files"]
     with pytest.raises(RuntimeError, match="conflict"):
         sz._commit(zone, files, "append", parent=None)  # v0 exists
+
+
+def test_streaming_sink_is_exactly_once(spark, tmp_path):
+    """A real availableNow file-stream drive lands every input row
+    exactly once; replaying an epoch (simulated post-commit crash →
+    Structured Streaming redelivery under the same batch_id) commits
+    nothing new; the next epoch appends."""
+    src = str(tmp_path / "stream_src")
+    path = str(tmp_path / "stream_zone")
+    cp = str(tmp_path / "cp")
+    spark.range(100).selectExpr("id", "id % 5 AS k").write.parquet(src)
+
+    sink = sz.streaming_snapshot_sink(path)
+    stream = spark.readStream.schema("id long, k long").parquet(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert sz.snapshot_read(spark, path).count() == 100
+    v_after = sz.current_version(path)
+    epoch = sz.last_committed_epoch(path)
+
+    # redelivery of the same epoch: no new snapshot, no duplicates
+    replay = spark.range(100).selectExpr("id", "id % 5 AS k")
+    sink(replay, epoch)
+    assert sz.current_version(path) == v_after
+    assert sz.snapshot_read(spark, path).count() == 100
+
+    # the next epoch appends atomically
+    sink(spark.range(100, 130).selectExpr("id", "id % 5 AS k"), epoch + 1)
+    assert sz.snapshot_read(spark, path).count() == 130
+    assert sz.last_committed_epoch(path) == epoch + 1
