@@ -4666,3 +4666,206 @@ def q_dedup_cluster_representatives(
             F.col("quality").alias("rep_quality"),
         )
     )
+
+
+@register(
+    "q13_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    ) cnt
+    GROUP BY c_count
+    """,
+)
+def q_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — order-count histogram over a LEFT OUTER
+    join with an ON-side (not WHERE-side) filter, the classic
+    outer-join-semantics trap: customers with zero qualifying orders
+    must appear with c_count = 0, so the priority predicate belongs
+    in the join condition. Two hash aggregates, both map-side
+    partial."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey)
+        & (o.o_orderpriority != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0
+             AS avg_yearly,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#13'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+      )
+    """,
+)
+def q_q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — correlated scalar subquery (per-part average
+    quantity) gating the fact scan. Implemented as the decorrelated
+    form Catalyst itself would produce: one pre-aggregate per
+    p_partkey joined back to the filtered fact — no per-row subquery
+    execution, one extra shuffle keyed the same as the join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    avg_q = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cap")
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_q, on="l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_cap"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                .cast("double")
+                / F.lit(7.0)
+            ).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(o.o_totalprice AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+    FROM customer c, orders o, lineitem l
+    WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey
+            HAVING SUM(l_quantity) > 250
+          )
+      AND c.c_custkey = o.o_custkey
+      AND o.o_orderkey = l.l_orderkey
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+             o.o_totalprice
+    ORDER BY total_price DESC, o.o_orderkey ASC
+    LIMIT 20
+    """,
+)
+def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — IN-subquery with HAVING over the same fact
+    (big orders by total quantity), planned as an aggregate →
+    left-semi join, then the reporting join + top-k. The semi-join
+    side carries only qualifying order keys — tiny — so it
+    broadcasts."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .where(F.col("sq") > 250)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    filt_o = o.join(
+        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    grouped = (
+        li.join(filt_o, li.l_orderkey == filt_o.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("sum_qty")
+        )
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "order_date",
+            "total_price", "sum_qty",
+        )
+    )
+    return agg.top_k(
+        grouped,
+        [F.col("total_price").desc(), F.col("o_orderkey").asc()],
+        20,
+    )
+
+
+@register(
+    "q22_global_sales_opportunity",
+    oracle="""
+    SELECT CAST(c.c_custkey % 10 AS INT) AS cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT AVG(c2.c_acctbal) FROM customer c2
+            WHERE c2.c_acctbal > 0
+          )
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_totalprice > 400000
+          )
+    GROUP BY CAST(c.c_custkey % 10 AS INT)
+    """,
+)
+def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — rich customers who never ordered: an
+    uncorrelated scalar-average subquery (computed once, enters the
+    filter as a broadcast single-row cross join — no collect) plus a
+    NOT EXISTS (no big-ticket order) planned as a left-anti join
+    on the orders key after the price filter prunes the build side."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    avg_bal = c.where(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("cutoff")
+    )
+    rich = (
+        c.join(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("cutoff"))
+        .drop("cutoff")
+    )
+    never_ordered = rich.join(
+        o, rich.c_custkey == o.o_custkey, "left_anti"
+    )
+    return never_ordered.groupBy(
+        (F.col("c_custkey") % 10).cast("int").alias("cntrycode")
+    ).agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("totacctbal"),
+    )
