@@ -4869,3 +4869,532 @@ def q_q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("totacctbal"),
     )
+
+
+@register(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS unit_cost
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+           o.unit_cost
+    FROM offers o
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+      AND o.unit_cost = (
+        SELECT MIN(o2.unit_cost)
+        FROM offers o2
+        JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+        JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+        JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+        WHERE o2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — min-cost supplier per part, the correlated
+    MIN subquery classic. The part↔supplier offer relation (the
+    reference schema's partsupp) is derived from lineitem as the
+    minimum observed unit price per (part, supplier). Decorrelated:
+    one region-pruned offer frame, a per-part MIN pre-aggregate,
+    joined back on (partkey, unit_cost) — the exact plan Catalyst's
+    RewriteCorrelatedScalarSubquery would emit, with region/nation
+    broadcast and the fact aggregated before any wide join."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias(
+            "unit_cost"
+        )
+    )
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    regional = offers.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+    best = regional.groupBy(
+        F.col("l_partkey").alias("bp_partkey")
+    ).agg(F.min("unit_cost").alias("best_cost"))
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15).select(
+        "p_partkey", "p_name"
+    )
+    out = (
+        regional.join(
+            best,
+            (F.col("l_partkey") == F.col("bp_partkey"))
+            & (F.col("unit_cost") == F.col("best_cost")),
+        )
+        .drop("bp_partkey")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
+            "unit_cost",
+        )
+    )
+    return agg.top_k(
+        out,
+        [
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        ],
+        100,
+    )
+
+
+@register(
+    "q7_volume_shipping",
+    oracle="""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                    * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE)
+             AS revenue
+    FROM supplier s, lineitem l, orders o, customer c,
+         nation n1, nation n2
+    WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+      AND c.c_custkey = o.o_custkey AND s.s_nationkey = n1.n_nationkey
+      AND c.c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n1.n_name, n2.n_name, CAST(YEAR(l.l_shipdate) AS INT)
+    """,
+)
+def q_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — bilateral trade volume between two nations
+    by ship year. The nation pair disjunction is applied as a
+    post-join filter over two broadcast nation joins (supplier side
+    aliased n1, customer side n2); both single-nation prunes happen
+    first so the fact join never carries other nations' rows."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ["NATION_3", "NATION_7"]
+    n1 = n.filter(F.col("n_name").isin(pair)).withColumnRenamed(
+        "n_name", "supp_nation"
+    )
+    n2 = (
+        n.filter(F.col("n_name").isin(pair))
+        .withColumnRenamed("n_name", "cust_nation")
+        .withColumnRenamed("n_nationkey", "n2_nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate",
+             "l_extendedprice", "l_discount")
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    joined = (
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_nationkey"))
+        .where(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("l_year"),
+    ).agg(F.sum(ext * one_disc).cast("double").alias("revenue"))
+
+
+@register(
+    "q8_market_share",
+    oracle="""
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS volume,
+             n2.n_name AS supp_nation
+      FROM part p, supplier s, lineitem l, orders o, customer c,
+           nation n1, nation n2, region r
+      WHERE p.p_partkey = l.l_partkey AND s.s_suppkey = l.l_suppkey
+        AND l.l_orderkey = o.o_orderkey AND o.o_custkey = c.c_custkey
+        AND c.c_nationkey = n1.n_nationkey
+        AND n1.n_regionkey = r.r_regionkey AND r.r_name = 'AMERICA'
+        AND s.s_nationkey = n2.n_nationkey
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        AND p.p_type = 'ECONOMY'
+      ) all_nations
+    GROUP BY o_year
+    """,
+)
+def q_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: one nation's slice of
+    a region's part-type import volume by order year. The eight-way
+    join keeps every dim broadcast (part filtered to one type first);
+    the share is a conditional-sum / total-sum division computed in
+    ONE aggregate pass — never two scans of the joined fact."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    n1 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("n2_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey"
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    volume = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    joined = (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_nationkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        (
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")))
+            .cast("double")
+            / F.sum("volume").cast("double")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    "q11_important_stock",
+    oracle="""
+    WITH natval AS (
+      SELECT l.l_partkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS value_dec
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_3'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value_dec AS DOUBLE) AS part_value
+    FROM natval
+    WHERE CAST(value_dec AS DOUBLE) > (
+      SELECT 0.001 * CAST(SUM(value_dec) AS DOUBLE) FROM natval
+    )
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+)
+def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — parts whose one-nation inventory value
+    exceeds a FRACTION OF THE GLOBAL TOTAL: per-group aggregate
+    gated by an uncorrelated scalar aggregate over the same frame.
+    The per-part frame is computed once and reused for both sides
+    (self-referencing CTE); the scalar total enters as a broadcast
+    single-row cross join, never a collect. Threshold compare runs
+    in exact DECIMAL — only the reported value casts to double."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    natval = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
+                "value_dec"
+            )
+        )
+    )
+    total = natval.agg(
+        (F.lit(0.001) * F.sum("value_dec").cast("double")).alias("cutoff")
+    )
+    out = (
+        natval.join(F.broadcast(total))
+        .where(F.col("value_dec").cast("double") > F.col("cutoff"))
+        .select(
+            "l_partkey", F.col("value_dec").cast("double").alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+    return out
+
+
+@register(
+    "q15_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                 * CAST(1 - l_discount AS DECIMAL(8,4))) AS total_dec
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name,
+           CAST(r.total_dec AS DOUBLE) AS total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_dec = (SELECT MAX(total_dec) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — the top-revenue supplier for a quarter,
+    i.e. the VIEW + scalar-MAX-over-the-view pattern. The revenue
+    frame is built once; its MAX re-enters as a broadcast single-row
+    cross join (Spark reuses the shuffle output for both branches —
+    ReusedExchange in the plan). Equality on the exact DECIMAL total
+    keeps ties bit-deterministic where a double compare could flake."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    ext = F.col("l_extendedprice").cast("decimal(18,4)")
+    one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(ext * one_disc).alias("total_dec")
+    )
+    mx = revenue.agg(F.max("total_dec").alias("max_dec"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        revenue.join(F.broadcast(mx))
+        .where(F.col("total_dec") == F.col("max_dec"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q16_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#13'
+      AND p.p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — distinct-supplier counts per part attribute
+    triple, minus blacklisted suppliers. NOT IN over a non-nullable
+    key plans as a left-anti join (the tiny blacklist broadcasts);
+    COUNT(DISTINCT) expands to the two-phase partial-distinct
+    aggregate, so the shuffle carries (triple, suppkey) pairs, not
+    row multiplicity."""
+    excluded = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_size").isin(1, 9, 14, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(
+            F.broadcast(excluded),
+            li.l_suppkey == excluded.s_suppkey,
+            "left_anti",
+        )
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(),
+            F.col("p_brand").asc(),
+            F.col("p_type").asc(),
+            F.col("p_size").asc(),
+        )
+    )
+
+
+@register(
+    "q20_excess_quantity_suppliers",
+    oracle="""
+    WITH per_ps AS (
+      SELECT l_partkey, l_suppkey,
+             SUM(CAST(l_quantity AS DECIMAL(18,4))) AS supp_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    per_part AS (
+      SELECT l_partkey, SUM(supp_qty) AS part_qty FROM per_ps
+      GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_name, n.n_name
+    FROM per_ps ps
+    JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ps.supp_qty > 0.5 * pp.part_qty
+      AND n.n_name IN ('NATION_3', 'NATION_7')
+    ORDER BY s.s_name, n.n_name
+    """,
+)
+def q_q20_excess_quantity_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — suppliers holding an outsized share of a
+    part's yearly flow: NESTED aggregate subqueries (per-(part,supp)
+    sum vs half the per-part sum) feeding a semi-join against a
+    nation-pruned supplier list. Both aggregates reuse one shuffle
+    (the per-part total folds over the per-(part,supp) frame), and
+    the 0.5× threshold compare joins on partkey only — the same
+    decorrelation Q17 uses, one level deeper."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("supp_qty")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        per_ps.join(per_part, on="l_partkey")
+        .where(F.col("supp_qty") > F.lit(0.5) * F.col("part_qty"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "n_name")
+        .distinct()
+        .orderBy("s_name", "n_name")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+      AND s.s_nationkey = n.n_nationkey
+      AND n.n_name = 'NATION_3'
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — the sole-blocking-supplier query: EXISTS
+    (another supplier touched the order) + NOT EXISTS (no OTHER
+    supplier failed it). Both correlated subqueries collapse into
+    ONE per-order aggregate — distinct suppliers overall and
+    distinct failing suppliers — computed in a single shuffle over
+    the order key; the exists/not-exists pair becomes two scalar
+    predicates (n_supp > 1, n_fail_supp = 1) on the joined frame.
+    Counting stays per-l1-row, matching the reference semantics."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_fail_supp"),
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name")
+    )
+    l1 = li.filter(F.col("l_returnflag") == "R")
+    out = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(per_order, on="l_orderkey")
+        .where((F.col("n_supp") > 1) & (F.col("n_fail_supp") == 1))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+    return agg.top_k(
+        out, [F.col("numwait").desc(), F.col("s_name").asc()], 100
+    )
