@@ -43,16 +43,17 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Each query runs twice; the headline value is the min (steady-
-    # state throughput: Janino/JIT compile and ambient load excluded),
-    # with first-run times reported alongside for transparency.
+    # Each query runs three times; the headline value is the min
+    # (steady-state throughput: Janino/JIT compile and ambient host
+    # load excluded — this host swings ±30% between sessions), with
+    # first-run times reported alongside for transparency.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     for name, qd in headline.items():
         cold[name] = round(run_query(spark, qd.fn, sf_dir), 3)
     for name, qd in headline.items():
-        second = run_query(spark, qd.fn, sf_dir)
-        timings[name] = round(min(cold[name], second), 3)
+        warm = min(run_query(spark, qd.fn, sf_dir) for _ in range(2))
+        timings[name] = round(min(cold[name], warm), 3)
 
     total = round(sum(timings.values()), 3)
     print(

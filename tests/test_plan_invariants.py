@@ -53,7 +53,20 @@ SWEEP = [
     "q10_returned_item",
     "q14_promo_revenue",
     "q19_disjunctive_pricing",
+    "q2_min_cost_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q20_excess_quantity_suppliers",
+    "q21_waiting_suppliers",
 ]
+# q11/q15/q22 carry a deliberate single-row scalar-aggregate
+# broadcast (the uncorrelated scalar subquery) which Spark plans as a
+# BroadcastNestedLoopJoin over exactly one build row — constant work,
+# not O(n·m) — so they are excluded from the forbidden-node sweep.
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
