@@ -1907,7 +1907,10 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch aggregation — which is exactly what the oracle computes."""
     import uuid
 
-    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+    from etl_covid19_spark.sources.catalog import (
+        ensure_runtime_confs,
+        events_stream,
+    )
 
     # defensively apply nanosAsLong/UTC before the stream is built —
     # this query bypasses load_table, so on a host-built session it
@@ -1915,20 +1918,9 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_runtime_confs(spark)
 
     name = f"stream_tumb_{uuid.uuid4().hex[:8]}"
-    # events.ts is INT64 TIMESTAMP(NANOS); with the session's
-    # nanosAsLong it reads as epoch-nanos (see sources.catalog)
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        # the file source wants a directory; glob down to events
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select(
-            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-            "event_type",
-        )
+        events_stream(spark, sf_dir)
+        .select("ts", "event_type")
         .withWatermark("ts", "10 minutes")
     )
     agg_df = stream.groupBy(
@@ -1974,25 +1966,17 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is O(rate × (delay + window)), never the whole stream."""
     import uuid
 
-    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+    from etl_covid19_spark.sources.catalog import (
+        ensure_runtime_confs,
+        events_stream,
+    )
     from etl_covid19_spark.streaming.joins import interval_stream_join
 
     ensure_runtime_confs(spark)
 
     def event_stream():
-        return (
-            spark.readStream.schema(
-                "event_id long, ts long, user_id long, "
-                "event_type string, value double, props string"
-            )
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .select(
-                F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
-                "user_id",
-                "event_type",
-                "value",
-            )
+        return events_stream(spark, sf_dir).select(
+            "ts", "user_id", "event_type", "value"
         )
 
     clicks = (
@@ -3499,17 +3483,15 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     pick up dimension keys at scale without a stateful join."""
     import uuid
 
-    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+    from etl_covid19_spark.sources.catalog import (
+        ensure_runtime_confs,
+        events_stream,
+    )
 
     ensure_runtime_confs(spark)
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
         .select(
             ((F.col("user_id") % 100) + 1).alias("c_custkey"), "value"
@@ -3554,16 +3536,14 @@ def q_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle exact."""
     import uuid
 
-    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+    from etl_covid19_spark.sources.catalog import (
+        ensure_runtime_confs,
+        events_stream,
+    )
 
     ensure_runtime_confs(spark)
     stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+        events_stream(spark, sf_dir)
         .select("user_id", "event_type")
         .dropDuplicates(["user_id", "event_type"])
     )
@@ -3642,18 +3622,13 @@ def q_streaming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak."""
     import uuid
 
-    from etl_covid19_spark.sources.catalog import ensure_runtime_confs
+    from etl_covid19_spark.sources.catalog import (
+        ensure_runtime_confs,
+        events_stream,
+    )
 
     ensure_runtime_confs(spark)
-    stream = (
-        spark.readStream.schema(
-            "event_id long, ts long, user_id long, "
-            "event_type string, value double, props string"
-        )
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .select("user_id", "value")
-    )
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
     ranked = (
         stream.groupBy("user_id")
         .agg(

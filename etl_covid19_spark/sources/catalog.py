@@ -51,24 +51,69 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
             pass
 
 
+def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to the engine's TIMESTAMP
+    regardless of how the parquet writer encoded it. The warehouse
+    has shipped `events.ts` two ways across generations — INT64
+    TIMESTAMP(NANOS) (arrives as epoch-nanos under nanosAsLong) and
+    plain TIMESTAMP_MICROS with isAdjustedToUTC=false (arrives as
+    TIMESTAMP_NTZ) — so every consumer goes through this one
+    adapter instead of baking in a physical encoding. With the
+    session timezone pinned to UTC (ensure_runtime_confs) the
+    NTZ→LTZ cast is value-preserving and matches how DuckDB's
+    naive TIMESTAMP reads the same column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    field = next((f for f in df.schema.fields if f.name == col), None)
+    if field is None:
+        return df
+    if isinstance(field.dataType, T.LongType):
+        # epoch-nanos → truncate to micros (DuckDB does the same
+        # truncation reading nanos into its micro-precision type)
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(field.dataType, T.TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Columnar scan of one warehouse table (predicate/column pushdown free)."""
     ensure_runtime_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is INT64 TIMESTAMP(NANOS) parquet; with
-        # nanosAsLong it arrives as epoch-nanos — truncate to the
-        # engine's microsecond timestamp (same truncation DuckDB
-        # applies reading nanos into its micro-precision TIMESTAMP).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
-        ts_field = next(f for f in df.schema.fields if f.name == "ts")
-        if isinstance(ts_field.dataType, T.LongType):
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
+        df = _normalize_ts(df)
     return df
+
+
+def events_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """`readStream` over the events parquet with `ts` normalized to
+    TIMESTAMP. The file source needs an explicit schema, and that
+    schema must match the file's physical encoding, so the footer is
+    probed driver-side (pyarrow, no Spark job) and the matching DDL
+    is generated; `_normalize_ts` then converts whatever arrived.
+    All streaming registry queries come through here so a warehouse
+    re-generation can't strand five hand-written schemas."""
+    import pyarrow.parquet as pq
+
+    ensure_runtime_confs(spark)
+    phys = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if str(phys) == "int64":
+        ts_ddl = "long"
+    elif getattr(phys, "tz", None):
+        ts_ddl = "timestamp"
+    else:
+        ts_ddl = "timestamp_ntz"
+    stream = (
+        spark.readStream.schema(
+            f"event_id long, ts {ts_ddl}, user_id long, "
+            "event_type string, value double, props string"
+        )
+        # the file source wants a directory; glob down to events
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return _normalize_ts(stream)
 
 
 def load_tables(
