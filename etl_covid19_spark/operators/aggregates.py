@@ -92,6 +92,38 @@ def pivot_agg(
     return df.groupBy(key).pivot(pivot_col, pivot_values).agg(agg)
 
 
+def exact_moments(
+    df: DataFrame, keys: list[str], x: str, y: str
+) -> DataFrame:
+    """Bivariate moment sums (n, Σx, Σy, Σx², Σy², Σxy) accumulated in
+    exact DECIMAL and emitted as DOUBLE.
+
+    This is the scale-correct substrate for corr/covar/regr/stddev:
+    the built-in `corr()`/`covar_samp()` accumulate doubles in
+    partition order, so their low bits change with partitioning —
+    unacceptable for a differential gate and a real reproducibility
+    hazard on a 1000-executor job. Per-row products are exact doubles
+    (inputs are small-magnitude), the decimal sums are exact and
+    order-independent, and every downstream statistic becomes a pure
+    double formula over identical operands on any engine. Still one
+    map-side-combined hash aggregate — six partials per group key.
+    """
+    xc, yc = F.col(x), F.col(y)
+    dec = "decimal(38,8)"
+
+    def s(col: Column, name: str) -> Column:
+        return F.sum(col.cast(dec)).cast("double").alias(name)
+
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(xc, "sx"),
+        s(yc, "sy"),
+        s(xc * xc, "sxx"),
+        s(yc * yc, "syy"),
+        s(xc * yc, "sxy"),
+    )
+
+
 def percentiles(
     df: DataFrame,
     keys: list[str],

@@ -5373,3 +5373,162 @@ def q_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.top_k(
         out, [F.col("numwait").desc(), F.col("s_name").asc()], 100
     )
+
+
+# ---------------------------------------------------------------------------
+# Statistics kit (§2.5 extension): deterministic bivariate statistics,
+# deterministic mode, fixed-width histograms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stats_kit",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM lineitem GROUP BY l_returnflag
+    ), d AS (
+      SELECT l_returnflag, n,
+             (n * sxy - sx * sy) /
+               (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_qty_price,
+             (n * sxy - sx * sy) / (n * n) AS covar_pop,
+             (n * sxy - sx * sy) / (n * (n - 1)) AS covar_samp,
+             (n * sxy - sx * sy) / (n * sxx - sx * sx) AS regr_slope,
+             sqrt(n * sxx - sx * sx) / n AS stddev_pop_qty,
+             sx, sy
+      FROM m
+    )
+    SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows, corr_qty_price,
+           covar_pop, covar_samp, regr_slope,
+           (sy - regr_slope * sx) / n AS regr_intercept, stddev_pop_qty
+    FROM d ORDER BY l_returnflag
+    """,
+)
+def q_stats_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate statistics (corr / covar / regression line / stddev)
+    per return flag, derived from exact decimal moment sums
+    (`aggregates.exact_moments`) instead of the built-in `corr()` /
+    `covar_samp()` accumulators. The built-ins fold doubles in
+    partition order, so their low bits drift with partitioning and
+    executor count; the moment route is ONE map-side-combined hash
+    aggregate whose six partials are exact, making every derived
+    statistic bit-reproducible on any cluster size — the property a
+    100 TB differential gate actually needs. Formula shapes are
+    written identically on both engines so IEEE-correctly-rounded
+    ops land on identical bits (no transcendentals involved)."""
+    li = _t(spark, sf_dir, "lineitem")
+    m = agg.exact_moments(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    d = m.select(
+        "l_returnflag",
+        n,
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr_qty_price"),
+        ((n * sxy - sx * sy) / (n * n)).alias("covar_pop"),
+        ((n * sxy - sx * sy) / (n * (n - F.lit(1.0)))).alias("covar_samp"),
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("regr_slope"),
+        (F.sqrt(n * sxx - sx * sx) / n).alias("stddev_pop_qty"),
+        sx,
+        sy,
+    )
+    return d.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        "corr_qty_price",
+        "covar_pop",
+        "covar_samp",
+        "regr_slope",
+        (
+            (F.col("sy") - F.col("regr_slope") * F.col("sx")) / F.col("n")
+        ).alias("regr_intercept"),
+        "stddev_pop_qty",
+    ).orderBy("l_returnflag")
+
+
+@register(
+    "mode_per_group",
+    oracle="""
+    WITH counts AS (
+      SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY user_id % 10, event_type
+    ), ranked AS (
+      SELECT cohort, event_type, n_events,
+             ROW_NUMBER() OVER (
+               PARTITION BY cohort
+               ORDER BY n_events DESC, event_type ASC
+             ) AS rn
+      FROM counts
+    )
+    SELECT cohort, event_type AS mode_event, n_events
+    FROM ranked WHERE rn = 1 ORDER BY cohort
+    """,
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode. The built-in `mode()` aggregate
+    breaks frequency ties arbitrarily (hash-map iteration order), so
+    two runs of the same job can disagree — this spells the standard
+    fix: count per (group, value) with map-side partial aggregation,
+    then a rank-1 window with an explicit (count DESC, value ASC)
+    tiebreak. The window's partition count is |groups|, each holding
+    |distinct values| rows — never the raw events — so it scales as
+    an aggregate, not a sort of the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("cohort").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("cohort", F.col("event_type").alias("mode_event"), "n_events")
+        .orderBy("cohort")
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(least(floor(value / 25.0), 19) AS BIGINT) AS bucket,
+           CAST(least(floor(value / 25.0), 19) AS BIGINT) * CAST(25.0 AS DOUBLE) AS lo,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram over a measure column — the profiling
+    primitive behind data-quality dashboards and equi-width binning
+    for stratification. The bucket id is pure closed-form arithmetic
+    (floor of a division, clamped into the last bucket), so binning
+    rides inside whole-stage codegen and the aggregate shuffles one
+    partial per bucket — 20 rows of state regardless of input size.
+    No `width_bucket` dependency: the explicit floor keeps the
+    expression portable and bit-identical across engines."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("value", "decimal(18,4)").alias("sum_value"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 25.0).alias("lo"),
+            "n_rows",
+            "sum_value",
+        )
+        .orderBy("bucket")
+    )

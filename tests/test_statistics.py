@@ -1,0 +1,95 @@
+"""Statistics kit: exact-moment bivariate stats vs numpy ground truth,
+partition-invariance of the moment sums, histogram completeness."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.operators import aggregates as agg
+
+
+@pytest.fixture(scope="module")
+def xy_df(spark):
+    rng = np.random.default_rng(7)
+    x = np.round(rng.uniform(1, 50, 400), 2)
+    y = np.round(x * 3.5 + rng.normal(0, 20, 400), 2)
+    g = rng.integers(0, 3, 400)
+    rows = [(int(gi), float(xi), float(yi)) for gi, xi, yi in zip(g, x, y)]
+    df = spark.createDataFrame(rows, "g int, x double, y double")
+    return df, x, y, g
+
+
+def test_moments_match_numpy(spark, xy_df):
+    df, x, y, g = xy_df
+    m = {
+        r["g"]: r
+        for r in agg.exact_moments(df, ["g"], "x", "y").collect()
+    }
+    for gi in range(3):
+        mask = g == gi
+        r = m[gi]
+        assert r["n"] == mask.sum()
+        # inputs are 2-decimal values: per-row products are exact
+        # doubles, decimal sums are exact -> must match numpy's
+        # float128-free sums to double precision
+        np.testing.assert_allclose(r["sx"], x[mask].sum(), rtol=1e-12)
+        np.testing.assert_allclose(r["sxy"], (x[mask] * y[mask]).sum(), rtol=1e-12)
+
+
+def test_derived_stats_match_numpy(spark, xy_df):
+    df, x, y, g = xy_df
+    m = agg.exact_moments(df, [], "x", "y").collect()[0]
+    n, sx, sy = m["n"], m["sx"], m["sy"]
+    sxx, syy, sxy = m["sxx"], m["syy"], m["sxy"]
+    corr = (n * sxy - sx * sy) / (
+        np.sqrt(n * sxx - sx * sx) * np.sqrt(n * syy - sy * sy)
+    )
+    np.testing.assert_allclose(corr, np.corrcoef(x, y)[0, 1], rtol=1e-9)
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    np_slope, np_icept = np.polyfit(x, y, 1)
+    np.testing.assert_allclose(slope, np_slope, rtol=1e-9)
+    np.testing.assert_allclose((sy - slope * sx) / n, np_icept, rtol=1e-9)
+
+
+def test_moments_partition_invariant(spark, xy_df):
+    """The whole point of the decimal route: identical bits under any
+    partitioning. Built-in corr() does NOT have this property."""
+    df, *_ = xy_df
+    a = agg.exact_moments(df.coalesce(1), ["g"], "x", "y").collect()
+    b = agg.exact_moments(df.repartition(13, "x"), ["g"], "x", "y").collect()
+    key = lambda r: r["g"]  # noqa: E731
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
+        assert ra.asDict() == rb.asDict()  # exact equality, not approx
+
+
+def test_histogram_covers_all_rows(spark):
+    from etl_covid19_spark.queries import REGISTRY
+
+    out = REGISTRY["value_histogram"].fn(spark, "/root/testdata/sf0.001")
+    rows = out.collect()
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert sum(r["n_rows"] for r in rows) == ev.count()
+    assert all(0 <= r["bucket"] <= 19 for r in rows)
+    assert all(r["lo"] == r["bucket"] * 25.0 for r in rows)
+
+
+def test_mode_deterministic_tiebreak(spark):
+    df = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (1, "b"), (1, "a"), (1, "c")],
+        "user_id long, event_type string",
+    )
+    counts = df.groupBy(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cohort").orderBy(
+        F.col("n_events").desc(), F.col("event_type").asc()
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .collect()
+    )
+    # a and b tie at 2 -> alphabetical tiebreak must pick 'a'
+    assert top[0]["event_type"] == "a"
