@@ -5532,3 +5532,119 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# History & time-series regularization (§2.7/§2.8 extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_dimension",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev
+      FROM events
+    ), changes AS (
+      SELECT user_id, event_type, ts, event_id FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, ts AS valid_from,
+           lead(ts) OVER w AS valid_to,
+           ROW_NUMBER() OVER w AS version,
+           lead(ts) OVER w IS NULL AS is_current
+    FROM changes
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ORDER BY user_id, version
+    """,
+)
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension from an append-only change log: collapse
+    each user's event-type runs into [valid_from, valid_to) intervals
+    with version numbers and an is_current flag. The reference's
+    dimension load is Type 1 (latest wins, history lost —
+    `dags/ETL_covid19_SQL.py` dimension inserts); this is the
+    history-preserving upgrade, two window passes sharing ONE
+    (user_id) shuffle. The (ts, event_id) ordering is total, so run
+    boundaries are deterministic."""
+    from etl_covid19_spark.operators.scd import scd2_collapse
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    out = scd2_collapse(ev, "user_id", ["ts", "event_id"], "event_type")
+    return out.orderBy("user_id", "version")
+
+
+@register(
+    "gap_fill_interpolate",
+    oracle="""
+    WITH agg AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS _sum,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), span AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM agg GROUP BY event_type
+    ), grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM span
+    ), joined AS (
+      SELECT g.event_type, g.bucket_ts, a._sum / a.n_events AS avg_value
+      FROM grid g
+      LEFT JOIN agg a
+        ON g.event_type = a.event_type AND g.bucket_ts = a.bucket_ts
+    ), scan AS (
+      SELECT event_type, bucket_ts, avg_value,
+             CAST(epoch(bucket_ts) AS DOUBLE) AS t,
+             last_value(avg_value IGNORE NULLS) OVER wb AS pv,
+             last_value(CASE WHEN avg_value IS NOT NULL
+                             THEN CAST(epoch(bucket_ts) AS DOUBLE) END
+                        IGNORE NULLS) OVER wb AS pt,
+             first_value(avg_value IGNORE NULLS) OVER wf AS nv,
+             first_value(CASE WHEN avg_value IS NOT NULL
+                              THEN CAST(epoch(bucket_ts) AS DOUBLE) END
+                         IGNORE NULLS) OVER wf AS nt
+      FROM joined
+      WINDOW wb AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY event_type ORDER BY bucket_ts
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, bucket_ts,
+           CASE WHEN avg_value IS NOT NULL THEN avg_value
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                ELSE pv + (nv - pv) * ((t - pt) / (nt - pt)) END AS avg_value,
+           avg_value IS NULL AS filled
+    FROM scan ORDER BY event_type, bucket_ts
+    """,
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style gap-fill: hourly per-event-type averages on a
+    DENSE time grid, missing buckets linearly interpolated between
+    their nearest known neighbors (edge gaps take the single
+    neighbor). The grid is sequence()+explode per key (distributed,
+    bucket-grained), the join is bucket-grained equi-join, and both
+    interpolation scans share one (key, time) sort — raw events are
+    touched exactly once, in the initial map-side-combined aggregate.
+    Averages divide exact decimal sums and the lerp runs over
+    integral epoch seconds, so every engine lands on identical
+    bits."""
+    from etl_covid19_spark.operators import timeseries as ts
+
+    ev = _t(spark, sf_dir, "events")
+    agg_df = ts.bucket_aggregate(ev, "event_type", "ts", "value")
+    grid = ts.dense_grid(agg_df, "event_type")
+    joined = grid.join(agg_df, ["event_type", "bucket_ts"], "left").select(
+        "event_type",
+        "bucket_ts",
+        (F.col("_sum") / F.col("n_events")).alias("avg_value"),
+    )
+    out = ts.interpolate_gaps(joined, "event_type", "avg_value")
+    return out.orderBy("event_type", "bucket_ts")
