@@ -1,0 +1,112 @@
+"""Lexical retrieval (§7.2-step-9 extension): inverted index + BM25
+ranking over the documents corpus — the keyword-search half of a
+training-data curation stack (the embedding half lives in
+`operators/similarity`).
+
+Dataflow at 100 TB:
+- postings build = one map-side-combined hash aggregate per
+  (doc, term); shuffle state is the postings list, never raw text;
+- document-frequency table = second aggregate over postings keyed by
+  term only (small — |vocabulary| rows);
+- corpus stats (N, avgdl) = one scalar aggregate, broadcast as a
+  single build row (constant work, same pattern as the TPC-H q11/q15
+  scalar subqueries);
+- scoring = equi-join of postings against a BROADCAST query-term
+  list, so the only data touched is postings of query terms — the
+  inverted-index access pattern, expressed as join pruning;
+- top-k = TakeOrderedAndProject (per-partition heads, driver merge).
+
+Scores are rounded to 6 decimals before ranking: `ln` is the one
+transcendental in the formula and libm implementations may differ in
+the last ulp across engines — rounding makes rank order and values
+engine-stable (1e-6 is far below any meaningful score separation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[a-z0-9]+"
+
+
+def tokenize(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, term) pairs — lowercased alphanumeric runs. Stays in
+    codegen: regexp_extract_all + explode, no Python."""
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_RE), 0)
+        ).alias("term"),
+    )
+
+
+def postings(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Inverted-index postings: (term, doc_id, tf, dl). `dl` (doc
+    length in tokens) rides along via a window-free trick: total
+    tokens per doc is the sum of its tfs, recovered with a second
+    aggregate keyed by doc and joined back — both aggregates are
+    map-side combined and the join keys are already co-partitioned
+    by the first shuffle."""
+    tf = tokenize(docs, text_col).groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    return tf.join(dl, "doc_id")
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25-ranked top-k documents for a bag of query terms.
+
+    idf = ln(1 + (N - df + 0.5)/(df + 0.5))   (Robertson-Sparck Jones,
+    the +1 form that keeps idf positive for common terms)
+    tf' = tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl))
+    score(doc) = Σ_terms idf·tf', rounded to 6 dp (see module note).
+    """
+    spark = docs.sparkSession
+    post = postings(docs, text_col)
+    stats = post.groupBy().agg(
+        F.countDistinct("doc_id").cast("double").alias("n_docs"),
+        (
+            F.sum("tf").cast("double") / F.countDistinct("doc_id")
+        ).alias("avgdl"),
+    )
+    df_tbl = post.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    q = spark.createDataFrame([(t,) for t in query_terms], "term string")
+    scored = (
+        post.join(F.broadcast(q), "term")
+        .join(F.broadcast(df_tbl.join(F.broadcast(q), "term")), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tf_norm = (tfd * (k1 + 1.0)) / (
+        tfd
+        + k1 * (1.0 - b + b * (F.col("dl").cast("double") / F.col("avgdl")))
+    )
+    return (
+        scored.withColumn("_s", idf * tf_norm)
+        .groupBy("doc_id")
+        .agg(
+            # decimal-accumulate the per-term scores so the per-doc
+            # sum is independent of partial-aggregation order
+            F.round(
+                F.sum(F.col("_s").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("score"),
+            F.count(F.lit(1)).alias("n_terms_matched"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )

@@ -5648,3 +5648,107 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ts.interpolate_gaps(joined, "event_type", "avg_value")
     return out.orderBy("event_type", "bucket_ts")
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval & fuzzy matching (§7.2-step-9 extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ), dl AS (
+      SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+    ), stats AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs,
+             CAST(SUM(tf) AS DOUBLE) / COUNT(DISTINCT doc_id) AS avgdl
+      FROM tf
+    ), dft AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+      FROM tf GROUP BY term
+    ), q AS (
+      SELECT * FROM (VALUES ('vector'), ('stream'), ('window'), ('join'))
+      AS t(term)
+    ), scored AS (
+      SELECT tf.doc_id,
+             ln(1.0 + (s.n_docs - dft.df + 0.5) / (dft.df + 0.5)) *
+             ((CAST(tf.tf AS DOUBLE) * (1.2 + 1.0)) /
+              (CAST(tf.tf AS DOUBLE) +
+               1.2 * (1.0 - 0.75 +
+                      0.75 * (CAST(dl.dl AS DOUBLE) / s.avgdl)))) AS s
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dft ON tf.term = dft.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s
+    )
+    SELECT doc_id,
+           round(CAST(SUM(CAST(s AS DECIMAL(28,12))) AS DOUBLE), 6) AS score,
+           COUNT(*) AS n_terms_matched
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword search over the documents corpus: inverted-index
+    postings (one hash aggregate), term document frequencies, and a
+    scoring join where the BROADCAST query-term list prunes postings
+    down to only the queried terms — the classic inverted-index
+    access pattern as join pruning, no full-corpus scan past the
+    postings build. Top-k via TakeOrderedAndProject. Scores are
+    decimal-accumulated per doc and rounded to 6 dp so ranking is
+    engine- and partitioning-stable (ln is the one libm call)."""
+    from etl_covid19_spark.operators.search import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    return bm25_topk(docs, ["vector", "stream", "window", "join"], k=20)
+
+
+@register(
+    "fuzzy_join_nations",
+    oracle="""
+    WITH probes AS (
+      SELECT * FROM (VALUES
+        ('NATOIN_3'), ('NATION_12'), ('NATON_7'), ('REGIN_1'), ('XQZZY')
+      ) AS t(probe)
+    )
+    SELECT p.probe, n.n_name AS matched, 
+           levenshtein(p.probe, n.n_name) AS edit_dist
+    FROM probes p
+    JOIN nation n ON levenshtein(p.probe, n.n_name) <= 2
+    ORDER BY p.probe, edit_dist, matched
+    """,
+)
+def q_fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dimension lookup: match (possibly misspelled) probe
+    strings against the nation dimension within edit distance 2 —
+    the entity-resolution primitive for dirty reference data.
+    Levenshtein is unit-cost on both engines, so distances are
+    exact integers. The probe list is broadcast and the predicate is
+    a theta join — correct here ONLY because one side is a bounded
+    broadcast (|probes| × |dim| comparisons, dims are bounded); at
+    corpus scale the candidate set must come from an equi-joinable
+    blocking key first (the n-gram/LSH machinery in
+    operators/dedup)."""
+    n = _t(spark, sf_dir, "nation").select("n_name")
+    probes = spark.createDataFrame(
+        [("NATOIN_3",), ("NATION_12",), ("NATON_7",), ("REGIN_1",), ("XQZZY",)],
+        "probe string",
+    )
+    dist = F.levenshtein(F.col("probe"), F.col("n_name"))
+    return (
+        n.join(F.broadcast(probes), dist <= 2)
+        .select(
+            "probe",
+            F.col("n_name").alias("matched"),
+            dist.alias("edit_dist"),
+        )
+        .orderBy("probe", "edit_dist", "matched")
+    )
