@@ -53,6 +53,55 @@ def dense_grid(agg: DataFrame, key: str, bucket: str = "hour") -> DataFrame:
     )
 
 
+def rolling_zscore(
+    series: DataFrame,
+    key: str,
+    ts: str = "bucket_ts",
+    value: str = "v",
+    lookback: int = 24,
+    min_points: int = 12,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Trailing-window anomaly score: z = (v - mean)/stddev over the
+    `lookback` points strictly BEFORE each row (the row under test
+    never contaminates its own baseline). Rows with fewer than
+    `min_points` of history get NULL (cold start).
+
+    Determinism contract (same as `aggregates.exact_moments`): the
+    windowed Σv and Σv² accumulate in exact decimal, mean/std are
+    then pure double formulas — so the flag a row gets does not
+    depend on partitioning. One (key, time) sort serves all three
+    window aggregates.
+
+    At 100 TB the input here is already bucket-grained (run
+    `bucket_aggregate` first); the window partition is one key's
+    bucket series, bounded by the time span, never raw events.
+    """
+    v = F.col(value)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts)
+        .rowsBetween(-lookback, -1)
+    )
+    dec = "decimal(38,8)"
+    n = F.count(v).over(w).cast("double")
+    sx = F.sum(v.cast(dec)).over(w).cast("double")
+    sxx = F.sum((v * v).cast(dec)).over(w).cast("double")
+    mean = sx / n
+    std = F.sqrt(n * sxx - sx * sx) / n
+    z = F.when(
+        (F.count(v).over(w) >= min_points) & (std > 0.0),
+        (v - mean) / std,
+    )
+    return series.select(
+        key,
+        ts,
+        value,
+        z.alias("zscore"),
+        (F.abs(z) > threshold).alias("is_anomaly"),
+    )
+
+
 def interpolate_gaps(
     grid_joined: DataFrame, key: str, value: str = "avg_value"
 ) -> DataFrame:

@@ -5752,3 +5752,129 @@ def q_fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe", "edit_dist", "matched")
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics & anomaly detection (§2.8 extensions)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+    WITH s0 AS (
+      SELECT user_id, min(ts) AS t0 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), s1 AS (
+      SELECT e.user_id, min(e.ts) AS t1 FROM events e
+      JOIN s0 ON e.user_id = s0.user_id
+      WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY e.user_id
+    ), s2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e
+      JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY e.user_id
+    ), one AS (
+      SELECT (SELECT count(*) FROM s0) AS n0,
+             (SELECT count(*) FROM s1) AS n1,
+             (SELECT count(*) FROM s2) AS n2
+    ), tall AS (
+      SELECT 1 AS step_idx, 'view' AS step, n0 AS users FROM one
+      UNION ALL SELECT 2, 'click', n1 FROM one
+      UNION ALL SELECT 3, 'purchase', n2 FROM one
+    )
+    SELECT step_idx, step, users,
+           CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step_idx)
+             AS conv_from_prev
+    FROM tall ORDER BY step_idx
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict ordered funnel view → click → purchase: each stage
+    counts users whose step event comes strictly after their
+    previous-stage conversion. Every stage is a user-keyed
+    min-aggregate equi-joined to the previous stage — user-grained
+    shuffles, no event-grained window sort — and the whole funnel is
+    ONE lazy plan (per-step counts collapse into a single-row
+    aggregate, unpivoted with stack)."""
+    from etl_covid19_spark.operators.behavior import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_steps(ev, ["view", "click", "purchase"]).orderBy("step_idx")
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH first AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS cohort_day
+      FROM events GROUP BY user_id
+    ), active AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS active_day FROM events
+    )
+    SELECT f.cohort_day,
+           datediff('day', f.cohort_day, a.active_day) AS day_offset,
+           count(DISTINCT a.user_id) AS users
+    FROM active a JOIN first f ON a.user_id = f.user_id
+    WHERE datediff('day', f.cohort_day, a.active_day) <= 7
+    GROUP BY f.cohort_day, day_offset
+    ORDER BY f.cohort_day, day_offset
+    """,
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention triangle: users bucketed by first-seen day, counted
+    on each of their first 7 activity-day offsets. Two user-keyed
+    aggregates plus one user-grained equi-join; output is
+    |cohorts| × 8 rows."""
+    from etl_covid19_spark.operators.behavior import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev, max_offset_days=7).orderBy(
+        "cohort_day", "day_offset"
+    )
+
+
+@register(
+    "anomaly_zscore",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), scan AS (
+      SELECT event_type, bucket_ts, v,
+             CAST(COUNT(v) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(v AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(v * v AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_ts, v,
+           CASE WHEN n >= 12 AND sqrt(n * sxx - sx * sx) / n > 0
+                THEN (v - sx / n) / (sqrt(n * sxx - sx * sx) / n)
+           END AS zscore,
+           CASE WHEN n >= 12 AND sqrt(n * sxx - sx * sx) / n > 0
+                THEN abs((v - sx / n) / (sqrt(n * sxx - sx * sx) / n)) > 3.0
+           END AS is_anomaly
+    FROM scan ORDER BY event_type, bucket_ts
+    """,
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection over hourly value sums: each
+    bucket is scored against the mean/stddev of the 24 buckets
+    strictly before it (the row never contaminates its own baseline;
+    cold-start rows get NULL). Windowed sums accumulate in exact
+    decimal so the z-score — and therefore the anomaly FLAG — is
+    identical under any partitioning, which is what you need before
+    paging someone at 3am. Input is bucket-grained, so the window
+    partition is one key's series, never raw events."""
+    from etl_covid19_spark.operators import timeseries as ts
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ts.bucket_aggregate(ev, "event_type", "ts", "value").select(
+        "event_type", "bucket_ts", F.col("_sum").alias("v")
+    )
+    out = ts.rolling_zscore(
+        hourly, "event_type", "bucket_ts", "v", 24, 12, 3.0
+    )
+    return out.orderBy("event_type", "bucket_ts")

@@ -1,0 +1,107 @@
+"""Funnel / retention / rolling z-score: semantic invariants on
+hand-built timelines plus monotonicity checks at fixture scale."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.operators import timeseries as ts
+from etl_covid19_spark.operators.behavior import cohort_retention, funnel_steps
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+
+
+def test_funnel_strict_ordering(spark):
+    t = dt.datetime(2024, 1, 1)
+    h = dt.timedelta(hours=1)
+    ev = _ev(
+        spark,
+        [
+            # u1 completes in order
+            (1, t, "view"), (1, t + h, "click"), (1, t + 2 * h, "purchase"),
+            # u2: purchase BEFORE click -> converts step2 only
+            (2, t, "view"), (2, t + 2 * h, "click"), (2, t + h, "purchase"),
+            # u3: click before view -> stalls at step1
+            (3, t + h, "view"), (3, t, "click"),
+            # u4 never views -> not in funnel at all
+            (4, t, "click"), (4, t + h, "purchase"),
+        ],
+    )
+    out = {r.step: r for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()}
+    assert out["view"].users == 3
+    assert out["click"].users == 2
+    assert out["purchase"].users == 1
+    assert out["view"].conv_from_prev is None
+    assert out["click"].conv_from_prev == 2 / 3
+    assert out["purchase"].conv_from_prev == 0.5
+
+
+def test_funnel_counts_monotone_at_fixture_scale(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sorted(
+        funnel_steps(
+            ev.select("user_id", F.col("ts"), "event_type"),
+            ["view", "click", "purchase"],
+        ).collect(),
+        key=lambda r: r.step_idx,
+    )
+    assert out[0].users >= out[1].users >= out[2].users
+
+
+def test_cohort_offset_zero_counts_every_user(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = cohort_retention(ev).collect()
+    day0 = sum(r.users for r in out if r.day_offset == 0)
+    assert day0 == ev.select("user_id").distinct().count()
+    assert all(r.day_offset >= 0 for r in out)
+
+
+def test_retention_never_exceeds_cohort_size(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = cohort_retention(ev).collect()
+    size = {
+        r.cohort_day: r.users for r in out if r.day_offset == 0
+    }
+    assert all(r.users <= size[r.cohort_day] for r in out)
+
+
+def test_zscore_flags_obvious_spike(spark):
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(hours=i), 10.0 + (i % 3) * 0.1)
+        for i in range(30)
+    ]
+    rows.append(("k", base + dt.timedelta(hours=30), 500.0))  # spike
+    series = spark.createDataFrame(
+        rows, "event_type string, bucket_ts timestamp, v double"
+    )
+    out = {r.bucket_ts: r for r in ts.rolling_zscore(series, "event_type").collect()}
+    spike = out[base + dt.timedelta(hours=30)]
+    assert spike.is_anomaly and spike.zscore > 100
+    # steady rows are not anomalous; cold-start rows are NULL
+    assert out[base].zscore is None  # no history
+    steady = out[base + dt.timedelta(hours=20)]
+    assert steady.zscore is not None and not steady.is_anomaly
+
+
+def test_zscore_baseline_excludes_current_row(spark):
+    """A single outlier must not soften its own score: with the row
+    excluded from its baseline, a constant history gives std=0 ->
+    NULL for the next row, not a diluted z."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(hours=i), 10.0) for i in range(15)
+    ]
+    rows.append(("k", base + dt.timedelta(hours=15), 99.0))
+    series = spark.createDataFrame(
+        rows, "event_type string, bucket_ts timestamp, v double"
+    )
+    out = {r.bucket_ts: r for r in ts.rolling_zscore(series, "event_type").collect()}
+    # constant baseline -> std == 0 -> z undefined even for the spike
+    assert out[base + dt.timedelta(hours=15)].zscore is None
