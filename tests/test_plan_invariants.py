@@ -58,15 +58,26 @@ SWEEP = [
     "q8_market_share",
     "q13_customer_distribution",
     "q16_part_supplier_counts",
+    "stats_kit",
+    "mode_per_group",
+    "value_histogram",
+    "scd2_dimension",
+    "gap_fill_interpolate",
+    "funnel_conversion",
+    "cohort_retention",
+    "anomaly_zscore",
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q20_excess_quantity_suppliers",
     "q21_waiting_suppliers",
 ]
-# q11/q15/q22 carry a deliberate single-row scalar-aggregate
-# broadcast (the uncorrelated scalar subquery) which Spark plans as a
-# BroadcastNestedLoopJoin over exactly one build row — constant work,
-# not O(n·m) — so they are excluded from the forbidden-node sweep.
+# q11/q15/q22 and bm25_search carry a deliberate single-row
+# scalar-aggregate broadcast (uncorrelated scalar subquery / corpus
+# stats row) which Spark plans as a BroadcastNestedLoopJoin over
+# exactly one build row — constant work, not O(n·m) — so they are
+# excluded from the forbidden-node sweep. fuzzy_join_nations is a
+# documented bounded-broadcast theta join (|probes| × |dim|), also
+# excluded by design.
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
