@@ -78,6 +78,75 @@ def funnel_steps(
     )
 
 
+def event_sequences(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Per-user ordered event-initial string — the substrate for
+    regex pattern matching over behavior (MATCH_RECOGNIZE-lite):
+    `collect_list(struct(ts, tiebreak, chr))` in ONE hash aggregate,
+    sorted per group AFTER aggregation (array_sort on the struct
+    gives (ts, tiebreak) order without a global sort), then folded
+    to a string. The (ts, tiebreak) key is total, so the string is
+    deterministic.
+
+    Bound: one user's timeline must fit in a row (~bytes per event).
+    That is the same bound sessionization accepts; for pathological
+    users cap with slice() after the sort."""
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(ts).alias("t"),
+                        F.col(tiebreak).alias("k"),
+                        F.substring(F.col(etype), 1, 1).alias("c"),
+                    )
+                )
+            ),
+            lambda x: x["c"],
+        ),
+        "",
+    )
+    return events.groupBy(user).agg(seq.alias("seq"))
+
+
+def transition_matrix(
+    events: DataFrame,
+    user: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities between
+    event types, following each user's (ts, tiebreak)-ordered
+    timeline. One window pass keyed by user (lead), one hash
+    aggregate keyed by (from, to) — |types|² output rows. The
+    probability divides two exact longs, so it is deterministic."""
+    w = Window.partitionBy(user).orderBy(ts, tiebreak)
+    pairs = (
+        events.withColumn("_next", F.lead(F.col(etype)).over(w))
+        .where(F.col("_next").isNotNull())
+        .select(F.col(etype).alias("from_type"), F.col("_next").alias("to_type"))
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    w_from = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(w_from)
+        ).alias("prob"),
+    )
+
+
 def cohort_retention(
     events: DataFrame,
     max_offset_days: int = 7,

@@ -5878,3 +5878,134 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         hourly, "event_type", "bucket_ts", "v", 24, 12, 3.0
     )
     return out.orderBy("event_type", "bucket_ts")
+
+
+@register(
+    "sequence_pattern_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, length(seq) AS seq_len,
+           regexp_matches(seq, 'v.*c.*p') AS has_funnel_pattern
+    FROM seqs ORDER BY user_id
+    """,
+)
+def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex over behavior: fold each user's (ts, event_id)-ordered
+    event initials into a string and pattern-match it —
+    MATCH_RECOGNIZE-lite for funnels with arbitrary gaps
+    ('v.*c.*p' = view then click then purchase as a subsequence).
+    One hash aggregate (collect_list of structs, sorted per group
+    post-aggregation — no global sort) + a codegen'd rlike. The
+    per-user row bound is the same one sessionization accepts."""
+    from etl_covid19_spark.operators.behavior import event_sequences
+
+    ev = _t(spark, sf_dir, "events")
+    seqs = event_sequences(ev)
+    return seqs.select(
+        "user_id",
+        F.length("seq").alias("seq_len"),
+        F.col("seq").rlike("v.*c.*p").alias("has_funnel_pattern"),
+    ).orderBy("user_id")
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS to_type
+      FROM events
+    ), counts AS (
+      SELECT from_type, to_type, COUNT(*) AS n_transitions
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE) /
+             SUM(n_transitions) OVER (PARTITION BY from_type) AS prob
+    FROM counts ORDER BY from_type, to_type
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types along
+    each user's ordered timeline: one user-keyed window pass (lead),
+    one (from, to)-keyed aggregate, |types|² rows out. Probabilities
+    divide exact longs — deterministic under any partitioning."""
+    from etl_covid19_spark.operators.behavior import transition_matrix
+
+    ev = _t(spark, sf_dir, "events")
+    return transition_matrix(ev).orderBy("from_type", "to_type")
+
+
+@register(
+    "revenue_share",
+    oracle="""
+    WITH nat AS (
+      SELECT n.n_nationkey, n.n_name, r.r_name
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ), rev AS (
+      SELECT nat.r_name, nat.n_name,
+             CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nat ON c.c_nationkey = nat.n_nationkey
+      GROUP BY nat.r_name, nat.n_name
+    )
+    SELECT r_name, n_name, revenue,
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
+                          OVER (PARTITION BY r_name) AS DOUBLE)
+             AS share_of_region,
+           revenue / CAST(SUM(CAST(revenue AS DECIMAL(28,6)))
+                          OVER () AS DOUBLE) AS share_global
+    FROM rev ORDER BY r_name, n_name
+    """,
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue as a share of its
+    region and of the world. The heavy work is one fact-side
+    aggregate (map-side combined, broadcast dims); both window
+    denominators run over the 25-row AGGREGATED frame, so the
+    'global window' that would be a scale smell on raw data is
+    constant work here. Shares divide exact decimal-summed doubles:
+    deterministic. The region denominator re-derives (not carries)
+    so a filter pushdown upstream can't desync numerator/denominator."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name", "r_name"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nat), c.c_nationkey == nat.n_nationkey)
+        .groupBy("r_name", "n_name")
+        .agg(dsum("o_totalprice", "decimal(18,2)").alias("revenue"))
+    )
+    w_region = Window.partitionBy("r_name")
+    w_all = Window.partitionBy()
+    return rev.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(28,6)"))
+            .over(w_region)
+            .cast("double")
+        ).alias("share_of_region"),
+        (
+            F.col("revenue")
+            / F.sum(F.col("revenue").cast("decimal(28,6)"))
+            .over(w_all)
+            .cast("double")
+        ).alias("share_global"),
+    ).orderBy("r_name", "n_name")

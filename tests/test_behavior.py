@@ -105,3 +105,50 @@ def test_zscore_baseline_excludes_current_row(spark):
     out = {r.bucket_ts: r for r in ts.rolling_zscore(series, "event_type").collect()}
     # constant baseline -> std == 0 -> z undefined even for the spike
     assert out[base + dt.timedelta(hours=15)].zscore is None
+
+
+def test_event_sequences_ordered_and_deterministic(spark):
+    t = dt.datetime(2024, 1, 1)
+    ev = spark.createDataFrame(
+        [
+            # same ts for events 2/3: event_id must break the tie
+            (1, t + dt.timedelta(hours=1), 3, "purchase"),
+            (1, t, 1, "view"),
+            (1, t + dt.timedelta(hours=1), 2, "click"),
+        ],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    from etl_covid19_spark.operators.behavior import event_sequences
+
+    out = event_sequences(ev).collect()
+    assert out[0].seq == "vcp"
+    # order of input rows must not matter
+    out2 = event_sequences(ev.orderBy(F.rand(42))).collect()
+    assert out2[0].seq == "vcp"
+
+
+def test_transition_matrix_probs_sum_to_one(spark):
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from etl_covid19_spark.operators.behavior import transition_matrix
+
+    rows = transition_matrix(ev).collect()
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for from_type, group in by_from.items():
+        assert abs(sum(r.prob for r in group) - 1.0) < 1e-9
+        total = sum(r.n_transitions for r in group)
+        for r in group:
+            assert r.prob == r.n_transitions / total
+
+
+def test_transition_counts_match_timeline_length(spark):
+    """Σ transitions = Σ_users (len(timeline) - 1)."""
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    from etl_covid19_spark.operators.behavior import transition_matrix
+
+    n_trans = sum(
+        r.n_transitions for r in transition_matrix(ev).collect()
+    )
+    per_user = ev.groupBy("user_id").count().collect()
+    assert n_trans == sum(r["count"] - 1 for r in per_user)
