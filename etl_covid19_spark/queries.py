@@ -6009,3 +6009,32 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
         ).alias("share_global"),
     ).orderBy("r_name", "n_name")
+
+
+@register(
+    "pagerank_similarity",
+    oracle=None,  # iterative fixpoint: not SQL-expressible; rows-only +
+    # unit-test pinning (star/cycle graphs, mass conservation)
+)
+def q_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity-centrality ranking: PageRank over the approximate
+    kNN graph of document embeddings — central documents are
+    canonical-copy candidates, isolated ones are quality suspects.
+    Edges come from the LSH-banded kNN machinery (no all-pairs), and
+    each PageRank round is an edge-join + decimal-accumulated vertex
+    aggregate, so ranks are bit-identical under any partitioning.
+    Returns the top 50 by rank with a deterministic (rank desc, id)
+    tiebreak."""
+    from etl_covid19_spark.operators.graph import pagerank
+    from etl_covid19_spark.operators.similarity import knn_graph
+
+    emb = _t(spark, sf_dir, "embeddings")
+    edges = knn_graph(emb, "embedding", "vec_id", k=5).select(
+        F.col("src"), F.col("dst")
+    )
+    ranks = pagerank(edges, n_iter=10)
+    return agg.top_k(
+        ranks.select(F.col("vertex").alias("vec_id"), "rank"),
+        [F.col("rank").desc(), F.col("vec_id").asc()],
+        50,
+    )
