@@ -6038,3 +6038,129 @@ def q_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("rank").desc(), F.col("vec_id").asc()],
         50,
     )
+
+
+@register(
+    "quantized_centroids",
+    oracle="""
+    WITH ex AS (
+      SELECT vec_id, i AS o, CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) r(i)
+    ),
+    s AS (
+      SELECT o - 1 AS d, MIN(x) AS mn, MAX(x) AS mx
+      FROM ex GROUP BY o
+    ),
+    qv AS (
+      SELECT ex.vec_id, ex.o,
+             CAST(CASE WHEN s.mx = s.mn THEN 0
+                  ELSE LEAST(FLOOR((ex.x - s.mn) * CAST(255 AS DOUBLE)
+                                   / (s.mx - s.mn)), 255) END AS INT) AS q
+      FROM ex JOIN s ON ex.o - 1 = s.d
+    ),
+    qlab AS (
+      SELECT qv.vec_id, qv.o, qv.q, e.label
+      FROM qv JOIN embeddings e ON qv.vec_id = e.vec_id
+    ),
+    per AS (
+      SELECT label, o, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS m
+      FROM qlab GROUP BY label, o
+    ),
+    cnt AS (
+      SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
+    )
+    SELECT p.label, c.n_vectors, list(p.m ORDER BY p.o) AS centroid
+    FROM per p JOIN cnt c ON p.label = c.label
+    GROUP BY p.label, c.n_vectors ORDER BY p.label
+    """,
+)
+def q_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids over int8-QUANTIZED embeddings — the
+    class-prototype builder (nearest-centroid classification, cluster
+    seeding, drift monitoring), chained on the scalar quantizer.
+    Quantizing first is what makes the centroid exactly reproducible:
+    per-dim sums of small ints are exact under any partitioning and
+    any engine, where float sums are not. Dataflow: posexplode →
+    (label, dim) hash aggregate (partials collapse each partition to
+    |labels|·d rows pre-shuffle) → per-label array re-pack via sorted
+    collect_list (bounded: d entries per group)."""
+    from etl_covid19_spark.operators.similarity import embedding_quantize_int8
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = embedding_quantize_int8(emb, "embedding", "vec_id")
+    lab = emb.select("vec_id", "label")
+    ex = q.join(lab, "vec_id").select(
+        "label", F.posexplode("q_embedding").alias("d", "qv")
+    )
+    per = ex.groupBy("label", "d").agg(
+        (F.sum("qv").cast("double") / F.count(F.lit(1))).alias("m")
+    )
+    cnt = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
+    cent = per.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("m")))),
+            lambda x: x["m"],
+        ).alias("centroid")
+    )
+    return (
+        cent.join(F.broadcast(cnt), "label")
+        .select("label", "n_vectors", "centroid")
+        .orderBy("label")
+    )
+
+
+@register(
+    "chi_square_independence",
+    oracle="""
+    WITH cells AS (
+      SELECT user_id % 5 AS cohort, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id % 5, event_type
+    ), tot AS (
+      SELECT cohort, event_type, CAST(n AS DOUBLE) AS n,
+             CAST(SUM(n) OVER (PARTITION BY cohort) AS DOUBLE) AS rt,
+             CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE) AS ct,
+             CAST(SUM(n) OVER () AS DOUBLE) AS nn
+      FROM cells
+    )
+    SELECT
+      CAST(SUM(CAST(
+        (n - rt * ct / nn) * (n - rt * ct / nn) / (rt * ct / nn)
+        AS DECIMAL(38,12))) AS DOUBLE) AS chi2,
+      (COUNT(DISTINCT cohort) - 1) * (COUNT(DISTINCT event_type) - 1)
+        AS dof
+    FROM tot
+    """,
+)
+def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence statistic between user cohort
+    and event type — the categorical-drift / A-B-sanity primitive.
+    Observed and marginal totals are exact integers (one hash
+    aggregate + window sums over the |cohorts|×|types| cell frame);
+    each cell's (O-E)²/E term is a pure double formula and the final
+    reduction decimal-accumulates, so the statistic is bit-stable
+    under any partitioning. Cell frame is tiny; nothing touches raw
+    events after the first aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        (F.col("user_id") % 5).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_r = Window.partitionBy("cohort")
+    w_c = Window.partitionBy("event_type")
+    w_all = Window.partitionBy()
+    tot = cells.select(
+        "cohort",
+        "event_type",
+        F.col("n").cast("double").alias("n"),
+        F.sum("n").over(w_r).cast("double").alias("rt"),
+        F.sum("n").over(w_c).cast("double").alias("ct"),
+        F.sum("n").over(w_all).cast("double").alias("nn"),
+    )
+    e = F.col("rt") * F.col("ct") / F.col("nn")
+    term = (F.col("n") - e) * (F.col("n") - e) / e
+    return tot.agg(
+        F.sum(term.cast("decimal(38,12)")).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("cohort") - 1)
+            * (F.countDistinct("event_type") - 1)
+        ).alias("dof"),
+    )

@@ -93,3 +93,49 @@ def test_mode_deterministic_tiebreak(spark):
     )
     # a and b tie at 2 -> alphabetical tiebreak must pick 'a'
     assert top[0]["event_type"] == "a"
+
+
+def test_chi_square_matches_numpy(spark):
+    from etl_covid19_spark.queries import REGISTRY
+
+    row = REGISTRY["chi_square_independence"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    import numpy as np
+
+    cells = (
+        ev.groupBy((F.col("user_id") % 5).alias("c"), "event_type")
+        .count()
+        .collect()
+    )
+    cohorts = sorted({r.c for r in cells})
+    types = sorted({r.event_type for r in cells})
+    obs = np.zeros((len(cohorts), len(types)))
+    for r in cells:
+        obs[cohorts.index(r.c), types.index(r.event_type)] = r["count"]
+    exp = obs.sum(1, keepdims=True) * obs.sum(0, keepdims=True) / obs.sum()
+    chi2 = ((obs - exp) ** 2 / exp).sum()
+    np.testing.assert_allclose(row.chi2, chi2, rtol=1e-9)
+    assert row.dof == (len(cohorts) - 1) * (len(types) - 1)
+
+
+def test_quantized_centroids_match_manual_mean(spark):
+    from etl_covid19_spark.operators.similarity import embedding_quantize_int8
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    out = {
+        r.label: r for r in REGISTRY["quantized_centroids"].fn(spark, sf).collect()
+    }
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    q = embedding_quantize_int8(emb, "embedding", "vec_id").join(
+        emb.select("vec_id", "label"), "vec_id"
+    )
+    one_label = sorted(out)[0]
+    rows = q.where(F.col("label") == one_label).collect()
+    import numpy as np
+
+    manual = np.array([r.q_embedding for r in rows], dtype=np.int64).mean(0)
+    np.testing.assert_allclose(out[one_label].centroid, manual, rtol=1e-12)
+    assert out[one_label].n_vectors == len(rows)
