@@ -11,8 +11,6 @@ driver-side action — the whole funnel is ONE lazy plan.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -29,36 +27,48 @@ def funnel_steps(
     conversion time (earliest-qualifying semantics).
 
     Returns one row per step: (step_idx, step, users,
-    conv_from_prev). Each stage is a filtered per-user min-aggregate
-    equi-joined to the previous stage — |steps| user-grained
-    shuffles, no |events|-grained window sort, no driver actions:
-    the per-step counts collapse into ONE single-row aggregate,
-    unpivoted with stack() and ratioed with a lag window over
-    |steps| rows.
+    conv_from_prev).
+
+    SINGLE-PASS dataflow: the naive formulation (per-step aggregate,
+    equi-join to the previous stage) re-evaluates every earlier
+    stage's lineage per stage — quadratic re-scans of the fact table.
+    Instead, ONE events scan (filtered to funnel types, pushed to the
+    scan) feeds ONE user-keyed aggregate collecting each step's
+    sorted timestamp array; the strict-ordering walk (t_i = first
+    step-i timestamp AFTER t_{i-1}) is then a per-row chain of
+    higher-order `filter(...)[0]` lookups — codegen'd, no joins, no
+    further shuffles. Per-user array size is bounded by the user's
+    timeline, the same bound sessionization accepts. The per-step
+    counts collapse into ONE single-row aggregate, unpivoted with
+    stack() and ratioed with a lag window over |steps| rows.
     """
-    stages = []  # stages[i]: (user, _t{i}) = step-i conversion time
-    stage = (
-        events.where(F.col(etype) == steps[0])
+    per_user = (
+        events.where(F.col(etype).isin(steps))
         .groupBy(user)
-        .agg(F.min(ts).alias("_t0"))
-    )
-    stages.append(stage)
-    for i, step in enumerate(steps[1:], start=1):
-        stage = (
-            events.where(F.col(etype) == step)
-            .join(
-                stages[-1].select(user, F.col(f"_t{i-1}").alias("_prev")),
-                user,
-            )
-            .where(F.col(ts) > F.col("_prev"))
-            .groupBy(user)
-            .agg(F.min(ts).alias(f"_t{i}"))
+        .agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col(etype) == step, F.col(ts))
+                    )
+                ).alias(f"_a{i}")
+                for i, step in enumerate(steps)
+            ]
         )
-        stages.append(stage)
-    # later stages are user-subsets of earlier ones: left-join chain,
-    # then one row of per-step non-null counts
-    joined = reduce(lambda a, b: a.join(b, user, "left"), stages)
-    one = joined.agg(
+    )
+    # strict-order walk: t0 = first step-0 ts; t_i = first step-i ts
+    # strictly after t_{i-1} (NULL propagates: no prior conversion ->
+    # no later one)
+    walked = per_user.withColumn("_t0", F.try_element_at("_a0", F.lit(1)))
+    for i in range(1, len(steps)):
+        after_prev = F.filter(
+            F.col(f"_a{i}"),
+            lambda x: x > F.col(f"_t{i - 1}"),
+        )
+        walked = walked.withColumn(
+            f"_t{i}", F.try_element_at(after_prev, F.lit(1))
+        )
+    one = walked.agg(
         *[F.count(F.col(f"_t{i}")).alias(f"_n{i}") for i in range(len(steps))]
     )
     stack_expr = ", ".join(

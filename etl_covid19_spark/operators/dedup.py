@@ -154,64 +154,18 @@ def shingle_postings(
     )
 
 
-class _BoundedDFCache:
-    """Bounded LRU pool of persisted DataFrames shared by the dedup
-    family (the Jaccard/MinHash/cluster queries reuse the same
-    postings and candidate frames back-to-back).
-
-    Lifecycle discipline for a long-lived session:
-    - bounded: evicting the least-recently-used entry unpersists it,
-      so executor storage is capped at `max_entries` frames;
-    - invalidation-aware: keys include the input's file-listing
-      snapshot (`df.inputFiles()`), so rewriting the parquet at the
-      same path (new part-file names) misses the cache instead of
-      silently serving postings from the old corpus;
-    - `clear()` unpersists everything — pipeline reruns that rewrite
-      in place should call `clear_dedup_caches()`.
-    """
-
-    def __init__(self, max_entries: int = 8):
-        import threading
-
-        self._max = max_entries
-        self._entries: dict[tuple, DataFrame] = {}
-        # guards the dict AND the build: concurrent query threads
-        # (a multi-tenant driver) must not double-persist the same
-        # postings or evict a frame mid-insert
-        self._lock = threading.Lock()
-
-    def get_or_build(self, key: tuple, build) -> DataFrame:
-        with self._lock:
-            df = self._entries.pop(key, None)
-            if df is None:
-                df = build().persist()
-            self._entries[key] = df  # (re)insert at LRU tail
-            while len(self._entries) > self._max:
-                oldest = next(iter(self._entries))
-                self._entries.pop(oldest).unpersist(blocking=False)
-            return df
-
-    def clear(self) -> None:
-        with self._lock:
-            for df in self._entries.values():
-                df.unpersist(blocking=False)
-            self._entries.clear()
-
-
-_DF_CACHE = _BoundedDFCache()
+# the bounded LRU pool of persisted frames is shared engine-wide
+# (dedup postings, BM25 postings, bucketed time-series aggregates
+# all follow the same persist/evict/invalidate discipline) — see
+# operators/df_cache for the lifecycle rules
+from etl_covid19_spark.operators.df_cache import SHARED_CACHE as _DF_CACHE
+from etl_covid19_spark.operators.df_cache import corpus_key as _corpus_key
 
 
 def clear_dedup_caches() -> None:
     """Unpersist every cached postings/candidate frame. Call after
     rewriting a corpus parquet in place within the same session."""
     _DF_CACHE.clear()
-
-
-def _corpus_key(df: DataFrame) -> tuple:
-    """Cache key for an input corpus: plan identity + a snapshot of
-    the backing files (empty for in-memory frames, whose LocalRelation
-    plan already encodes the data in semanticHash)."""
-    return (df.semanticHash(), tuple(sorted(df.inputFiles())))
 
 
 def shingle_postings_cached(

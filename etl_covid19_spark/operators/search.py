@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
+
 TOKEN_RE = "[a-z0-9]+"
 
 
@@ -71,7 +73,16 @@ def bm25_topk(
     score(doc) = Σ_terms idf·tf', rounded to 6 dp (see module note).
     """
     spark = docs.sparkSession
-    post = postings(docs, text_col)
+    # the postings frame is referenced from three plan branches
+    # (stats, df table, scoring join); persist it via the shared
+    # bounded cache so the corpus is tokenized ONCE, not once per
+    # branch — this is "materialize the index", the same move a real
+    # search stack makes, with LRU eviction + file-snapshot
+    # invalidation handled by the pool
+    post = SHARED_CACHE.get_or_build(
+        ("bm25_postings", text_col, *corpus_key(docs)),
+        lambda: postings(docs, text_col),
+    )
     stats = post.groupBy().agg(
         F.countDistinct("doc_id").cast("double").alias("n_docs"),
         (

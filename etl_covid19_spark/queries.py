@@ -5637,9 +5637,16 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     integral epoch seconds, so every engine lands on identical
     bits."""
     from etl_covid19_spark.operators import timeseries as ts
+    from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
 
     ev = _t(spark, sf_dir, "events")
-    agg_df = ts.bucket_aggregate(ev, "event_type", "ts", "value")
+    # the bucket aggregate feeds BOTH the grid-span branch and the
+    # values side of the left join; persist it through the shared
+    # bounded pool so events is scanned once, not once per branch
+    agg_df = SHARED_CACHE.get_or_build(
+        ("bucket_agg_hour", "event_type", "value", *corpus_key(ev)),
+        lambda: ts.bucket_aggregate(ev, "event_type", "ts", "value"),
+    )
     grid = ts.dense_grid(agg_df, "event_type")
     joined = grid.join(agg_df, ["event_type", "bucket_ts"], "left").select(
         "event_type",

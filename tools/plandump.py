@@ -119,6 +119,51 @@ COMMENTARY = {
         "where the relational formulation (explode → count → window) "
         "would shuffle twice per doc key."
     ),
+    "scd2_dimension": (
+        "SCD Type-2 collapse: lag-filter and lead/row_number windows "
+        "share ONE (user_id) Exchange + Sort — the change-detection "
+        "pass and the interval-building pass pipeline inside the same "
+        "partition (plan-asserted in test_timeseries_scd)."
+    ),
+    "gap_fill_interpolate": (
+        "Gap-fill: raw events hit only the first partial+final hash "
+        "aggregate, persisted via the shared bounded pool "
+        "(InMemoryTableScan in both the grid-span branch and the "
+        "join side — ONE events scan); the dense grid is "
+        "sequence()+explode on the bucket-grained span frame; "
+        "grid←agg is an equi-join; both IGNORE-NULLS interpolation "
+        "windows reuse one (key, time) sort. No event-grained "
+        "window, no nested loop."
+    ),
+    "funnel_conversion": (
+        "Strict funnel, SINGLE events pass: one isin-filtered scan "
+        "feeds one user-keyed aggregate collecting sorted per-step "
+        "timestamp arrays; the strict-order walk is a codegen'd chain "
+        "of higher-order filter()[0] lookups (no joins), collapsed "
+        "into a single-row count aggregate and stack()ed to 3 rows. "
+        "The join-chained formulation re-scanned events 10× — this "
+        "plan shows 1 fact scan."
+    ),
+    "bm25_search": (
+        "BM25: postings (doc,term) aggregate → equi-join against the "
+        "BROADCAST 4-row query-term list prunes everything but queried "
+        "terms; the one-row corpus-stats frame enters as a single-row "
+        "broadcast (constant work); top-k is TakeOrderedAndProject."
+    ),
+    "anomaly_zscore": (
+        "Rolling z-score: one partial+final aggregate to hourly "
+        "buckets, then all three trailing-frame window aggregates "
+        "(count/Σ/Σ²) share a single (event_type, time) sort over the "
+        "bucket-grained frame."
+    ),
+    "quantized_centroids": (
+        "Quantized centroids: the quantize step is a map-side "
+        "transform over literal per-dim stats (d-row model, bounded "
+        "collect); centroid build is posexplode → (label,dim) hash "
+        "aggregate whose partials collapse each partition to "
+        "|labels|·d rows before the shuffle; array re-pack is a "
+        "bounded sorted collect_list per label."
+    ),
 }
 
 
