@@ -6171,3 +6171,66 @@ def q_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.countDistinct("event_type") - 1)
         ).alias("dof"),
     )
+
+
+@register(
+    "activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ), islands AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY d
+                 ) AS INTEGER) AS island
+      FROM days
+    ), streaks AS (
+      SELECT user_id, island, COUNT(*) AS streak_len,
+             MIN(d) AS streak_start
+      FROM islands GROUP BY user_id, island
+    ), ranked AS (
+      SELECT user_id, streak_len, streak_start,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id
+               ORDER BY streak_len DESC, streak_start ASC
+             ) AS rn
+      FROM streaks
+    )
+    SELECT user_id, streak_len AS longest_streak, streak_start
+    FROM ranked WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive
+    active days. The island key is the classic date-minus-row_number
+    trick — consecutive days share a constant difference — so streaks
+    fall out of one (user)-keyed window plus two user-grained
+    aggregates; no self-join, no iteration. Distinct-day state is
+    |user×days|, never raw events, and every window partitions by
+    user. Ties (two equal-length streaks) break on earliest start —
+    deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("d").alias("streak_start"),
+    )
+    w_r = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start").asc()
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(w_r))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("streak_len").alias("longest_streak"),
+            "streak_start",
+        )
+        .orderBy("user_id")
+    )

@@ -152,3 +152,45 @@ def test_transition_counts_match_timeline_length(spark):
     )
     per_user = ev.groupBy("user_id").count().collect()
     assert n_trans == sum(r["count"] - 1 for r in per_user)
+
+
+def test_activity_streaks_hand_case(spark):
+    d = dt.date
+    rows = [
+        # u1: 3-day streak, gap, 2-day streak -> longest 3 from Jan 1
+        (1, d(2024, 1, 1)), (1, d(2024, 1, 2)), (1, d(2024, 1, 3)),
+        (1, d(2024, 1, 10)), (1, d(2024, 1, 11)),
+        # u2: two 2-day streaks tie -> earliest start wins
+        (2, d(2024, 1, 5)), (2, d(2024, 1, 6)),
+        (2, d(2024, 2, 1)), (2, d(2024, 2, 2)),
+        # u3: single day
+        (3, d(2024, 3, 3)),
+    ]
+    ev = spark.createDataFrame(
+        [(u, dt.datetime.combine(day, dt.time(12))) for u, day in rows],
+        "user_id long, ts timestamp",
+    )
+    from etl_covid19_spark.queries import REGISTRY  # reuse the plan shape
+
+    days = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.withColumn(
+        "island", F.date_sub(F.col("d"), F.row_number().over(w))
+    )
+    streaks = islands.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"), F.min("d").alias("streak_start")
+    )
+    w_r = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), F.col("streak_start").asc()
+    )
+    out = {
+        r.user_id: r
+        for r in streaks.withColumn("rn", F.row_number().over(w_r))
+        .where("rn = 1")
+        .collect()
+    }
+    assert out[1].streak_len == 3 and out[1].streak_start == d(2024, 1, 1)
+    assert out[2].streak_len == 2 and out[2].streak_start == d(2024, 1, 5)
+    assert out[3].streak_len == 1
