@@ -146,3 +146,83 @@ def write_jdbc(
     if column_types:
         writer = writer.option("createTableColumnTypes", column_types)
     writer.save()
+
+
+def write_jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    driver: str | None = None,
+    batchsize: int = 10_000,
+    column_types: str | None = None,
+) -> None:
+    """Idempotent JDBC upsert: stage + MERGE — the exactly-once
+    pattern for external-warehouse sinks.
+
+    The reference re-INSERTs on retry (quirk Q1: a re-run doubles the
+    day's rows). Blind append can never be retry-safe over JDBC, so
+    this sink does what production loaders do:
+
+    1. the batch lands in a STAGING table (plain batched append —
+       parallel executor connections, same as `write_jdbc`);
+    2. one transactional ``MERGE INTO target USING staging ON keys``
+       statement upserts it into the target (executed through the
+       driver's JVM JDBC connection — a single DDL-sized statement,
+       not a data path: rows move inside the database);
+    3. the staging table is dropped.
+
+    Re-running the same batch MERGEs to the identical target state —
+    idempotent under at-least-once orchestration (the engine-side
+    twin of the parquet zones' dynamic partition overwrite). Derby /
+    Postgres / Oracle all speak this MERGE; integration-tested over
+    live embedded Derby in ``tests/test_jdbc_wire.py``.
+    """
+    spark = df.sparkSession
+    stage = f"{table}_stage"
+    cols = df.columns
+    non_keys = [c for c in cols if c not in keys]
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        # drop leftover staging from a crashed run (retry safety)
+        for ddl in (f"DROP TABLE {stage}",):
+            try:
+                st = conn.createStatement()
+                st.executeUpdate(ddl)
+                st.close()
+            except Exception:
+                pass  # staging didn't exist — normal path
+        write_jdbc(
+            df,
+            url,
+            stage,
+            mode="overwrite",
+            batchsize=batchsize,
+            driver=driver,
+            column_types=column_types,
+        )
+        # Spark's JDBC writer creates columns as QUOTED identifiers
+        # (case-sensitive); the MERGE must quote them the same way
+        def q(c: str) -> str:
+            return '"' + c + '"'
+
+        on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+        set_clause = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+        insert_cols = ", ".join(q(c) for c in cols)
+        insert_vals = ", ".join(f"s.{q(c)}" for c in cols)
+        merge = (
+            f"MERGE INTO {table} t USING {stage} s ON {on} "
+            + (f"WHEN MATCHED THEN UPDATE SET {set_clause} " if non_keys else "")
+            + f"WHEN NOT MATCHED THEN INSERT ({insert_cols}) "
+            f"VALUES ({insert_vals})"
+        )
+        st = conn.createStatement()
+        st.executeUpdate(merge)
+        st.close()
+        st = conn.createStatement()
+        st.executeUpdate(f"DROP TABLE {stage}")
+        st.close()
+    finally:
+        conn.close()

@@ -152,3 +152,59 @@ def test_jdbc_catalog_limit_is_dialect_gated(spark, derby_url, roundtrip_table):
     register_jdbc_catalog(spark, "derbycat", derby_url, driver=DRIVER)
     df = spark.sql("SELECT o_id FROM derbycat.APP.WIRE_ORDERS LIMIT 5")
     assert len(df.collect()) == 5  # correct result despite no pushdown
+
+
+def test_jdbc_upsert_is_idempotent_and_updates(spark, derby_url):
+    """S6 upgrade: stage+MERGE upsert over the live wire. Retrying
+    the same batch must not duplicate rows (the reference's quirk Q1
+    doubled them); a changed batch must update matched keys in
+    place."""
+    from etl_covid19_spark.sources.jdbc import write_jdbc, write_jdbc_upsert
+
+    target = "wire_upsert"
+    base = spark.range(10).selectExpr(
+        "id AS k", "CAST(id AS DOUBLE) AS v"
+    )
+    # seed the target over plain JDBC (MERGE needs it to exist)
+    write_jdbc(base, derby_url, target, mode="append", driver=DRIVER)
+
+    batch = spark.range(5, 15).selectExpr(
+        "id AS k", "CAST(id * 100 AS DOUBLE) AS v"
+    )
+    for _ in range(2):  # second run = the at-least-once retry
+        write_jdbc_upsert(batch, derby_url, target, keys=["k"], driver=DRIVER)
+        got = {
+            r.k: r.v
+            for r in read_jdbc(spark, url=derby_url, dbtable=target)
+            .load()
+            .collect()
+        }
+        assert len(got) == 15  # 0..14, no duplicates ever
+        for k in range(5):
+            assert got[k] == float(k)  # untouched rows keep old values
+        for k in range(5, 15):
+            assert got[k] == float(k * 100)  # matched rows updated
+
+
+def test_jdbc_upsert_survives_leftover_staging(spark, derby_url):
+    """A crashed previous run leaves the staging table behind; the
+    next upsert must clear it and land correctly."""
+    from etl_covid19_spark.sources.jdbc import write_jdbc, write_jdbc_upsert
+
+    target = "wire_upsert2"
+    write_jdbc(
+        spark.range(3).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v"),
+        derby_url, target, mode="append", driver=DRIVER,
+    )
+    # simulate the crash: staging exists with stale content
+    write_jdbc(
+        spark.range(99, 100).selectExpr("id AS k", "CAST(-1 AS DOUBLE) AS v"),
+        derby_url, f"{target}_stage", mode="append", driver=DRIVER,
+    )
+    batch = spark.range(3).selectExpr("id AS k", "CAST(7 AS DOUBLE) AS v")
+    write_jdbc_upsert(batch, derby_url, target, keys=["k"], driver=DRIVER)
+    got = {
+        r.k: r.v
+        for r in read_jdbc(spark, url=derby_url, dbtable=target).load().collect()
+    }
+    assert got == {0: 7.0, 1: 7.0, 2: 7.0}  # stale staging row 99 is gone
