@@ -208,3 +208,51 @@ def test_jdbc_upsert_survives_leftover_staging(spark, derby_url):
         for r in read_jdbc(spark, url=derby_url, dbtable=target).load().collect()
     }
     assert got == {0: 7.0, 1: 7.0, 2: 7.0}  # stale staging row 99 is gone
+
+
+def test_streaming_jdbc_upsert_replay_safe(spark, derby_url, tmp_path):
+    """Streaming exactly-once to an external warehouse: run the same
+    bounded stream TWICE (full replay, fresh checkpoint each time —
+    the worst-case redelivery) into the MERGE sink; the target must
+    hold each key exactly once with the final aggregate values."""
+    from etl_covid19_spark.sources.catalog import events_stream
+    from etl_covid19_spark.sources.jdbc import write_jdbc
+    from etl_covid19_spark.streaming.sinks import jdbc_upsert_sink
+
+    target = "wire_stream_counts"
+    # seed an empty typed target (MERGE needs the table to exist)
+    seed = spark.createDataFrame([], "user_id long, n_events long")
+    write_jdbc(seed, derby_url, target, mode="append", driver=DRIVER)
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    expected = {
+        r.user_id: r.n
+        for r in spark.read.parquet(f"{sf}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    for attempt in range(2):  # second run = total replay
+        agg = (
+            events_stream(spark, sf)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+        )
+        q = (
+            agg.writeStream.outputMode("update")
+            .foreachBatch(jdbc_upsert_sink(derby_url, target, ["user_id"], DRIVER))
+            .option("checkpointLocation", str(tmp_path / f"ckpt{attempt}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            r.user_id: r.n_events
+            for r in read_jdbc(spark, url=derby_url, dbtable=target)
+            .load()
+            .collect()
+        }
+        assert got == expected, f"attempt {attempt}"
