@@ -6234,3 +6234,86 @@ def q_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "window_dist_suite",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(spend, 3) OVER (
+             ORDER BY spend DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_highest_spend
+    FROM per_cust
+    WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    ORDER BY spend DESC, o_custkey LIMIT 100
+    """,
+)
+def q_window_dist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window breadth: percent_rank / cume_dist /
+    nth_value over per-customer spend. The global window is over the
+    AGGREGATED per-customer frame (|customers| rows, one partial-
+    combined aggregate upstream) — at 100 TB you'd partition the rank
+    window by a coarse bucket and merge, but the aggregate-first
+    shape is what keeps the sorted frame small. Ordering carries a
+    unique tiebreak so every rank function is deterministic."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "decimal(18,2)").alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    w_full = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        per_cust.select(
+            "o_custkey",
+            "spend",
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+            F.nth_value("spend", 3).over(w_full).alias("third_highest_spend"),
+        )
+        .orderBy(F.col("spend").desc(), "o_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "agg_predicates",
+    oracle="""
+    SELECT l_returnflag,
+           count_if(l_quantity > 25.0) AS n_bulk,
+           bool_and(l_extendedprice > 0.0) AS all_priced,
+           bool_or(l_discount > 0.09) AS any_deep_discount,
+           CAST(COUNT(CASE WHEN l_tax = 0.0 THEN 1 END) AS BIGINT)
+             AS n_tax_free
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+)
+def q_agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-aggregate breadth: count_if / bool_and / bool_or /
+    conditional COUNT — the data-quality assertion aggregates
+    (completeness and invariant checks as ONE pass over the fact,
+    all map-side combined). Deterministic by construction: booleans
+    and counts carry no float accumulation."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count_if(F.col("l_quantity") > 25.0).alias("n_bulk"),
+            F.bool_and(F.col("l_extendedprice") > 0.0).alias("all_priced"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+            F.count(
+                F.when(F.col("l_tax") == 0.0, F.lit(1))
+            ).alias("n_tax_free"),
+        )
+        .orderBy("l_returnflag")
+    )

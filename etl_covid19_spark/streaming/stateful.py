@@ -248,3 +248,87 @@ def running_user_stats(
             timeMode="None",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score — the anomaly detector's streaming twin
+# ---------------------------------------------------------------------------
+
+ZSCORE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("bucket_us", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("zscore", T.DoubleType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+ZSCORE_STATE_SCHEMA = T.StructType(
+    [T.StructField("hist", T.ArrayType(T.DoubleType()))]
+)
+
+
+def zscore_stream(
+    stream: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "bucket_ts",
+    value_col: str = "v",
+    lookback: int = 24,
+    min_points: int = 12,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming twin of `timeseries.rolling_zscore`: each key's
+    state is the trailing ring of up to `lookback` bucket values;
+    every arriving bucket is scored against the ring BEFORE being
+    pushed into it (the batch operator's strictly-before baseline),
+    so a replayed series produces identical flags to the batch pass —
+    the parity the test asserts.
+
+    State is O(lookback) doubles per key — bounded regardless of
+    stream length, the property that lets a million-key topology run
+    forever. Input buckets must arrive time-ordered per key (feed it
+    from an upstream windowed aggregate, which closes buckets in
+    watermark order)."""
+    import math
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hist = list(state.get[0]) if state.exists else []
+        pdf = pd.concat(list(pdfs)).sort_values(ts_col)
+        ts_us = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+        out = []
+        for t_us, v in zip(ts_us, pdf[value_col].astype(float)):
+            ring = hist[-lookback:]
+            z, flag = None, None
+            if len(ring) >= min_points:
+                n = float(len(ring))
+                sx = math.fsum(ring)
+                sxx = math.fsum(x * x for x in ring)
+                var_n2 = n * sxx - sx * sx
+                std = math.sqrt(var_n2) / n if var_n2 > 0 else 0.0
+                if std > 0:
+                    z = (v - sx / n) / std
+                    flag = abs(z) > threshold
+            out.append((str(key[0]), int(t_us), float(v), z, flag))
+            hist.append(float(v))
+        state.update((hist[-lookback:],))
+        yield pd.DataFrame(
+            out, columns=[f.name for f in ZSCORE_OUT_SCHEMA.fields]
+        )
+
+    return (
+        stream.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=ZSCORE_OUT_SCHEMA,
+            stateStructType=ZSCORE_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

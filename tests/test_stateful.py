@@ -240,3 +240,75 @@ def test_transform_with_state_running_totals(spark, tmp_path):
         (1, 3): (1, 7.0),
         (2, 1): (1, 5.0),
     }
+
+
+def test_zscore_stream_matches_batch_operator(spark, tmp_path):
+    """Batch/stream parity for anomaly detection: the same bucketed
+    series — split across TWO micro-batches so state must carry —
+    scores identically to timeseries.rolling_zscore (modulo the
+    decimal-vs-fsum accumulation, < 1e-9)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.operators.timeseries import rolling_zscore
+    from etl_covid19_spark.streaming.stateful import zscore_stream
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (
+            "k",
+            base + dt.timedelta(hours=i),
+            10.0 + (i % 5) * 0.7 + (300.0 if i == 40 else 0.0),
+        )
+        for i in range(48)
+    ]
+    series = spark.createDataFrame(
+        rows, "event_type string, bucket_ts timestamp, v double"
+    )
+    batch = {
+        r.bucket_ts: r
+        for r in rolling_zscore(series, "event_type").collect()
+    }
+
+    # two files -> maxFilesPerTrigger=1 forces two micro-batches
+    src = tmp_path / "buckets"
+    series.where(F.col("bucket_ts") < base + dt.timedelta(hours=24)).coalesce(
+        1
+    ).write.parquet(str(src / "p1"))
+    series.where(
+        F.col("bucket_ts") >= base + dt.timedelta(hours=24)
+    ).coalesce(1).write.parquet(str(src / "p2"))
+
+    stream = (
+        spark.readStream.schema(
+            "event_type string, bucket_ts timestamp, v double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        zscore_stream(stream)
+        .writeStream.format("memory")
+        .queryName("zs_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        dt.datetime(1970, 1, 1) + dt.timedelta(microseconds=r.bucket_us): r
+        for r in spark.table("zs_out").collect()
+    }
+    assert len(got) == 48
+    n_flagged = 0
+    for ts_key, b in batch.items():
+        s = got[ts_key]
+        if b.zscore is None:
+            assert s.zscore is None, ts_key
+        else:
+            assert abs(s.zscore - b.zscore) < 1e-9, ts_key
+            assert s.is_anomaly == b.is_anomaly, ts_key
+            n_flagged += 1 if b.is_anomaly else 0
+    assert n_flagged >= 1  # the hour-40 spike is flagged in BOTH paths
