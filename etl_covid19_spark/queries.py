@@ -6317,3 +6317,103 @@ def q_agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "dataset_split",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM h ORDER BY doc_id
+    """,
+)
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment via a
+    Knuth multiplicative hash on the document id — pure integer
+    arithmetic, so the SAME document lands in the SAME split on any
+    engine, any cluster size, any rerun (the reproducibility property
+    `rand()`-based splitting silently lacks, and the reason eval
+    contamination audits are possible at all). Map-side only: no
+    shuffle, no state."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % F.lit(100)
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(F.col("bucket") < 80, "train")
+        .when(F.col("bucket") < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "split_leakage",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, text,
+             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+                  THEN 'train'
+                  WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                  THEN 'valid' ELSE 'test' END AS split
+      FROM documents
+    ), groups AS (
+      SELECT text, COUNT(*) AS n_copies,
+             COUNT(DISTINCT split) AS n_splits
+      FROM h GROUP BY text HAVING COUNT(*) > 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS dup_groups,
+           CAST(COUNT(CASE WHEN n_splits > 1 THEN 1 END) AS BIGINT)
+             AS leaking_groups,
+           CAST(COALESCE(SUM(CASE WHEN n_splits > 1 THEN n_copies END), 0)
+                AS BIGINT) AS leaking_docs
+    FROM groups
+    """,
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: duplicate-text groups whose members span
+    MORE THAN ONE split — the eval-contamination failure mode a
+    random per-doc split guarantees at corpus scale (duplicates land
+    in train AND test). One text-keyed aggregate (at 100 TB, key on
+    xxhash64(text) as the dedup family does); the split assignment is
+    the same arithmetic hash as `dataset_split`, so the audit is
+    reproducible anywhere. The fix this audit motivates: split by
+    CLUSTER representative (dedup_clusters), not by raw doc."""
+    docs = _t(spark, sf_dir, "documents")
+    bucket = (
+        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
+    ) % F.lit(100)
+    h = docs.select(
+        "text",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "valid")
+        .otherwise("test")
+        .alias("split"),
+    )
+    groups = (
+        h.groupBy("text")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("split").alias("n_splits"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("dup_groups"),
+        F.count(F.when(F.col("n_splits") > 1, F.lit(1))).alias(
+            "leaking_groups"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("n_splits") > 1, F.col("n_copies"))),
+            F.lit(0),
+        ).cast("long").alias("leaking_docs"),
+    )

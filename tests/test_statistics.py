@@ -139,3 +139,32 @@ def test_quantized_centroids_match_manual_mean(spark):
     manual = np.array([r.q_embedding for r in rows], dtype=np.int64).mean(0)
     np.testing.assert_allclose(out[one_label].centroid, manual, rtol=1e-12)
     assert out[one_label].n_vectors == len(rows)
+
+
+def test_dataset_split_deterministic_and_proportional(spark):
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    a = REGISTRY["dataset_split"].fn(spark, sf).collect()
+    b = REGISTRY["dataset_split"].fn(spark, sf).collect()
+    assert [(r.doc_id, r.split) for r in a] == [
+        (r.doc_id, r.split) for r in b
+    ]  # rerun-identical
+    n = len(a)
+    frac = {
+        s: sum(1 for r in a if r.split == s) / n
+        for s in ("train", "valid", "test")
+    }
+    assert 0.7 < frac["train"] < 0.9  # ~80/10/10 at small n
+    assert 0.03 < frac["valid"] < 0.2
+    assert 0.03 < frac["test"] < 0.2
+
+
+def test_split_leakage_counts_are_consistent(spark):
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["split_leakage"].fn(spark, sf).collect()[0]
+    assert row.leaking_groups <= row.dup_groups
+    # every leaking group has >= 2 members by construction
+    assert row.leaking_docs >= 2 * row.leaking_groups
