@@ -156,6 +156,18 @@ COMMENTARY = {
         "(count/Σ/Σ²) share a single (event_type, time) sort over the "
         "bucket-grained frame."
     ),
+    "activity_streaks": (
+        "Gaps-and-islands: distinct (user, day) state feeds the "
+        "date-minus-row_number island key inside ONE user-partitioned "
+        "window; streak aggregation and best-streak rank reuse the "
+        "same user-grained partitioning — no self-join, no iteration."
+    ),
+    "dataset_split": (
+        "Deterministic split assignment: a bare Project over the scan "
+        "(Knuth multiplicative hash is integer arithmetic in "
+        "whole-stage codegen) — ZERO exchanges; the property that "
+        "makes train/test membership reproducible at any scale."
+    ),
     "quantized_centroids": (
         "Quantized centroids: the quantize step is a map-side "
         "transform over literal per-dim stats (d-row model, bounded "
