@@ -6417,3 +6417,125 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("long").alias("leaking_docs"),
     )
+
+
+@register(
+    "equidepth_histogram",
+    oracle="""
+    WITH ranked AS (
+      SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS tile
+      FROM events
+    )
+    SELECT tile, COUNT(*) AS n_rows,
+           MIN(value) AS lo, MAX(value) AS hi,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+    FROM ranked GROUP BY tile ORDER BY tile
+    """,
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (decile buckets of equal row count) — the
+    other profiling primitive next to the equi-width one
+    (`value_histogram`), and the substrate for optimizer-style
+    selectivity estimation. ntile carries a unique (value, event_id)
+    tiebreak so bucket membership is total-order deterministic.
+    Scale note: a global ntile sorts — fine at bucket-able sizes;
+    at 100 TB swap in approx_percentile cut points + the closed-form
+    binning of value_histogram (same output contract, no global
+    sort). The exact form here IS the oracle for that swap."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("value", "event_id")
+    ranked = ev.select(
+        "value", F.ntile(10).over(w).alias("tile")
+    )
+    return (
+        ranked.groupBy("tile")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+            dsum("value", "decimal(18,4)").alias("sum_value"),
+        )
+        .orderBy("tile")
+    )
+
+
+@register(
+    "correlation_matrix",
+    oracle="""
+    WITH m AS (
+      SELECT
+        CAST(COUNT(*) AS DOUBLE) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s2,
+        CAST(SUM(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s3,
+        CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s11,
+        CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s22,
+        CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s33,
+        CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s12,
+        CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s13,
+        CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s23
+      FROM lineitem
+    )
+    SELECT pair, corr FROM (
+      SELECT 'quantity~extendedprice' AS pair,
+             (n*s12 - s1*s2) / (sqrt(n*s11 - s1*s1) * sqrt(n*s22 - s2*s2)) AS corr, 1 AS ord
+      FROM m
+      UNION ALL
+      SELECT 'quantity~discount',
+             (n*s13 - s1*s3) / (sqrt(n*s11 - s1*s1) * sqrt(n*s33 - s3*s3)), 2
+      FROM m
+      UNION ALL
+      SELECT 'extendedprice~discount',
+             (n*s23 - s2*s3) / (sqrt(n*s22 - s2*s2) * sqrt(n*s33 - s3*s3)), 3
+      FROM m
+    ) ORDER BY ord
+    """,
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise correlation matrix over three measures from ONE pass:
+    a single scalar aggregate collects all 9 decimal-exact moment
+    sums (the built-in route runs one corr() pass per pair — 3 scans
+    here, 45 at 10 columns), then every pairwise correlation is a
+    pure double formula over identical operands — deterministic and
+    engine-portable, same contract as `stats_kit`."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = "decimal(38,8)"
+    c1, c2, c3 = F.col("l_quantity"), F.col("l_extendedprice"), F.col("l_discount")
+
+    def s(col, name):
+        return F.sum(col.cast(dec)).cast("double").alias(name)
+
+    m = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        s(c1, "s1"), s(c2, "s2"), s(c3, "s3"),
+        s(c1 * c1, "s11"), s(c2 * c2, "s22"), s(c3 * c3, "s33"),
+        s(c1 * c2, "s12"), s(c1 * c3, "s13"), s(c2 * c3, "s23"),
+    )
+
+    def corr_expr(sa, sb, saa, sbb, sab):
+        n = F.col("n")
+        return (n * F.col(sab) - F.col(sa) * F.col(sb)) / (
+            F.sqrt(n * F.col(saa) - F.col(sa) * F.col(sa))
+            * F.sqrt(n * F.col(sbb) - F.col(sb) * F.col(sb))
+        )
+
+    pairs = [
+        ("quantity~extendedprice", corr_expr("s1", "s2", "s11", "s22", "s12")),
+        ("quantity~discount", corr_expr("s1", "s3", "s11", "s33", "s13")),
+        ("extendedprice~discount", corr_expr("s2", "s3", "s22", "s33", "s23")),
+    ]
+    # ONE reference to the aggregate: explode an array of structs
+    # (a unionByName of per-pair selects would recompute the full
+    # moments scan once per pair — the exact waste this op removes)
+    return m.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("pair"), expr.alias("corr")
+                    )
+                    for name, expr in pairs
+                ]
+            )
+        ).alias("kv")
+    ).select("kv.pair", "kv.corr")

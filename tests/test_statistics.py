@@ -168,3 +168,27 @@ def test_split_leakage_counts_are_consistent(spark):
     assert row.leaking_groups <= row.dup_groups
     # every leaking group has >= 2 members by construction
     assert row.leaking_docs >= 2 * row.leaking_groups
+
+
+def test_correlation_matrix_single_scan(spark):
+    from etl_covid19_spark.queries import REGISTRY
+
+    df = REGISTRY["correlation_matrix"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1, plan  # one moments pass
+    rows = {r.pair: r.corr for r in df.collect()}
+    assert len(rows) == 3
+    assert all(-1.0 <= v <= 1.0 for v in rows.values())
+
+
+def test_equidepth_buckets_are_balanced_and_ordered(spark):
+    from etl_covid19_spark.queries import REGISTRY
+
+    rows = REGISTRY["equidepth_histogram"].fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 10
+    counts = [r.n_rows for r in rows]
+    assert max(counts) - min(counts) <= 1  # equal depth (±1 remainder)
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo  # buckets tile the sorted domain
