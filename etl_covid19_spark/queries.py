@@ -6539,3 +6539,64 @@ def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("kv")
     ).select("kv.pair", "kv.corr")
+
+
+@register(
+    "seasonal_baseline",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), season AS (
+      SELECT event_type, EXTRACT(hour FROM bucket_ts) AS hod,
+             CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) AS sv,
+             COUNT(*) AS nh
+      FROM hourly GROUP BY event_type, EXTRACT(hour FROM bucket_ts)
+    )
+    SELECT h.event_type, h.bucket_ts, h.v,
+           s.sv / s.nh AS seasonal_mean,
+           h.v - s.sv / s.nh AS residual
+    FROM hourly h
+    JOIN season s
+      ON h.event_type = s.event_type
+     AND EXTRACT(hour FROM h.bucket_ts) = s.hod
+    ORDER BY h.event_type, h.bucket_ts
+    """,
+)
+def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal decomposition, the simplest honest form: each hourly
+    bucket's value against its (event_type, hour-of-day) seasonal
+    mean, residual = value − baseline — what turns a daily-rhythm
+    metric into something the z-score detector can threshold without
+    flagging every evening peak. Two bucket-grained aggregates and a
+    broadcast-able (|types|×24)-row profile joined back; the seasonal
+    mean divides decimal-exact sums, so residuals are deterministic.
+    Raw events are touched once."""
+    from etl_covid19_spark.operators import timeseries as ts
+    from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = SHARED_CACHE.get_or_build(
+        ("bucket_agg_hour", "event_type", "value", *corpus_key(ev)),
+        lambda: ts.bucket_aggregate(ev, "event_type", "ts", "value"),
+    ).select("event_type", "bucket_ts", F.col("_sum").alias("v"))
+    season = hourly.groupBy(
+        "event_type", F.hour("bucket_ts").alias("hod")
+    ).agg(
+        F.sum(F.col("v").cast("decimal(38,8)")).cast("double").alias("sv"),
+        F.count(F.lit(1)).alias("nh"),
+    )
+    mean = F.col("sv") / F.col("nh")
+    return (
+        hourly.withColumn("hod", F.hour("bucket_ts"))
+        .join(F.broadcast(season), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "bucket_ts",
+            "v",
+            mean.alias("seasonal_mean"),
+            (F.col("v") - mean).alias("residual"),
+        )
+        .orderBy("event_type", "bucket_ts")
+    )

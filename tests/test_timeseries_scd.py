@@ -122,3 +122,20 @@ def test_interpolation_edge_gaps_take_neighbor(spark):
         for r in ts.interpolate_gaps(df, "event_type").collect()
     }
     assert out == {0: 5.0, 1: 5.0, 2: 5.0}
+
+
+def test_seasonal_residuals_sum_to_zero_per_profile_cell(spark):
+    """The defining property of a mean baseline: residuals cancel
+    within each (event_type, hour-of-day) cell."""
+    from collections import defaultdict
+
+    from etl_covid19_spark.queries import REGISTRY
+
+    rows = REGISTRY["seasonal_baseline"].fn(spark, SF).collect()
+    cells = defaultdict(list)
+    for r in rows:
+        cells[(r.event_type, r.bucket_ts.hour)].append(r)
+    for (etype, hod), group in cells.items():
+        assert abs(sum(x.residual for x in group)) < 1e-6, (etype, hod)
+        # every row in a cell shares one baseline
+        assert len({x.seasonal_mean for x in group}) == 1
