@@ -151,3 +151,44 @@ def interpolate_gaps(
         filled.alias(value),
         v.isNull().alias("filled"),
     )
+
+
+def equidepth_bins_approx(
+    df: DataFrame,
+    value: str,
+    n_bins: int = 10,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Scale twin of the exact ntile equi-depth histogram: cut points
+    from `approx_percentile` (t-digest — mergeable sketch, map-side
+    combined, NO global sort), then closed-form binary-search binning
+    against the broadcast cut array. The exact ntile form
+    (`equidepth_histogram`) is this operator's oracle at test SF:
+    bucket counts agree within the sketch's rank error
+    (≈ n/accuracy per boundary).
+
+    Returns (bin, n_rows, lo, hi) like the exact form. The only
+    shuffles are the sketch aggregate (one row of state) and the
+    |bins|-row final aggregate — this runs on 100 TB where a global
+    ntile sort will not."""
+    v = F.col(value)
+    probs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.percentile_approx(
+            v.cast("double"), F.array(*[F.lit(p) for p in probs]), accuracy
+        ).alias("cuts")
+    )
+    binned = df.join(F.broadcast(cuts)).select(
+        v.alias("v"),
+        # number of cut points <= v == the 0-based bin index
+        F.aggregate(
+            "cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+        ).alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+    )

@@ -192,3 +192,33 @@ def test_equidepth_buckets_are_balanced_and_ordered(spark):
     assert max(counts) - min(counts) <= 1  # equal depth (±1 remainder)
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo  # buckets tile the sorted domain
+
+
+def test_equidepth_approx_agrees_with_exact(spark):
+    """The sketch-based scale twin must put bucket counts within the
+    t-digest rank error of the exact ntile deciles."""
+    from etl_covid19_spark.operators.timeseries import equidepth_bins_approx
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    n = ev.count()
+    approx = {
+        r.bin: r.n_rows
+        for r in equidepth_bins_approx(ev, "value", 10).collect()
+    }
+    exact = {
+        r.tile - 1: r.n_rows
+        for r in REGISTRY["equidepth_histogram"].fn(spark, sf).collect()
+    }
+    assert sum(approx.values()) == n  # every row lands in a bin
+    tol = max(5, n // 100)  # generous rank-error budget at tiny n
+    for b in exact:
+        assert abs(approx.get(b, 0) - exact[b]) <= tol, b
+    # bins tile the domain in order
+    rows = sorted(
+        equidepth_bins_approx(ev, "value", 10).collect(),
+        key=lambda r: r.bin,
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo
