@@ -120,3 +120,51 @@ def test_runtime_bloom_filter_join_pruning(spark):
     assert "might_contain" in plan, plan[:2000]
     # the bloom filter is a pure pre-filter: results are unchanged
     assert filtered == baseline and baseline
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The third runtime-adaptivity leg next to DPP and bloom
+    pruning: AQE must detect a pathologically skewed join key at
+    RUNTIME and split its partition (OptimizeSkewedJoin) — the
+    no-code-change answer to hot keys that `joins.salted_join`
+    handles manually when AQE can't see the skew."""
+    from pyspark.sql import functions as F
+
+    # 1 hot key carrying ~all rows + uniform cold keys
+    left = spark.range(200_000).select(
+        F.when(F.col("id") % 10 != 0, F.lit(7))
+        .otherwise(F.col("id") % 97)
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.range(100).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("r")
+    )
+    confs = {
+        # force a shuffle join and make the skew thresholds tiny so
+        # the 200k-row fixture trips them
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # NOTE: the consumer must not require hash distribution on k
+        # (a groupBy("k") downstream would forbid the split — AQE
+        # preserves required distributions over skew handling)
+        joined = left.join(right, "k").select("k", "payload", "r")
+        # drive the DataFrame's OWN execution (a write/count would
+        # clone the plan and leave this handle pre-AQE)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
