@@ -6600,3 +6600,81 @@ def q_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket_ts")
     )
+
+
+@register(
+    "anomaly_seasonal_adjusted",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), season AS (
+      SELECT event_type, EXTRACT(hour FROM bucket_ts) AS hod,
+             CAST(SUM(CAST(v AS DECIMAL(38,8))) AS DOUBLE) AS sv,
+             COUNT(*) AS nh
+      FROM hourly GROUP BY event_type, EXTRACT(hour FROM bucket_ts)
+    ), resid AS (
+      SELECT h.event_type, h.bucket_ts,
+             h.v - s.sv / s.nh AS r
+      FROM hourly h
+      JOIN season s ON h.event_type = s.event_type
+                   AND EXTRACT(hour FROM h.bucket_ts) = s.hod
+    ), scan AS (
+      SELECT event_type, bucket_ts, r,
+             CAST(COUNT(r) OVER w AS DOUBLE) AS n,
+             CAST(SUM(CAST(r AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sx,
+             CAST(SUM(CAST(r * r AS DECIMAL(38,8))) OVER w AS DOUBLE) AS sxx
+      FROM resid
+      WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ts
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, bucket_ts, r AS residual,
+           CASE WHEN n >= 12 AND sqrt(n * sxx - sx * sx) / n > 0
+                THEN (r - sx / n) / (sqrt(n * sxx - sx * sx) / n)
+           END AS zscore,
+           CASE WHEN n >= 12 AND sqrt(n * sxx - sx * sx) / n > 0
+                THEN abs((r - sx / n) / (sqrt(n * sxx - sx * sx) / n)) > 3.0
+           END AS is_anomaly
+    FROM scan ORDER BY event_type, bucket_ts
+    """,
+)
+def q_anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator COMPOSITION: z-score anomaly detection over
+    seasonally-ADJUSTED residuals — the production shape (raw-value
+    z-scores alarm on every evening peak; residual z-scores alarm on
+    departures from the rhythm). Chains `bucket_aggregate` (cached,
+    shared with gap-fill/seasonal) → seasonal profile join →
+    `rolling_zscore` unchanged on the residual column. Everything
+    downstream of the one events scan is bucket-grained."""
+    from etl_covid19_spark.operators import timeseries as ts
+    from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = SHARED_CACHE.get_or_build(
+        ("bucket_agg_hour", "event_type", "value", *corpus_key(ev)),
+        lambda: ts.bucket_aggregate(ev, "event_type", "ts", "value"),
+    ).select("event_type", "bucket_ts", F.col("_sum").alias("v"))
+    season = hourly.groupBy(
+        "event_type", F.hour("bucket_ts").alias("hod")
+    ).agg(
+        F.sum(F.col("v").cast("decimal(38,8)")).cast("double").alias("sv"),
+        F.count(F.lit(1)).alias("nh"),
+    )
+    resid = (
+        hourly.withColumn("hod", F.hour("bucket_ts"))
+        .join(F.broadcast(season), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "bucket_ts",
+            (F.col("v") - F.col("sv") / F.col("nh")).alias("r"),
+        )
+    )
+    out = ts.rolling_zscore(resid, "event_type", "bucket_ts", "r", 24, 12, 3.0)
+    return out.select(
+        "event_type",
+        "bucket_ts",
+        F.col("r").alias("residual"),
+        "zscore",
+        "is_anomaly",
+    ).orderBy("event_type", "bucket_ts")
