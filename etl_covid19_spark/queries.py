@@ -6678,3 +6678,84 @@ def q_anomaly_seasonal_adjusted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "zscore",
         "is_anomaly",
     ).orderBy("event_type", "bucket_ts")
+
+
+@register(
+    "unique_key_audit",
+    oracle="""
+    WITH dups AS (
+      SELECT l_orderkey, l_linenumber, COUNT(*) AS n
+      FROM lineitem GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+    )
+    SELECT (SELECT COUNT(*) FROM lineitem) AS n_rows,
+           (SELECT COUNT(*)
+            FROM (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+             AS n_keys,
+           (SELECT COUNT(*) FROM dups) AS violating_keys,
+           CAST(COALESCE((SELECT SUM(n) FROM dups), 0) AS BIGINT)
+             AS violating_rows
+    """,
+)
+def q_unique_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit for the fact's composite key —
+    the data-quality check every load should run before publishing
+    (the reference trusts its source blindly; quirk family). One
+    key-grained aggregate feeds all four measures; no self-join. A
+    healthy table reports violating_keys = 0 and n_rows = n_keys."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    per_key = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_key.agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.count(F.when(F.col("n") > 1, F.lit(1))).alias("violating_keys"),
+        F.coalesce(
+            F.sum(F.when(F.col("n") > 1, F.col("n"))), F.lit(0)
+        ).cast("long").alias("violating_rows"),
+    )
+
+
+@register(
+    "key_skew_report",
+    oracle="""
+    WITH per_key AS (
+      SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+    ), tot AS (
+      SELECT CAST(SUM(n) AS DOUBLE) AS total,
+             CAST(COUNT(*) AS DOUBLE) AS n_keys
+      FROM per_key
+    )
+    SELECT p.o_custkey, p.n,
+           CAST(p.n AS DOUBLE) / t.total AS share,
+           CAST(p.n AS DOUBLE) / (t.total / t.n_keys) AS x_mean
+    FROM per_key p CROSS JOIN tot t
+    ORDER BY p.n DESC, p.o_custkey LIMIT 20
+    """,
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-hitter diagnostics: the 20 hottest join/groupBy keys
+    with their share of total rows and multiple-of-mean — the report
+    you run BEFORE a big join to decide between plain shuffle, AQE
+    skew split, and explicit salting (`skew_salted_join`). One
+    key-grained aggregate + a one-row stats broadcast + top-k; at
+    100 TB the per-key frame is the only shuffle and the hot keys it
+    surfaces are exactly the ones that would have made that shuffle
+    pathological."""
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    per_key = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = per_key.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("double").alias("n_keys"),
+    )
+    nd = F.col("n").cast("double")
+    return agg.top_k(
+        per_key.crossJoin(F.broadcast(tot)).select(
+            "o_custkey",
+            "n",
+            (nd / F.col("total")).alias("share"),
+            (nd / (F.col("total") / F.col("n_keys"))).alias("x_mean"),
+        ),
+        [F.col("n").desc(), F.col("o_custkey").asc()],
+        20,
+    )
