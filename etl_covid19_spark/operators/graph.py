@@ -49,6 +49,10 @@ def pagerank(
         .distinct()
     )
     n = verts.count()  # scalar: needed for the teleport constant
+    if n == 0:
+        # empty graph (e.g. a kNN build that yielded no edges): an
+        # empty (vertex, rank) frame, not a ZeroDivisionError below
+        return verts.withColumn("rank", F.lit(0.0)).select("vertex", "rank")
     out_deg = edges.groupBy(F.col(src).alias("vertex")).agg(
         F.count(F.lit(1)).alias("out_deg")
     )

@@ -25,9 +25,12 @@ def scd2_collapse(
 
     `log` rows are (entity, ordering columns, attribute). Consecutive
     rows with the SAME attribute value collapse into one interval;
-    each value-change opens a new one. `order_by` must be a TOTAL
-    order within each entity (pass a unique tiebreaker — e.g.
-    `[ts, event_id]`) or run boundaries are nondeterministic.
+    each value-change opens a new one. Change detection is NULL-safe
+    (`eqNullSafe`): an A→NULL→A history yields three intervals with
+    the NULL period preserved, and NULL→NULL is not a change.
+    `order_by` must be a TOTAL order within each entity (pass a
+    unique tiebreaker — e.g. `[ts, event_id]`) or run boundaries are
+    nondeterministic.
 
     Returns (entity, attr, valid_from, valid_to, version,
     is_current): `valid_to` is the next interval's start (half-open
@@ -42,10 +45,19 @@ def scd2_collapse(
     w = Window.partitionBy(entity).orderBy(*order_by)
     first_ord = order_by[0]
     ts_col = F.col(first_ord) if isinstance(first_ord, str) else first_ord
+    # row_number (not `_prev IS NULL`) marks each entity's first row:
+    # lag() yields NULL both out-of-range AND for a genuine NULL prev
+    # value, so `_prev IS NULL` alone can't distinguish "first row"
+    # from "previous attribute was NULL". eqNullSafe keeps NULL-valued
+    # intervals in the history instead of silently dropping them.
     changed = (
-        log.withColumn("_prev", F.lag(F.col(attr)).over(w))
-        .where(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr)))
-        .drop("_prev")
+        log.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prev", F.lag(F.col(attr)).over(w))
+        .where(
+            (F.col("_rn") == 1)
+            | ~F.col("_prev").eqNullSafe(F.col(attr))
+        )
+        .drop("_prev", "_rn")
     )
     # the filtered frame reuses the same partitioning: no 2nd Exchange
     w2 = Window.partitionBy(entity).orderBy(*order_by)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -5546,11 +5546,14 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              lag(event_type) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
-             ) AS prev
+             ) AS prev,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS rn
       FROM events
     ), changes AS (
       SELECT user_id, event_type, ts, event_id FROM ordered
-      WHERE prev IS NULL OR prev <> event_type
+      WHERE rn = 1 OR prev IS DISTINCT FROM event_type
     )
     SELECT user_id, event_type, ts AS valid_from,
            lead(ts) OVER w AS valid_to,
@@ -6319,12 +6322,26 @@ def q_agg_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_bucket(doc_id: Column) -> Column:
+    """Overflow-free Knuth multiplicative split bucket in [0, 100).
+
+    `id % 2^31` first keeps the product under 2^63 (ANSI-safe at any
+    corpus scale); DuckDB oracle twin:
+    ``(((doc_id % 2147483648) * 2654435761) % 4294967296) % 100``.
+    Assumes non-negative ids (all zone surrogate keys are)."""
+    return (
+        ((doc_id % F.lit(2147483648)) * F.lit(2654435761))
+        % F.lit(4294967296)
+    ) % F.lit(100)
+
+
 @register(
     "dataset_split",
     oracle="""
     WITH h AS (
       SELECT doc_id,
-             ((doc_id * 2654435761) % 4294967296) % 100 AS bucket
+             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100
+               AS bucket
       FROM documents
     )
     SELECT doc_id, bucket,
@@ -6341,11 +6358,14 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine, any cluster size, any rerun (the reproducibility property
     `rand()`-based splitting silently lacks, and the reason eval
     contamination audits are possible at all). Map-side only: no
-    shuffle, no state."""
+    shuffle, no state. The id is reduced mod 2^31 BEFORE the
+    multiply so the intermediate ((2^31-1)·2654435761 ≈ 5.7e18)
+    stays inside int64 — the naive `doc_id * 2654435761` overflows
+    (throws under ANSI mode) for doc_id ≳ 3.47e9, i.e. exactly at
+    the corpus scale the split serves. Buckets are unchanged for
+    any doc_id < 2^31."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    ) % F.lit(100)
+    bucket = _split_bucket(F.col("doc_id"))
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -6361,9 +6381,11 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT doc_id, text,
-             CASE WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 80
+             CASE WHEN (((doc_id % 2147483648) * 2654435761)
+                        % 4294967296) % 100 < 80
                   THEN 'train'
-                  WHEN ((doc_id * 2654435761) % 4294967296) % 100 < 90
+                  WHEN (((doc_id % 2147483648) * 2654435761)
+                        % 4294967296) % 100 < 90
                   THEN 'valid' ELSE 'test' END AS split
       FROM documents
     ), groups AS (
@@ -6389,9 +6411,7 @@ def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible anywhere. The fix this audit motivates: split by
     CLUSTER representative (dedup_clusters), not by raw doc."""
     docs = _t(spark, sf_dir, "documents")
-    bucket = (
-        (F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)
-    ) % F.lit(100)
+    bucket = _split_bucket(F.col("doc_id"))
     h = docs.select(
         "text",
         F.when(bucket < 80, "train")

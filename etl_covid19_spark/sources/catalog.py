@@ -93,17 +93,33 @@ def events_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFram
     probed driver-side (pyarrow, no Spark job) and the matching DDL
     is generated; `_normalize_ts` then converts whatever arrived.
     All streaming registry queries come through here so a warehouse
-    re-generation can't strand five hand-written schemas."""
-    import pyarrow.parquet as pq
+    re-generation can't strand five hand-written schemas.
 
+    The pyarrow probe only understands local filesystem paths; for an
+    object-store / HDFS `sf_dir` (s3a://, hdfs://, …) it falls back
+    to a Spark-side schema probe — a footer read through Hadoop's
+    filesystem layer, still no data scan."""
     ensure_runtime_confs(spark)
-    phys = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    if str(phys) == "int64":
-        ts_ddl = "long"
-    elif getattr(phys, "tz", None):
-        ts_ddl = "timestamp"
-    else:
-        ts_ddl = "timestamp_ntz"
+    path = f"{sf_dir}/events.parquet"
+    ts_ddl = None
+    if "://" not in sf_dir or sf_dir.startswith("file:"):
+        try:
+            import pyarrow.parquet as pq
+
+            phys = pq.read_schema(
+                path.removeprefix("file://").removeprefix("file:")
+            ).field("ts").type
+            if str(phys) == "int64":
+                ts_ddl = "long"
+            elif getattr(phys, "tz", None):
+                ts_ddl = "timestamp"
+            else:
+                ts_ddl = "timestamp_ntz"
+        except (ImportError, OSError):
+            ts_ddl = None  # fall through to the Spark probe
+    if ts_ddl is None:
+        spark_ts = spark.read.parquet(path).schema["ts"].dataType
+        ts_ddl = spark_ts.simpleString()
     stream = (
         spark.readStream.schema(
             f"event_id long, ts {ts_ddl}, user_id long, "

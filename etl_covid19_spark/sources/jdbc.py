@@ -156,6 +156,7 @@ def write_jdbc_upsert(
     driver: str | None = None,
     batchsize: int = 10_000,
     column_types: str | None = None,
+    batch_id: str | int | None = None,
 ) -> None:
     """Idempotent JDBC upsert: stage + MERGE — the exactly-once
     pattern for external-warehouse sinks.
@@ -177,23 +178,46 @@ def write_jdbc_upsert(
     twin of the parquet zones' dynamic partition overwrite). Derby /
     Postgres / Oracle all speak this MERGE; integration-tested over
     live embedded Derby in ``tests/test_jdbc_wire.py``.
+
+    Concurrency: the staging table is per-invocation. With
+    `batch_id` given (e.g. the foreachBatch epoch id) the name is
+    deterministic — a retry of the SAME batch reuses and first drops
+    its own leftover staging, while concurrent writers with distinct
+    batch ids never collide. Without it a random token is used, so
+    two concurrent upserts to one target still can't clobber each
+    other's staged rows; either way staging is dropped in a finally,
+    including on MERGE failure.
     """
+    import uuid
+
     spark = df.sparkSession
-    stage = f"{table}_stage"
+    if batch_id is not None:
+        stage = f"{table}_stg_{batch_id}"
+    else:
+        stage = f"{table}_stg_{uuid.uuid4().hex[:12]}"
     cols = df.columns
     non_keys = [c for c in cols if c not in keys]
 
     jvm = spark._jvm
+    if driver:
+        # DriverManager's JDBC4 SPI auto-loading misses drivers whose
+        # jar lacks META-INF/services; force-register like the
+        # executor-side path does via the `driver` option.
+        jvm.java.lang.Class.forName(driver)
     conn = jvm.java.sql.DriverManager.getConnection(url)
+
+    def _drop_stage() -> None:
+        try:
+            st = conn.createStatement()
+            st.executeUpdate(f"DROP TABLE {stage}")
+            st.close()
+        except Exception:
+            pass  # staging didn't exist — normal path
+
     try:
-        # drop leftover staging from a crashed run (retry safety)
-        for ddl in (f"DROP TABLE {stage}",):
-            try:
-                st = conn.createStatement()
-                st.executeUpdate(ddl)
-                st.close()
-            except Exception:
-                pass  # staging didn't exist — normal path
+        # drop leftover staging from a crashed run of the SAME batch
+        # (deterministic batch_id names make this reachable)
+        _drop_stage()
         write_jdbc(
             df,
             url,
@@ -221,8 +245,6 @@ def write_jdbc_upsert(
         st = conn.createStatement()
         st.executeUpdate(merge)
         st.close()
-        st = conn.createStatement()
-        st.executeUpdate(f"DROP TABLE {stage}")
-        st.close()
     finally:
+        _drop_stage()
         conn.close()

@@ -37,8 +37,12 @@ def jdbc_upsert_sink(
     def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # epoch id as the staging token: a replayed micro-batch reuses
+        # (and first clears) its own staging table; concurrent streams
+        # into one target stage under distinct names.
         write_jdbc_upsert(
-            batch_df, url, table, keys, driver=driver, batchsize=batchsize
+            batch_df, url, table, keys, driver=driver,
+            batchsize=batchsize, batch_id=batch_id,
         )
 
     return commit_batch

@@ -65,3 +65,12 @@ def test_registry_entry_runs(spark):
     ).collect()
     assert 0 < len(out) <= 50
     assert all(out[i].rank >= out[i + 1].rank for i in range(len(out) - 1))
+
+
+def test_empty_edge_list_returns_empty_frame(spark):
+    """An upstream kNN build can legitimately yield zero edges; the
+    operator must return an empty (vertex, rank) frame instead of
+    raising ZeroDivisionError on the teleport constant."""
+    out = pagerank(_edges(spark, []))
+    assert out.columns == ["vertex", "rank"]
+    assert out.count() == 0

@@ -187,8 +187,10 @@ def test_jdbc_upsert_is_idempotent_and_updates(spark, derby_url):
 
 
 def test_jdbc_upsert_survives_leftover_staging(spark, derby_url):
-    """A crashed previous run leaves the staging table behind; the
-    next upsert must clear it and land correctly."""
+    """A crashed previous run of the SAME batch leaves its staging
+    table behind; the retry (same batch_id → same deterministic
+    staging name) must clear it and land correctly — and a CONCURRENT
+    batch with a different id must not see it at all."""
     from etl_covid19_spark.sources.jdbc import write_jdbc, write_jdbc_upsert
 
     target = "wire_upsert2"
@@ -196,13 +198,21 @@ def test_jdbc_upsert_survives_leftover_staging(spark, derby_url):
         spark.range(3).selectExpr("id AS k", "CAST(0 AS DOUBLE) AS v"),
         derby_url, target, mode="append", driver=DRIVER,
     )
-    # simulate the crash: staging exists with stale content
+    # simulate the crash: batch b7's staging exists with stale content
     write_jdbc(
         spark.range(99, 100).selectExpr("id AS k", "CAST(-1 AS DOUBLE) AS v"),
-        derby_url, f"{target}_stage", mode="append", driver=DRIVER,
+        derby_url, f"{target}_stg_b7", mode="append", driver=DRIVER,
     )
+    # a different batch id is isolated from b7's leftover
+    other = spark.range(2, 3).selectExpr("id AS k", "CAST(5 AS DOUBLE) AS v")
+    write_jdbc_upsert(
+        other, derby_url, target, keys=["k"], driver=DRIVER, batch_id="b8"
+    )
+    # the b7 retry clears its own leftover and merges only the batch
     batch = spark.range(3).selectExpr("id AS k", "CAST(7 AS DOUBLE) AS v")
-    write_jdbc_upsert(batch, derby_url, target, keys=["k"], driver=DRIVER)
+    write_jdbc_upsert(
+        batch, derby_url, target, keys=["k"], driver=DRIVER, batch_id="b7"
+    )
     got = {
         r.k: r.v
         for r in read_jdbc(spark, url=derby_url, dbtable=target).load().collect()

@@ -17,7 +17,7 @@ from etl_covid19_spark.operators.scd import scd2_collapse
 BASE = dt.datetime(2024, 1, 1)
 
 
-def _random_log(seed, n_users=40, n_rows=400):
+def _random_log(seed, n_users=40, n_rows=400, with_nulls=False):
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n_rows):
@@ -25,7 +25,10 @@ def _random_log(seed, n_users=40, n_rows=400):
         # coarse timestamps force duplicate (user, ts) pairs so the
         # tiebreak actually matters
         t = BASE + dt.timedelta(hours=int(rng.integers(0, 200)))
-        e = str(rng.choice(["a", "b", "c"]))
+        if with_nulls and rng.random() < 0.2:
+            e = None
+        else:
+            e = str(rng.choice(["a", "b", "c"]))
         rows.append((u, t, i, e))
     return rows
 
@@ -50,8 +53,12 @@ def _ref_scd2(rows):
 
 
 def test_scd2_matches_python_reference(spark):
-    for seed in (0, 1):
-        rows = _random_log(seed)
+    # with_nulls exercises the eqNullSafe change detection: the pure-
+    # Python `!=` reference is inherently None-safe (None != 'a' is
+    # True, None != None is False), so an A→NULL→A history must come
+    # back as three intervals from Spark too.
+    for seed, nulls in ((0, False), (1, False), (4, True), (5, True)):
+        rows = _random_log(seed, with_nulls=nulls)
         df = spark.createDataFrame(
             rows, "user_id long, ts timestamp, event_id long, attr string"
         )
