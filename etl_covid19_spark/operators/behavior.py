@@ -21,13 +21,14 @@ def funnel_steps(
     user: str = "user_id",
     ts: str = "ts",
     etype: str = "event_type",
+    max_events_per_step: int | None = 100_000,
 ) -> DataFrame:
     """Strict ordered funnel: a user converts step i only with an
     event of type steps[i] strictly AFTER their step-(i-1)
     conversion time (earliest-qualifying semantics).
 
     Returns one row per step: (step_idx, step, users,
-    conv_from_prev).
+    conv_from_prev, truncated_users).
 
     SINGLE-PASS dataflow: the naive formulation (per-step aggregate,
     equi-join to the previous stage) re-evaluates every earlier
@@ -37,15 +38,24 @@ def funnel_steps(
     sorted timestamp array; the strict-ordering walk (t_i = first
     step-i timestamp AFTER t_{i-1}) is then a per-row chain of
     higher-order `filter(...)[0]` lookups — codegen'd, no joins, no
-    further shuffles. Per-user array size is bounded by the user's
-    timeline, the same bound sessionization accepts. The per-step
-    counts collapse into ONE single-row aggregate, unpivoted with
-    stack() and ratioed with a lag window over |steps| rows.
+    further shuffles. The per-step counts collapse into ONE
+    single-row aggregate, unpivoted with stack() and ratioed with a
+    lag window over |steps| rows.
+
+    Bounded state: each user's per-step array is capped at
+    `max_events_per_step` EARLIEST timestamps — the cap is a running
+    per-step count inside the same user-partitioned window sort the
+    aggregate shuffle reuses (one Exchange total), and it bounds the
+    collect buffer itself (`when(rank<=cap)` nulls are never
+    collected), not just the output. A 10⁸-event bot key costs
+    O(cap) aggregation state instead of OOMing the task. Truncation
+    is surfaced per step as `truncated_users` (users whose step-i
+    timeline was cut; their conversion is then a lower bound). Pass
+    None to disable (exact, unbounded — the pre-round-3 behavior).
     """
-    per_user = (
-        events.where(F.col(etype).isin(steps))
-        .groupBy(user)
-        .agg(
+    filtered = events.where(F.col(etype).isin(steps))
+    if max_events_per_step is None:
+        per_user = filtered.groupBy(user).agg(
             *[
                 F.array_sort(
                     F.collect_list(
@@ -53,9 +63,60 @@ def funnel_steps(
                     )
                 ).alias(f"_a{i}")
                 for i, step in enumerate(steps)
-            ]
+            ],
+            *[
+                F.lit(False).alias(f"_o{i}")
+                for i in range(len(steps))
+            ],
         )
-    )
+    else:
+        # running per-step rank: count of step-i events so far in this
+        # user's (ts)-ordered timeline. Same partitioning as the
+        # groupBy below → Catalyst plans ONE Exchange + Sort for both.
+        wcum = (
+            Window.partitionBy(user)
+            .orderBy(ts)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        ranked = filtered.select(
+            F.col(user),
+            F.col(ts),
+            F.col(etype),
+            *[
+                F.count(F.when(F.col(etype) == step, F.lit(1)))
+                .over(wcum)
+                .alias(f"_r{i}")
+                for i, step in enumerate(steps)
+            ],
+        )
+        per_user = ranked.groupBy(user).agg(
+            *[
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            (F.col(etype) == step)
+                            & (F.col(f"_r{i}") <= max_events_per_step),
+                            F.col(ts),
+                        )
+                    )
+                ).alias(f"_a{i}")
+                for i, step in enumerate(steps)
+            ],
+            *[
+                (
+                    F.coalesce(
+                        F.max(
+                            F.when(
+                                F.col(etype) == step, F.col(f"_r{i}")
+                            )
+                        ),
+                        F.lit(0),
+                    )
+                    > max_events_per_step
+                ).alias(f"_o{i}")
+                for i, step in enumerate(steps)
+            ],
+        )
     # strict-order walk: t0 = first step-0 ts; t_i = first step-i ts
     # strictly after t_{i-1} (NULL propagates: no prior conversion ->
     # no later one)
@@ -69,13 +130,18 @@ def funnel_steps(
             f"_t{i}", F.try_element_at(after_prev, F.lit(1))
         )
     one = walked.agg(
-        *[F.count(F.col(f"_t{i}")).alias(f"_n{i}") for i in range(len(steps))]
+        *[F.count(F.col(f"_t{i}")).alias(f"_n{i}") for i in range(len(steps))],
+        *[
+            F.count(F.when(F.col(f"_o{i}"), F.lit(1))).alias(f"_tr{i}")
+            for i in range(len(steps))
+        ],
     )
     stack_expr = ", ".join(
-        f"{i + 1}, '{s}', _n{i}" for i, s in enumerate(steps)
+        f"{i + 1}, '{s}', _n{i}, _tr{i}" for i, s in enumerate(steps)
     )
     tall = one.selectExpr(
-        f"stack({len(steps)}, {stack_expr}) AS (step_idx, step, users)"
+        f"stack({len(steps)}, {stack_expr}) "
+        "AS (step_idx, step, users, truncated_users)"
     )
     w = Window.orderBy("step_idx").rowsBetween(-1, -1)
     return tall.select(
@@ -85,6 +151,7 @@ def funnel_steps(
         (
             F.col("users").cast("double") / F.sum("users").over(w)
         ).alias("conv_from_prev"),
+        "truncated_users",
     )
 
 
@@ -94,6 +161,7 @@ def event_sequences(
     ts: str = "ts",
     etype: str = "event_type",
     tiebreak: str = "event_id",
+    max_events_per_key: int | None = 100_000,
 ) -> DataFrame:
     """Per-user ordered event-initial string — the substrate for
     regex pattern matching over behavior (MATCH_RECOGNIZE-lite):
@@ -103,17 +171,52 @@ def event_sequences(
     to a string. The (ts, tiebreak) key is total, so the string is
     deterministic.
 
-    Bound: one user's timeline must fit in a row (~bytes per event).
-    That is the same bound sessionization accepts; for pathological
-    users cap with slice() after the sort."""
+    Bounded state: the string covers each user's FIRST
+    `max_events_per_key` events (by (ts, tiebreak)); a row_number
+    over the same user partitioning the aggregate shuffles on (one
+    Exchange total) bounds the collect buffer itself — the
+    `when(rn<=cap)` nulls are never collected — and `truncated`
+    marks users whose timeline was cut. A bot key with 10⁸ events
+    costs O(cap) task state instead of one unboundable row. Pass
+    None to disable (exact, unbounded)."""
+    if max_events_per_key is None:
+        seq = F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col(ts).alias("t"),
+                            F.col(tiebreak).alias("k"),
+                            F.substring(F.col(etype), 1, 1).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ),
+            "",
+        )
+        return events.groupBy(user).agg(
+            seq.alias("seq"), F.lit(False).alias("truncated")
+        )
+    w = Window.partitionBy(user).orderBy(ts, tiebreak)
+    ranked = events.select(
+        F.col(user),
+        F.col(ts),
+        F.col(tiebreak),
+        F.col(etype),
+        F.row_number().over(w).alias("_rn"),
+    )
     seq = F.array_join(
         F.transform(
             F.array_sort(
                 F.collect_list(
-                    F.struct(
-                        F.col(ts).alias("t"),
-                        F.col(tiebreak).alias("k"),
-                        F.substring(F.col(etype), 1, 1).alias("c"),
+                    F.when(
+                        F.col("_rn") <= max_events_per_key,
+                        F.struct(
+                            F.col(ts).alias("t"),
+                            F.col(tiebreak).alias("k"),
+                            F.substring(F.col(etype), 1, 1).alias("c"),
+                        ),
                     )
                 )
             ),
@@ -121,7 +224,10 @@ def event_sequences(
         ),
         "",
     )
-    return events.groupBy(user).agg(seq.alias("seq"))
+    return ranked.groupBy(user).agg(
+        seq.alias("seq"),
+        (F.max("_rn") > max_events_per_key).alias("truncated"),
+    )
 
 
 def transition_matrix(

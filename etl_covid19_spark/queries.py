@@ -1669,15 +1669,20 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
            CAST(epoch_us(MAX(ts)) AS BIGINT) AS session_end_us,
            COUNT(*) AS n_events,
-           CAST(SUM(value) AS DOUBLE) AS sum_value
-    FROM s GROUP BY user_id, sid
+           CAST(SUM(value) AS DOUBLE) AS sum_value,
+           MAX(n_user) > 100000 AS truncated
+    FROM (SELECT *, COUNT(*) OVER (PARTITION BY user_id) AS n_user
+          FROM s) GROUP BY user_id, sid
     """,
 )
 def q_sessionize_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom sessionization (10-min gap) through the Arrow/pandas
     path — `applyInPandas` per-key fold; the streaming twin
     (`applyInPandasWithState`) shares the same fold and is exercised
-    in tests. Complements the JVM-native session_windows query."""
+    in tests. Complements the JVM-native session_windows query.
+    Per-key group size into the Python worker is capped at the 100k
+    earliest events (JVM-side filter), surfaced per row as
+    `truncated` (false at test SFs on both sides)."""
     from etl_covid19_spark.streaming.stateful import sessionize_batch
 
     ev = _t(spark, sf_dir, "events")
@@ -5787,6 +5792,12 @@ def q_fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT (SELECT count(*) FROM s0) AS n0,
              (SELECT count(*) FROM s1) AS n1,
              (SELECT count(*) FROM s2) AS n2
+    ), tr AS (
+      SELECT event_type, count(*) AS n_over FROM (
+        SELECT user_id, event_type FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')
+        GROUP BY user_id, event_type HAVING count(*) > 100000
+      ) GROUP BY event_type
     ), tall AS (
       SELECT 1 AS step_idx, 'view' AS step, n0 AS users FROM one
       UNION ALL SELECT 2, 'click', n1 FROM one
@@ -5794,7 +5805,9 @@ def q_fuzzy_join_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT step_idx, step, users,
            CAST(users AS DOUBLE) / lag(users) OVER (ORDER BY step_idx)
-             AS conv_from_prev
+             AS conv_from_prev,
+           COALESCE((SELECT n_over FROM tr WHERE tr.event_type = tall.step),
+                    0) AS truncated_users
     FROM tall ORDER BY step_idx
     """,
 )
@@ -5805,7 +5818,11 @@ def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-aggregate equi-joined to the previous stage — user-grained
     shuffles, no event-grained window sort — and the whole funnel is
     ONE lazy plan (per-step counts collapse into a single-row
-    aggregate, unpivoted with stack)."""
+    aggregate, unpivoted with stack). Per-user per-step state is
+    capped at 100k earliest events with truncation surfaced as
+    `truncated_users` (oracle computes the same >cap census — 0 at
+    test SFs, which is the point: values only diverge where the
+    unbounded form would be OOMing anyway)."""
     from etl_covid19_spark.operators.behavior import funnel_steps
 
     ev = _t(spark, sf_dir, "events")
@@ -5896,11 +5913,13 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH seqs AS (
       SELECT user_id,
              string_agg(substr(event_type, 1, 1), ''
-                        ORDER BY ts, event_id) AS seq
+                        ORDER BY ts, event_id) AS seq,
+             count(*) > 100000 AS truncated
       FROM events GROUP BY user_id
     )
     SELECT user_id, length(seq) AS seq_len,
-           regexp_matches(seq, 'v.*c.*p') AS has_funnel_pattern
+           regexp_matches(seq, 'v.*c.*p') AS has_funnel_pattern,
+           truncated
     FROM seqs ORDER BY user_id
     """,
 )
@@ -5910,8 +5929,10 @@ def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     MATCH_RECOGNIZE-lite for funnels with arbitrary gaps
     ('v.*c.*p' = view then click then purchase as a subsequence).
     One hash aggregate (collect_list of structs, sorted per group
-    post-aggregation — no global sort) + a codegen'd rlike. The
-    per-user row bound is the same one sessionization accepts."""
+    post-aggregation — no global sort) + a codegen'd rlike. Per-user
+    state is capped at the 100k earliest events, surfaced as
+    `truncated` (both sides compute the >cap census; 0/false at test
+    SFs)."""
     from etl_covid19_spark.operators.behavior import event_sequences
 
     ev = _t(spark, sf_dir, "events")
@@ -5920,6 +5941,7 @@ def q_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.length("seq").alias("seq_len"),
         F.col("seq").rlike("v.*c.*p").alias("has_funnel_pattern"),
+        "truncated",
     ).orderBy("user_id")
 
 

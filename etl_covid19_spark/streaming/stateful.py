@@ -33,7 +33,8 @@ from collections.abc import Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessor,
@@ -91,11 +92,26 @@ def sessionize_batch(
     ts_col: str = "ts",
     value_col: str = "value",
     gap_s: int = 1800,
+    max_events_per_key: int | None = 100_000,
 ) -> DataFrame:
     """Batch sessionization via `applyInPandas`: one Arrow-shipped
     pandas frame per key, vectorized sort, linear fold. Emits every
-    session including each key's trailing one."""
+    session including each key's trailing one.
+
+    Bounded state: `applyInPandas` ships a key's WHOLE group into one
+    pandas frame, so a bot key with 10⁸ events would OOM the worker.
+    A row_number over the same key partitioning the group-map
+    shuffles on caps each key at its `max_events_per_key` EARLIEST
+    events before the Python boundary (the filter runs JVM-side; the
+    window sort is the same Exchange+Sort the groupBy needs), and
+    `truncated` on every emitted session row marks keys that were
+    cut (their trailing sessions are missing; emitted ones are
+    exact). The streaming twin is inherently bounded per micro-batch
+    and needs no cap. Pass None to disable."""
     gap_us = gap_s * 1_000_000
+    out_schema = T.StructType(
+        SESSION_SCHEMA.fields + [T.StructField("truncated", T.BooleanType())]
+    )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(ts_col)
@@ -106,14 +122,28 @@ def sessionize_batch(
         if carry is not None:
             closed.append(carry)
         uid = int(pdf[key_col].iloc[0])
+        trunc = bool(pdf["_truncated"].iloc[0])
         return pd.DataFrame(
-            [(uid, s, e, n, v) for (s, e, n, v) in closed],
-            columns=[f.name for f in SESSION_SCHEMA.fields],
+            [(uid, s, e, n, v, trunc) for (s, e, n, v) in closed],
+            columns=[f.name for f in out_schema.fields],
         )
 
-    return df.select(key_col, ts_col, value_col).groupBy(key_col).applyInPandas(
-        fn, SESSION_SCHEMA
-    )
+    src = df.select(key_col, ts_col, value_col)
+    if max_events_per_key is None:
+        src = src.withColumn("_truncated", F.lit(False))
+    else:
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        src = (
+            src.withColumn("_rn", F.row_number().over(w))
+            .withColumn(
+                "_truncated",
+                F.max("_rn").over(Window.partitionBy(key_col))
+                > max_events_per_key,
+            )
+            .where(F.col("_rn") <= max_events_per_key)
+            .drop("_rn")
+        )
+    return src.groupBy(key_col).applyInPandas(fn, out_schema)
 
 
 def sessionize_stream(

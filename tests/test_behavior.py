@@ -194,3 +194,73 @@ def test_activity_streaks_hand_case(spark):
     assert out[1].streak_len == 3 and out[1].streak_start == d(2024, 1, 1)
     assert out[2].streak_len == 2 and out[2].streak_start == d(2024, 1, 5)
     assert out[3].streak_len == 1
+
+
+def _heavy_light(spark):
+    """One bot key (150k events, 120k of them 'view' — OVER the 100k
+    default cap) plus one normal key. JVM-generated, no driver rows."""
+    heavy = spark.range(150_000).selectExpr(
+        "CAST(1 AS LONG) AS user_id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "id AS event_id",
+        "CASE WHEN id < 120000 THEN 'view' "
+        "WHEN id < 135000 THEN 'click' ELSE 'purchase' END AS event_type",
+        "CAST(1.0 AS DOUBLE) AS value",
+    )
+    light = spark.range(3).selectExpr(
+        "CAST(2 AS LONG) AS user_id",
+        "timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*3600) AS ts",
+        "id + 1000000 AS event_id",
+        "CASE WHEN id = 0 THEN 'view' WHEN id = 1 THEN 'click' "
+        "ELSE 'purchase' END AS event_type",
+        "CAST(2.0 AS DOUBLE) AS value",
+    )
+    return heavy.unionAll(light)
+
+
+def test_funnel_heavy_key_truncation_surfaced(spark):
+    """Adversarial bot key: 120k 'view' events exceed the per-step
+    cap; the funnel must still run with bounded aggregation state,
+    count the bot once per converted step, and surface exactly one
+    truncated user on the 'view' step."""
+    ev = _heavy_light(spark)
+    out = {
+        r.step: r
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    # both users convert every step (each has view < click < purchase)
+    assert out["view"].users == 2
+    assert out["click"].users == 2
+    assert out["purchase"].users == 2
+    assert out["view"].truncated_users == 1  # the bot, view step only
+    assert out["click"].truncated_users == 0
+    assert out["purchase"].truncated_users == 0
+
+
+def test_funnel_cap_none_is_exact_and_unflagged(spark):
+    ev = _heavy_light(spark)
+    capped = {
+        r.step: r.users
+        for r in funnel_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    exact = {
+        r.step: r
+        for r in funnel_steps(
+            ev, ["view", "click", "purchase"], max_events_per_step=None
+        ).collect()
+    }
+    # truncation kept the EARLIEST events, so conversions agree here
+    assert {s: r.users for s, r in exact.items()} == capped
+    assert all(r.truncated_users == 0 for r in exact.values())
+
+
+def test_sequences_heavy_key_truncation_surfaced(spark):
+    from etl_covid19_spark.operators.behavior import event_sequences
+
+    ev = _heavy_light(spark)
+    out = {r.user_id: r for r in event_sequences(ev).collect()}
+    assert out[1].truncated
+    assert len(out[1].seq) == 100_000  # first cap events only
+    assert out[1].seq[:5] == "vvvvv"
+    assert not out[2].truncated
+    assert out[2].seq == "vcp"  # normal keys byte-identical to exact

@@ -312,3 +312,36 @@ def test_zscore_stream_matches_batch_operator(spark, tmp_path):
             assert s.is_anomaly == b.is_anomaly, ts_key
             n_flagged += 1 if b.is_anomaly else 0
     assert n_flagged >= 1  # the hour-40 spike is flagged in BOTH paths
+
+
+def test_sessionize_heavy_key_group_capped_before_python(spark):
+    """A bot key's whole timeline would otherwise ship into ONE pandas
+    frame; the JVM-side cap must bound the group at the 100k earliest
+    events, keep light keys exact, and surface `truncated`."""
+    heavy = spark.range(150_000).selectExpr(
+        "CAST(1 AS LONG) AS user_id",
+        # 1s cadence with a 20-min gap after the first 50k events ->
+        # two sessions inside the kept window
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,"
+        "CASE WHEN id < 50000 THEN id ELSE id + 1200 END) AS ts",
+        "CAST(1.0 AS DOUBLE) AS value",
+    )
+    light = spark.range(2).selectExpr(
+        "CAST(2 AS LONG) AS user_id",
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) AS ts",
+        "CAST(2.0 AS DOUBLE) AS value",
+    )
+    out = sessionize_batch(
+        heavy.unionAll(light), gap_s=600
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    # bot: capped at 100k events total across its sessions, flagged
+    assert sum(r.n_events for r in by_user[1]) == 100_000
+    assert len(by_user[1]) == 2  # the gap at 50k survives the cap
+    assert all(r.truncated for r in by_user[1])
+    # light key: exact and unflagged
+    assert len(by_user[2]) == 1
+    assert by_user[2][0].n_events == 2
+    assert not by_user[2][0].truncated
