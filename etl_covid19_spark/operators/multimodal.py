@@ -2,10 +2,14 @@
 
 Extension surface: image/audio/video payloads as opaque `binary`
 columns with typed metadata, processed with Arrow-batched
-`mapInPandas` — the Spark-side plumbing (schema, batch shape,
-partition sizing) is real; the actual media decoding is stubbed
-behind `decode_stub` because codec libraries aren't in this
-container (clearly marked; swap in PIL/torchaudio/av in production).
+`mapInPandas`. Decoding is tiered (functions/media.py): PIL /
+soundfile when importable, REAL pure-stdlib PNG/WAV codecs
+otherwise, and only payloads in neither format fall back to the
+deterministic `decode_stub` (kept so text-as-payload plumbing
+queries remain runnable and oracle-mirrorable). The real-decode path
+is oracle-verified end-to-end by the `media_pixel_stats` /
+`media_audio_stats` registry queries, whose fixtures are generated
+from arithmetic formulas the DuckDB oracle re-derives independently.
 
 At 100 TB the parquet layout matters more than the UDF: binary blobs
 live in their own column chunks, so metadata-only queries never read
@@ -22,6 +26,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from etl_covid19_spark.functions import media
+
 MEDIA_META_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -34,16 +40,34 @@ MEDIA_META_SCHEMA = T.StructType(
 
 
 def decode_stub(payload: bytes) -> tuple[int, int]:
-    """STUB — deterministic fake decoder standing in for a real image
-    decode (PIL/libvips not installed here). Derives a fake
-    (width, height) from the payload so tests are stable. Replace the
-    body with e.g. ``PIL.Image.open(io.BytesIO(payload)).size`` in a
-    real deployment; the mapInPandas plumbing is unchanged."""
+    """Deterministic fake decoder for payloads in no real-decodable
+    format (kept for text-as-payload plumbing queries whose oracle
+    mirrors this math). Real formats never reach it — see
+    `decode_dims`."""
     if not payload:
-        raise NotImplementedError("real media decode not available in this env")
+        raise NotImplementedError("media payload is empty")
     w = 64 + payload[0] % 64
     h = 64 + payload[-1] % 64
     return w, h
+
+
+def decode_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height): REAL decode for PNG (header peek — stdlib,
+    no inflate) and for whatever PIL handles when importable; the
+    deterministic fake only for unrecognized formats."""
+    if media.is_png(payload):
+        return media.png_dimensions(payload)
+    try:
+        import io
+
+        from PIL import Image  # type: ignore[import-not-found]
+
+        return Image.open(io.BytesIO(payload)).size
+    except Exception:
+        # PIL absent, or present but the payload isn't an image it
+        # recognizes — same deterministic fallback either way so
+        # text-as-payload queries behave identically across envs
+        return decode_stub(payload)
 
 
 def extract_media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
@@ -54,7 +78,7 @@ def extract_media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = pdf[bin_col]
-            dims = [decode_stub(p) for p in payloads]
+            dims = [decode_dims(p) for p in payloads]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -79,17 +103,32 @@ RESIZE_SCHEMA = T.StructType(
 
 
 def resize_stub(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
-    """STUB — deterministic fake resize (PIL absent here). Real
-    deployment: decode, `Image.thumbnail((max_side, max_side))`,
-    re-encode; the plumbing below is unchanged. The fake keeps the
-    aspect contract (w,h ≤ max_side) and shrinks the payload so
-    batch-size accounting downstream is realistic."""
+    """Deterministic fake resize for non-image payloads (text-as-
+    payload plumbing; its oracle mirrors this math). Keeps the aspect
+    contract (w,h ≤ max_side) and shrinks the payload so batch-size
+    accounting downstream is realistic."""
     if not payload:
-        raise NotImplementedError("real media decode not available in this env")
+        raise NotImplementedError("media payload is empty")
     w, h = decode_stub(payload)
     scale = max(w, h) / max_side
     tw, th = max(int(w / scale), 1), max(int(h / scale), 1)
     return payload[: max(len(payload) // 4, 1)], tw, th
+
+
+def resize_real(payload: bytes, max_side: int) -> tuple[bytes, int, int]:
+    """REAL thumbnail for decodable images: decode (stdlib PNG / PIL
+    tier), nearest-neighbor downscale keeping aspect, re-encode as
+    PNG. Falls back to `resize_stub` for unrecognized payloads so
+    mixed batches never fail."""
+    if media.is_png(payload):
+        thumb = media.resize_nearest(media.decode_png(payload), max_side)
+        return media.encode_png(thumb), thumb.shape[1], thumb.shape[0]
+    try:
+        arr = media.decode_image(payload)
+    except ValueError:
+        return resize_stub(payload, max_side)
+    thumb = media.resize_nearest(arr, max_side)
+    return media.encode_png(thumb), thumb.shape[1], thumb.shape[0]
 
 
 def resize_images(
@@ -102,7 +141,7 @@ def resize_images(
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            out = [resize_stub(p, max_side) for p in pdf[bin_col]]
+            out = [resize_real(p, max_side) for p in pdf[bin_col]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col].astype("int64"),
@@ -126,32 +165,92 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
-    """Feature extraction over a binary audio column. The signal math
-    runs vectorized on the raw bytes interpreted as PCM8 — a stand-in
-    for torchaudio/librosa features; swap the inner function, keep
-    the mapInPandas contract (schema, batching, partitioning)."""
+    """Feature extraction over a binary audio column. RIFF/WAVE
+    payloads get a REAL decode (soundfile when importable, stdlib
+    `wave` otherwise — functions/media.decode_wav): duration from
+    the container's sample rate, RMS computed over exact int-domain
+    sums (bit-identical under any batch order, so the SQL oracle can
+    reproduce it), zero crossings on the raw samples. Non-WAV
+    payloads keep the PCM8 interpretation as the deterministic
+    plumbing fallback."""
+    import numpy as np
+
+    def one(doc_id, payload) -> tuple[int, float, float, int]:
+        if not payload:
+            raise NotImplementedError("media payload is empty")
+        if media.is_wav(payload):
+            samples, rate = media.decode_wav(payload)
+            # PCM16 samples are k/2^15 with k integral: recover k
+            # exactly and accumulate the square-sum in int64 so RMS
+            # is sqrt(exact_rational) — deterministic to the bit
+            ints = np.round(samples * 32768.0).astype(np.int64)
+            ssq = int((ints * ints).sum())
+            rms = float(np.sqrt(ssq / len(ints)) / 32768.0)
+            zc = int(np.sum((ints[1:] < 0) != (ints[:-1] < 0)))
+            return int(doc_id), len(ints) / float(rate), rms, zc
+        pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+        return (
+            int(doc_id),
+            len(pcm) / 8000.0,  # fake 8 kHz sample rate
+            float(np.sqrt(np.mean(pcm**2))),
+            int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))),
+        )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = [
+                one(doc_id, payload)
+                for doc_id, payload in zip(pdf[id_col], pdf[bin_col])
+            ]
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_pixel_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Per-image channel means via the REAL decode path (stdlib PNG
+    inflate+unfilter, or PIL when importable) — the operator the
+    `media_pixel_stats` oracle checks pixel-for-pixel. Channel sums
+    accumulate in int64 and divide once, so the mean is exact-over-n
+    and reproducible by integer SQL arithmetic. Grayscale images
+    report the same mean on all three channels."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
-                if not payload:
-                    raise NotImplementedError("real audio decode unavailable")
-                pcm = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
-                rows.append(
-                    (
-                        int(doc_id),
-                        len(pcm) / 8000.0,  # fake 8 kHz sample rate
-                        float(np.sqrt(np.mean(pcm**2))),
-                        int(np.sum(np.signbit(pcm[1:]) != np.signbit(pcm[:-1]))),
-                    )
-                )
+                arr = media.decode_image(bytes(payload))
+                if arr.shape[2] == 2:  # gray+alpha: drop alpha
+                    arr = arr[:, :, :1]
+                elif arr.shape[2] == 4:  # rgba: drop alpha
+                    arr = arr[:, :, :3]
+                h, w = arr.shape[:2]
+                n = h * w
+                sums = arr.astype(np.int64).sum(axis=(0, 1))
+                means = [float(s) / n for s in sums]
+                if len(means) == 1:
+                    means = means * 3
+                rows.append((int(doc_id), w, h, *means))
             yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
+                rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    return df.select(id_col, bin_col).mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str, every_n: int = 30) -> DataFrame:
