@@ -280,6 +280,90 @@ def running_user_stats(
     )
 
 
+def has_transform_with_state_support() -> bool:
+    """transformWithStateInPandas speaks protobuf between the JVM and
+    its Python state server (`pyspark.sql.streaming.StateMessage_pb2`
+    imports `google.protobuf`); without the runtime the worker cannot
+    start. Probe once at plan time instead of failing executor-side."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+RUNNING_STATS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_stats_apply(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """`applyInPandasWithState` twin of `running_user_stats`: same
+    output (one (key, batch_events, running totals) row per key per
+    micro-batch, Update mode), same O(1)-per-key state, expressed
+    against the older state API — the degrade target when the
+    transformWithState protobuf protocol is unavailable. Kept
+    semantically in lockstep by the parity test."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, total = tuple(state.get) if state.exists else (0, 0.0)
+        batch_n, batch_total = 0, 0.0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            batch_total += float(pdf["value"].sum())
+        n += batch_n
+        total += batch_total
+        state.update((n, total))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "batch_events": [batch_n],
+                "total_events": [n],
+                "total_value": [total],
+            }
+        )
+
+    return (
+        stream.selectExpr(f"{key_col} AS user_id", f"{value_col} AS value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=RUNNING_STATS_SCHEMA,
+            stateStructType=RUNNING_STATS_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def running_user_stats_auto(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Detect-and-degrade dispatcher: the transformWithStateInPandas
+    path (RocksDB-backed typed state, TTL, timers) when its protobuf
+    protocol is importable, else the `applyInPandasWithState` twin —
+    identical rows either way, so callers get the richer engine
+    opportunistically without an environment gate."""
+    if has_transform_with_state_support():
+        return running_user_stats(stream, key_col, value_col)
+    return running_user_stats_apply(stream, key_col, value_col)
+
+
 # ---------------------------------------------------------------------------
 # Streaming rolling z-score — the anomaly detector's streaming twin
 # ---------------------------------------------------------------------------
