@@ -51,9 +51,11 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, qd in headline.items():
         cold[name] = round(run_query(spark, qd.fn, sf_dir), 3)
+        print(f"cold {name}: {cold[name]}s", file=sys.stderr, flush=True)
     for name, qd in headline.items():
         warm = min(run_query(spark, qd.fn, sf_dir) for _ in range(2))
         timings[name] = round(min(cold[name], warm), 3)
+        print(f"warm {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -151,3 +151,73 @@ def percentiles(
             for i, p in enumerate(probs)
         ],
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    value: str,
+    tiebreak: str,
+    n_buckets: int = 64,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Global descending rank WITHOUT a global sort — the 100 TB twin
+    of an unpartitioned `Window.orderBy(...)` rank (which funnels the
+    whole frame through ONE task's sort).
+
+    Bucket-and-merge: (1) `approx_percentile` cut points split the
+    value domain into ~equi-depth buckets (sketch is map-side
+    combined; the cuts are BALANCE hints only — rank output never
+    depends on their precision, so this is exact at every scale,
+    unlike a sketch-valued result); (2) `row_number` within each
+    bucket's window (max sorted run = bucket depth ≈ n/buckets);
+    (3) bucket counts roll into offsets on a |buckets|-row frame and
+    broadcast back; global position = offset + within-bucket number.
+
+    Ordering is (value DESC, tiebreak ASC) and must be total —
+    equal values share a bucket (binning is on value alone), so the
+    tiebreak settles them inside one window partition and global
+    positions are exact.
+
+    Returns df + `_pos` (1-based global position), `_n` (total rows).
+    percent_rank = (_pos-1)/(_n-1), cume_dist = _pos/_n for total
+    orders; both left to the caller's projection.
+    """
+    v = F.col(value)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.percentile_approx(
+            v.cast("double"), F.array(*[F.lit(p) for p in probs]), accuracy
+        ).alias("_cuts")
+    )
+    binned = df.join(F.broadcast(cuts)).select(
+        df["*"],
+        F.aggregate(
+            "_cuts",
+            F.lit(0),
+            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+        ).alias("_b"),
+    )
+    wb = Window.partitionBy("_b").orderBy(v.desc(), F.col(tiebreak))
+    within = binned.withColumn("_r", F.row_number().over(wb))
+    # bucket sizes -> offset = rows in HIGHER-value buckets. |buckets|
+    # rows: the unpartitioned window is over a bounded model-sized
+    # frame, not data.
+    sizes = binned.groupBy("_b").agg(F.count(F.lit(1)).alias("_bn"))
+    w_off = (
+        Window.orderBy(F.col("_b").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sizes.select(
+        "_b",
+        F.coalesce(F.sum("_bn").over(w_off), F.lit(0)).alias("_off"),
+        F.sum("_bn").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    return (
+        within.join(F.broadcast(offsets), "_b")
+        .withColumn("_pos", F.col("_off") + F.col("_r"))
+        .drop("_b", "_r", "_off")
+    )

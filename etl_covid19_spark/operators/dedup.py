@@ -484,6 +484,84 @@ def simhash_pairs(
     )
 
 
+def simhash_clusters(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
+) -> DataFrame:
+    """Cluster-assignment form of SimHash dedup — the 100 TB shape.
+
+    `simhash_pairs` emits EVERY near-dup pair, and measured at sf1
+    that output is itself quadratic in duplicate-heavy corpora (50k
+    word-salad docs → 23.4M pairs, 115 s warm): no plan can shrink an
+    output whose SIZE is the problem. What a dedup pipeline actually
+    consumes is the cluster assignment, which is linear in |docs|:
+
+    1. collapse identical fingerprints (docs sharing a simhash are
+       trivially one cluster seed) — the candidate graph then lives
+       on DISTINCT fingerprints (27k vs 50k at sf1, and the gap
+       widens with duplication);
+    2. block distinct fps on 15-bit halves, hamming-verify ≤
+       `max_hamming` → fp-level edges (Σ per-block distinct² ≪
+       Σ per-block docs²);
+    3. min-label connected components over the fp graph (bounded
+       iterative joins, `connected_components`);
+    4. one linear join assigns every doc its component, and the
+       cluster id is canonicalized to the component's MIN doc id.
+
+    Returns (doc_id, cluster_id); singleton docs carry their own id.
+    Same transitive semantics as pairs→components (edges depend only
+    on fingerprints), minus the quadratic pair materialization."""
+    fps = simhash(df, text_col, id_col)
+    distinct = fps.select("simhash").distinct()
+    chunks = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("chunk"),
+                    F.shiftright(F.col("simhash"), c * 15)
+                    .bitwiseAND(F.lit(0x7FFF))
+                    .alias("key"),
+                )
+                for c in range(2)
+            ]
+        )
+    )
+    blocked = distinct.select("simhash", chunks.alias("ck"))
+    a, b = blocked.alias("a"), blocked.alias("b")
+    fp_edges = (
+        a.join(
+            b,
+            on=(F.col("a.ck") == F.col("b.ck"))
+            & (F.col("a.simhash") < F.col("b.simhash")),
+        )
+        .select(
+            F.col("a.simhash").alias("doc_a"),
+            F.col("b.simhash").alias("doc_b"),
+        )
+        .where(
+            F.bit_count(
+                F.col("doc_a").bitwiseXOR(F.col("doc_b"))
+            )
+            <= max_hamming
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    comp = connected_components(fp_edges)  # (doc_id=fp, cluster_id=fp-label)
+    fp_comp = fps.join(
+        comp.withColumnRenamed("doc_id", "simhash").withColumnRenamed(
+            "cluster_id", "_fp_label"
+        ),
+        "simhash",
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("_fp_label"), F.col("simhash")).alias("_fp_label"),
+    )
+    rep = fp_comp.groupBy("_fp_label").agg(
+        F.min("doc_id").alias("cluster_id")
+    )
+    return fp_comp.join(rep, "_fp_label").select("doc_id", "cluster_id")
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "doc_a",

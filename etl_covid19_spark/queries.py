@@ -794,11 +794,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_a, doc_b, nc * 1.0 / (na + nb - nc) AS jaccard
     FROM c WHERE nc * 1.0 / (na + nb - nc) >= 0.5
     """,
-    headline=True,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-gram Jaccard near-dup pairs via the shingle-postings
-    join (never |docs|²)."""
+    join (never |docs|²) — but Σ df² join volume, which sf1 measured
+    at 655 s cold / 40 s warm (vs 1.8 s at sf0.1): common shingles
+    make the uncapped postings join superlinear. Retained as the
+    tiny-SF cross-check; the bench headline and scale default is
+    `dedup_ngram_jaccard_capped` (round-2-endorsed twin-swap
+    pattern)."""
     from etl_covid19_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
@@ -836,13 +840,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM c JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
     WHERE nc * 1.0 / (sa.n + sb.n - nc) >= 0.5
     """,
+    headline=True,
 )
 def q_dedup_ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Doc-frequency-capped Jaccard (stop-shingles with df > 5
     dropped, set sizes recomputed over the capped universe) — the
     skew-hardened twin of dedup_ngram_jaccard; the exact query stays
     registered unchanged. Capped semantics are mirrored exactly in
-    the oracle."""
+    the oracle. HEADLINE since round 3: sf1 measured the uncapped
+    postings join at 655 s cold vs 24 s cold / 1.3 s warm here —
+    join volume ≤ postings·max_df is the shape that survives 100 TB,
+    so the benched path is the one you'd actually run (same
+    reasoning as round 2's ann_lsh_topk swap)."""
     from etl_covid19_spark.operators.dedup import ngram_jaccard_pairs_capped
 
     return ngram_jaccard_pairs_capped(
@@ -895,12 +904,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_oracle(bits: int = 30) -> str:
-    """GENERATED oracle for dedup_simhash: the fingerprint is fully
-    deterministic (engine-agnostic polynomial token hash + per-bit
-    majority votes), so the 30 bit-vote expressions are emitted
-    programmatically into one SQL statement that DuckDB evaluates
-    bit-for-bit identically to the Spark column expressions."""
+def _simhash_fp_ctes(bits: int = 30) -> str:
+    """Shared WITH-clause text computing each doc's 30-bit simhash in
+    DuckDB, bit-for-bit identical to the Spark expressions (engine-
+    agnostic polynomial token hash + per-bit majority votes). Ends at
+    CTE `f(doc_id, fp)`; callers append their own downstream CTEs."""
     th = """list_transform(
       list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''),
       t -> list_reduce(
@@ -915,10 +923,18 @@ def _simhash_oracle(bits: int = 30) -> str:
     fp = " + ".join(
         f"(CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(bits)
     )
-    return f"""
-    WITH t AS (SELECT doc_id, {th} AS th FROM documents),
+    return f"""t AS (SELECT doc_id, {th} AS th FROM documents),
     v AS (SELECT doc_id, {votes} FROM t),
-    f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v),
+    f AS (SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM v)"""
+
+
+def _simhash_oracle(bits: int = 30) -> str:
+    """GENERATED oracle for dedup_simhash: the fingerprint is fully
+    deterministic, so the bit-vote expressions are emitted
+    programmatically into one SQL statement that DuckDB evaluates
+    bit-for-bit identically to the Spark column expressions."""
+    return f"""
+    WITH {_simhash_fp_ctes(bits)},
     b AS (
       SELECT doc_id, fp, fp % 32768 AS key, 0 AS chunk FROM f
       UNION ALL
@@ -940,12 +956,71 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(30-bit) near-dup pairs, 15-bit-chunk blocked
     (pigeonhole exact for hamming ≤ 1; heuristic recall above). The
     whole pipeline is deterministic, so the oracle is generated SQL
-    reproducing hash, votes, blocking, and the hamming filter."""
+    reproducing hash, votes, blocking, and the hamming filter.
+
+    Scale caveat (measured at sf1): the PAIR OUTPUT itself is
+    quadratic on duplicate-heavy corpora (50k docs → 23.4M pairs).
+    This form is the tiny-SF cross-check; the registered scale
+    default is `dedup_simhash_clustered` (linear output)."""
     from etl_covid19_spark.operators.dedup import simhash_pairs
 
     return simhash_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
     )
+
+
+def _simhash_cluster_oracle(bits: int = 30) -> str:
+    """GENERATED oracle for dedup_simhash_clustered: same fp CTEs,
+    then distinct-fp half-blocked edges, a recursive min-label
+    closure over the fp graph, and min-doc-id canonicalization."""
+    return f"""
+    WITH RECURSIVE {_simhash_fp_ctes(bits)},
+    d AS (SELECT DISTINCT fp FROM f),
+    b AS (
+      SELECT fp, fp % 32768 AS key, 0 AS chunk FROM d
+      UNION ALL
+      SELECT fp, (fp // 32768) % 32768, 1 FROM d
+    ),
+    e0 AS (
+      SELECT DISTINCT a.fp AS fa, b2.fp AS fb
+      FROM b a JOIN b b2
+        ON a.key = b2.key AND a.chunk = b2.chunk AND a.fp < b2.fp
+      WHERE bit_count(xor(a.fp, b2.fp)) <= 8
+    ),
+    edges AS (
+      SELECT fa AS src, fb AS dst FROM e0
+      UNION SELECT fb, fa FROM e0
+    ),
+    reach(node, label) AS (
+      SELECT fp, fp FROM d
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    fpc AS (SELECT node AS fp, MIN(label) AS fl FROM reach GROUP BY node),
+    asg AS (
+      SELECT f.doc_id, fpc.fl FROM f JOIN fpc ON f.fp = fpc.fp
+    ),
+    rep AS (SELECT fl, MIN(doc_id) AS cluster_id FROM asg GROUP BY fl)
+    SELECT asg.doc_id, rep.cluster_id
+    FROM asg JOIN rep USING (fl) ORDER BY doc_id
+    """
+
+
+@register("dedup_simhash_clustered", oracle=_simhash_cluster_oracle())
+def q_dedup_simhash_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale default for SimHash dedup (VERDICT r2 pattern: scale
+    twin promoted to a registered, oracle-checked query): cluster
+    assignment instead of all near-dup pairs. Identical fingerprints
+    collapse first, the hamming graph lives on DISTINCT fps, and the
+    output is one (doc_id, cluster_id) row per doc — linear where
+    `dedup_simhash`'s pair set measured quadratic at sf1 (23.4M
+    pairs / 50k docs). The oracle replays fp computation, distinct-fp
+    blocking, and a recursive min-label closure."""
+    from etl_covid19_spark.operators.dedup import simhash_clusters
+
+    return simhash_clusters(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=8
+    ).orderBy("doc_id")
 
 
 def _near_dup_lsh_oracle(
@@ -3131,6 +3206,99 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "thumb_w",
         "thumb_h",
     )
+
+
+@register(
+    "media_pixel_stats",
+    oracle="""
+    WITH g AS (
+      SELECT i.range AS doc_id, x.range AS x, y.range AS y
+      FROM range(16) i, range(8) x, range(8) y
+    )
+    SELECT doc_id,
+           CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           CAST(SUM((doc_id*31 + x*7 + y*13) % 256) AS DOUBLE) / 64
+             AS mean_r,
+           CAST(SUM((doc_id*31 + x*7 + y*13 + 101) % 256) AS DOUBLE) / 64
+             AS mean_g,
+           CAST(SUM((doc_id*31 + x*7 + y*13 + 202) % 256) AS DOUBLE) / 64
+             AS mean_b
+    FROM g GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, oracle-verified pixel-for-pixel: sixteen
+    8×8 RGB PNGs are encoded driver-side from the arithmetic formula
+    v(i,x,y,c) = (i·31 + x·7 + y·13 + c·101) mod 256
+    (functions/media.encode_png — filter-0 scanlines, zlib IDAT,
+    CRC'd chunks), shipped as binary rows, and decoded
+    EXECUTOR-SIDE through the stdlib inflate+unfilter path
+    (media.decode_png via operators.multimodal.image_pixel_stats).
+    The DuckDB oracle re-derives the channel means from the same
+    formula without ever seeing the bytes — if the codec round-trip
+    mis-places a single pixel, the means mismatch. Channel sums are
+    int64-exact, divided once, so both sides are bit-identical.
+    Fixture-sized by design (codec correctness, not scale; the scale
+    path for blob columns is blob_stats_arrow/multimodal_meta)."""
+    import numpy as np
+
+    from etl_covid19_spark.functions import media as M
+    from etl_covid19_spark.operators.multimodal import image_pixel_stats
+
+    y, x, c = np.meshgrid(
+        np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+    )
+    rows = []
+    for i in range(16):
+        arr = ((i * 31 + x * 7 + y * 13 + c * 101) % 256).astype(np.uint8)
+        rows.append((i, bytearray(M.encode_png(arr))))
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return image_pixel_stats(d, "doc_id", "payload").orderBy("doc_id")
+
+
+@register(
+    "media_audio_stats",
+    oracle="""
+    WITH s AS (
+      SELECT i.range AS doc_id, t.range AS t,
+             ((i.range*17 + t.range*13) % 200 - 100) * 100 AS k
+      FROM range(8) i, range(2000) t
+    ), f AS (
+      SELECT doc_id, k,
+             lag(k) OVER (PARTITION BY doc_id ORDER BY t) AS pk
+      FROM s
+    )
+    SELECT doc_id,
+           CAST(0.25 AS DOUBLE) AS duration_s,
+           sqrt(CAST(SUM(k*k) AS DOUBLE) / 2000) / 32768.0 AS rms,
+           CAST(COALESCE(SUM(CASE WHEN (k < 0) != (pk < 0) THEN 1 END), 0)
+                AS BIGINT) AS zero_crossings
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-verified sample-for-sample: eight
+    2000-sample mono PCM16 WAVs at 8 kHz are written driver-side
+    from k(i,t) = ((i·17 + t·13) mod 200 − 100)·100 (stdlib `wave`
+    writer, integer samples verbatim — no float rounding), then
+    decoded EXECUTOR-SIDE via media.decode_wav and reduced to
+    duration / RMS / zero-crossings (operators.multimodal.
+    audio_features real-WAV path). RMS accumulates the square-sum in
+    int64 and the oracle recomputes it from the generating formula —
+    sqrt(exact/n)/2^15 on both sides, bit-identical. Fixture-sized
+    by design (codec correctness, not scale)."""
+    import numpy as np
+
+    from etl_covid19_spark.functions import media as M
+    from etl_covid19_spark.operators.multimodal import audio_features
+
+    t = np.arange(2000)
+    rows = []
+    for i in range(8):
+        k = ((i * 17 + t * 13) % 200 - 100) * 100
+        rows.append((i, bytearray(M.encode_wav(k, rate=8000))))
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return audio_features(d, "doc_id", "payload").orderBy("doc_id")
 
 
 @register(
@@ -6305,6 +6473,66 @@ def q_window_dist_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.percent_rank().over(w).alias("pct_rank"),
             F.cume_dist().over(w).alias("cume"),
             F.nth_value("spend", 3).over(w_full).alias("third_highest_spend"),
+        )
+        .orderBy(F.col("spend").desc(), "o_custkey")
+        .limit(100)
+    )
+
+
+@register(
+    "window_dist_scaled",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey, spend,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(spend, 3) OVER (
+             ORDER BY spend DESC, o_custkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS third_highest_spend
+    FROM per_cust
+    WINDOW w AS (ORDER BY spend DESC, o_custkey)
+    ORDER BY spend DESC, o_custkey LIMIT 100
+    """,
+)
+def q_window_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of `window_dist_suite`, promoted per VERDICT r2 #2:
+    the SAME oracle (percent_rank / cume_dist / nth_value over
+    per-customer spend), computed WITHOUT the global unpartitioned
+    window — `operators.aggregates.distributed_rank` buckets the
+    domain by sketch cut points, ranks within buckets, and merges
+    via broadcast offsets. Cut precision only balances work, never
+    changes output, so this form is EXACT at every scale while the
+    biggest sorted run is one bucket (n/64) instead of n. The exact
+    global-window form is retained as the tiny-SF cross-check."""
+    from etl_covid19_spark.operators.aggregates import distributed_rank
+
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "decimal(18,2)").alias("spend")
+    )
+    ranked = distributed_rank(per_cust, "spend", "o_custkey")
+    third = ranked.agg(
+        F.max(F.when(F.col("_pos") == 3, F.col("spend"))).alias("_third")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(third))
+        .select(
+            "o_custkey",
+            "spend",
+            F.when(
+                F.col("_n") > 1,
+                (F.col("_pos") - 1).cast("double") / (F.col("_n") - 1),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+            (F.col("_pos").cast("double") / F.col("_n")).alias("cume"),
+            F.col("_third").alias("third_highest_spend"),
         )
         .orderBy(F.col("spend").desc(), "o_custkey")
         .limit(100)

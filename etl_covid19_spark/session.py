@@ -79,6 +79,17 @@ def get_spark(
     builder = SparkSession.builder.appName(app_name).master(master)
     conf = dict(_BASE_CONF)
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if master.startswith("local"):
+        # In local mode the DRIVER heap is the whole JVM — all "local
+        # executor" threads run inside it, and Spark's 1g default is
+        # a toy budget for 32 concurrent tasks (found the hard way:
+        # sf1 bench OOMed the heap). Size it like one real executor;
+        # on a cluster this block is skipped and spark-submit /
+        # the cluster manager own executor sizing.
+        conf.setdefault(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
