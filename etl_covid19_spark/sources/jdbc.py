@@ -79,6 +79,115 @@ def read_jdbc(spark: SparkSession, **kwargs) -> DataFrameReader:
     return spark.read.format("jdbc").options(**jdbc_read_options(**kwargs))
 
 
+def read_jdbc_equidepth(
+    spark: SparkSession,
+    url: str,
+    dbtable: str,
+    partition_column: str,
+    num_partitions: int,
+    driver: str | None = None,
+    fetchsize: int = 10_000,
+    probe_buckets: int | None = None,
+) -> DataFrame:
+    """Skew-aware partitioned JDBC scan: equi-DEPTH range predicates
+    derived from an in-database histogram probe.
+
+    Spark's `partitionColumn`/`lowerBound`/`upperBound` reader slices
+    the key range into equal-WIDTH strides — on a skewed table (ids
+    clustered low, a hot tenant range, time-ordered keys with a busy
+    week) one stride holds most rows and its task becomes the
+    straggler pulling 90% of the data through one connection. This
+    reader instead:
+
+    1. probes the table ONCE in-database (a pushed-down group-by over
+       `probe_buckets` equal-width micro-buckets — returns ≤ buckets
+       rows over the wire, never data);
+    2. greedy-packs contiguous micro-buckets into `num_partitions`
+       ranges of ~equal ROW COUNT (cut points at depth boundaries);
+    3. issues one range predicate per partition
+       (`spark.read.jdbc(predicates=...)`), NULLs routed to the first.
+
+    Partition row counts are balanced to within ~one micro-bucket.
+    The default probe (1024 buckets, or 64 × num_partitions if
+    larger) is deliberately fine-grained: a dense region occupying
+    1% of the key span needs bucket width ≲ dense-width/partitions
+    to be divisible at all, and the probe's cost is bounded by its
+    ROW count (≤ buckets rows over the wire), not the table.
+    Indivisible single-value hot keys are a real floor: a range on
+    the partition column cannot split one value — same physics as
+    shuffle-key skew; pick a higher-cardinality column or composite
+    key for those tables (`key_skew_report` surfaces them).
+
+    The probe uses integer bucket arithmetic `((col-min)*B)/span`,
+    portable to Derby/Postgres/Oracle (no percentile functions
+    required); (max-min)·B must fit the column's integer type —
+    true for surrogate keys and epoch timestamps with B ≤ 2^20.
+    """
+    if num_partitions < 1:
+        raise ValueError("num_partitions must be >= 1")
+    b = probe_buckets or max(num_partitions * 64, 1024)
+    q = partition_column  # caller passes the exact (quoted) identifier
+
+    stats = (
+        read_jdbc(
+            spark,
+            url=url,
+            query=(
+                f'SELECT MIN({q}) AS "lo", MAX({q}) AS "hi", '
+                f'COUNT(*) AS "n" FROM {dbtable}'
+            ),
+            driver=driver,
+        )
+        .load()
+        .collect()[0]
+    )
+    lo, hi, total = stats.lo, stats.hi, stats.n
+    props = {"fetchsize": str(fetchsize)}
+    if driver:
+        props["driver"] = driver
+    if total == 0 or lo is None or lo == hi or num_partitions == 1:
+        return spark.read.jdbc(url, dbtable, properties=props)
+
+    span = int(hi) - int(lo) + 1
+    b = min(b, span)  # never finer than one value per bucket
+    hist_rows = (
+        read_jdbc(
+            spark,
+            url=url,
+            query=(
+                f'SELECT "bucket", COUNT(*) AS "n" FROM ('
+                f"SELECT (({q} - {int(lo)}) * {b}) / {span} AS \"bucket\" "
+                f"FROM {dbtable}) x GROUP BY \"bucket\""
+            ),
+            driver=driver,
+        )
+        .load()
+        .collect()
+    )
+    hist = {int(r.bucket): int(r.n) for r in hist_rows}
+
+    # greedy depth packing: cut whenever the running count passes the
+    # per-partition target (cuts land on micro-bucket boundaries)
+    target = total / num_partitions
+    cuts: list[int] = []
+    acc = 0
+    for i in range(b):
+        acc += hist.get(i, 0)
+        if acc >= target * (len(cuts) + 1) and len(cuts) < num_partitions - 1:
+            # bucket i's upper value bound, exclusive (ceil: the first
+            # value whose micro-bucket index is > i)
+            cuts.append(int(lo) + ((i + 1) * span + b - 1) // b)
+    if not cuts:
+        return spark.read.jdbc(url, dbtable, properties=props)
+
+    preds = [f"{q} < {cuts[0]} OR {q} IS NULL"]
+    preds += [
+        f"{q} >= {a} AND {q} < {z}" for a, z in zip(cuts, cuts[1:])
+    ]
+    preds.append(f"{q} >= {cuts[-1]}")
+    return spark.read.jdbc(url, dbtable, predicates=preds, properties=props)
+
+
 def register_jdbc_catalog(
     spark: SparkSession,
     name: str,

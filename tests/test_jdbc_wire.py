@@ -266,3 +266,51 @@ def test_streaming_jdbc_upsert_replay_safe(spark, derby_url, tmp_path):
             .collect()
         }
         assert got == expected, f"attempt {attempt}"
+
+
+def test_jdbc_equidepth_partitioned_read_balances_skew(spark, derby_url):
+    """90% of rows live in 1% of the key range: Spark's equal-width
+    lowerBound/upperBound slicing would put ~90% of the table in one
+    partition; the histogram-probed equi-depth reader must spread it
+    within 3x across partitions without losing a row."""
+    from etl_covid19_spark.sources.jdbc import read_jdbc_equidepth
+
+    dense = spark.range(9000).selectExpr("CAST(id % 100 AS INT) AS k")
+    sparse = spark.range(1000).selectExpr("CAST(100 + id * 9 AS INT) AS k")
+    write_jdbc(
+        dense.unionAll(sparse), derby_url, "wire_skewed",
+        mode="append", driver=DRIVER,
+    )
+
+    df = read_jdbc_equidepth(
+        spark, derby_url, "wire_skewed", '"k"',
+        num_partitions=4, driver=DRIVER,
+    )
+    sizes = df.rdd.glom().map(len).collect()
+    assert len(sizes) == 4
+    assert sum(sizes) == 10_000  # predicates partition, never drop
+    assert max(sizes) <= 3 * max(min(sizes), 1), sizes
+
+    # the equal-width baseline really is pathological on this table
+    # (this is the straggler the equi-depth reader exists to kill)
+    baseline = read_jdbc(
+        spark, url=derby_url, dbtable="wire_skewed",
+        partition_column='"k"', lower_bound=0, upper_bound=9092,
+        num_partitions=4, driver=DRIVER,
+    ).load()
+    base_sizes = baseline.rdd.glom().map(len).collect()
+    assert max(base_sizes) >= 9000  # ~90% lands in one stride
+
+
+def test_jdbc_equidepth_degenerate_tables(spark, derby_url):
+    """Single-value and empty tables fall back to one clean scan."""
+    from etl_covid19_spark.sources.jdbc import read_jdbc_equidepth
+
+    write_jdbc(
+        spark.range(50).selectExpr("CAST(7 AS INT) AS k"),
+        derby_url, "wire_const", mode="append", driver=DRIVER,
+    )
+    df = read_jdbc_equidepth(
+        spark, derby_url, "wire_const", '"k"', num_partitions=4, driver=DRIVER
+    )
+    assert df.count() == 50
