@@ -5,6 +5,11 @@ matching oracle_sql() in DuckDB over the same parquet, and compares
 row count, sorted column names, and order-insensitive values.
 
 Usage: python tools/diffcheck.py [sf_dir] [query ...]
+
+Also importable: `diffcheck.run(spark, sf_dir)` returns the failure
+list, which `tests/test_full_differential.py` wires into pytest so
+the full sweep guards every round (the driver's CORRECTNESS gate only
+samples ~50 of the registry per round).
 """
 
 from __future__ import annotations
@@ -37,15 +42,16 @@ def normalize(rows, columns):
     )
 
 
-def main() -> int:
+def run(spark, sf_dir: str, only=None, verbose: bool = True):
+    """Differential sweep; returns [(query_name, problem), ...]."""
     import duckdb
+
     import __spark_entry__ as entrymod
-    from etl_covid19_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    def say(msg: str) -> None:
+        if verbose:
+            print(msg)
 
-    spark = get_spark("diffcheck")
     con = duckdb.connect()
     for t in (
         "region nation customer supplier part orders lineitem events "
@@ -57,6 +63,7 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = set(only) if only else None
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
@@ -67,10 +74,10 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR {type(exc).__name__}: {exc}"))
-            print(f"FAIL  {name}: spark error {exc}")
+            say(f"FAIL  {name}: spark error {exc}")
             continue
         if name not in oracles:
-            print(f"SKIP  {name}: no oracle (rows-only) — {len(s_rows)} rows")
+            say(f"SKIP  {name}: no oracle (rows-only) — {len(s_rows)} rows")
             continue
         try:
             res = con.execute(oracles[name])
@@ -78,7 +85,7 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {exc}"))
-            print(f"FAIL  {name}: duckdb error {exc}")
+            say(f"FAIL  {name}: duckdb error {exc}")
             continue
         problems = []
         if sorted(s_cols) != sorted(d_cols):
@@ -94,12 +101,21 @@ def main() -> int:
                 problems.append(f"values differ, first diffs: {diff}")
         if problems:
             failures.append((name, "; ".join(problems)))
-            print(f"FAIL  {name}: {'; '.join(problems)}")
+            say(f"FAIL  {name}: {'; '.join(problems)}")
         else:
-            print(f"OK    {name} ({len(s_rows)} rows)")
+            say(f"OK    {name} ({len(s_rows)} rows)")
 
-    print(f"\n{len(failures)} failures / {len(queries)} queries")
-    return 1 if failures else 0
+    say(f"\n{len(failures)} failures / {len(queries)} queries")
+    return failures
+
+
+def main() -> int:
+    from etl_covid19_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("diffcheck")
+    return 1 if run(spark, sf_dir, only or None) else 0
 
 
 if __name__ == "__main__":
