@@ -6730,6 +6730,53 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "equidepth_histogram_sketch",
+    oracle="""
+    WITH nn AS (SELECT COUNT(*) AS n FROM events),
+    o AS (
+      SELECT value, row_number() OVER (ORDER BY value) AS rn FROM events
+    ),
+    c AS (
+      SELECT list(o.value ORDER BY o.rn) AS cs
+      FROM o, nn
+      WHERE o.rn IN (
+        SELECT CAST(ceil(i.range * nn.n / 10.0) AS BIGINT)
+        FROM range(1, 10) i, nn
+      )
+    )
+    SELECT CAST(len(list_filter(c.cs, x -> e.value >= x)) AS INT) AS bin,
+           COUNT(*) AS n_rows,
+           MIN(e.value) AS lo,
+           MAX(e.value) AS hi
+    FROM events e, c
+    GROUP BY 1 ORDER BY bin
+    """,
+)
+def q_equidepth_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promoted scale twin of `equidepth_histogram` (VERDICT r2 #2):
+    decile buckets WITHOUT the global ntile sort —
+    `timeseries.equidepth_bins_approx` takes t-digest/GK cut points
+    from `approx_percentile` (mergeable sketch, map-side combined)
+    and bins with a broadcast closed form. The oracle re-derives the
+    cut points by explicit rank arithmetic: `percentile_approx`
+    returns the smallest value whose rank/n ≥ p, i.e. the value at
+    rank ceil(p·n) — EXACT whenever n ≤ accuracy (verified both rank
+    conventions and DuckDB's quantile_disc agree at test SFs), so
+    the compare is hash-exact here while the operator stays a sketch
+    (±n/accuracy ranks) at 100 TB, where the exact ntile form cannot
+    run at all. Bucket edges differ from ntile's by design: binning
+    is by VALUE cuts (ties share a bucket), the property selectivity
+    estimation actually wants."""
+    from etl_covid19_spark.operators import timeseries as ts
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ts.equidepth_bins_approx(ev, "value", n_bins=10, accuracy=100_000)
+        .orderBy("bin")
+    )
+
+
+@register(
     "correlation_matrix",
     oracle="""
     WITH m AS (
