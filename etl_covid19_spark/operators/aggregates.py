@@ -183,20 +183,28 @@ def distributed_rank(
     orders; both left to the caller's projection.
     """
     v = F.col(value)
-    probs = [i / n_buckets for i in range(1, n_buckets)]
-    cuts = df.agg(
-        F.percentile_approx(
-            v.cast("double"), F.array(*[F.lit(p) for p in probs]), accuracy
-        ).alias("_cuts")
-    )
-    binned = df.join(F.broadcast(cuts)).select(
-        df["*"],
-        F.aggregate(
-            "_cuts",
-            F.lit(0),
-            lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
-        ).alias("_b"),
-    )
+    if n_buckets <= 1:
+        # degenerate: one bucket IS the global sort — still correct,
+        # just without the scale benefit (percentile_approx rejects
+        # an empty percentage array, so short-circuit)
+        binned = df.withColumn("_b", F.lit(0))
+    else:
+        probs = [i / n_buckets for i in range(1, n_buckets)]
+        cuts = df.agg(
+            F.percentile_approx(
+                v.cast("double"),
+                F.array(*[F.lit(p) for p in probs]),
+                accuracy,
+            ).alias("_cuts")
+        )
+        binned = df.join(F.broadcast(cuts)).select(
+            df["*"],
+            F.aggregate(
+                "_cuts",
+                F.lit(0),
+                lambda acc, c: acc + F.when(v >= c, 1).otherwise(0),
+            ).alias("_b"),
+        )
     wb = Window.partitionBy("_b").orderBy(v.desc(), F.col(tiebreak))
     within = binned.withColumn("_r", F.row_number().over(wb))
     # bucket sizes -> offset = rows in HIGHER-value buckets. |buckets|

@@ -29,6 +29,7 @@ SWEEP = [
     "dedup_ngram_jaccard_capped",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_simhash_clustered",
     "dedup_clusters",
     "embedding_near_dup",
     "ann_lsh_topk",
@@ -77,7 +78,10 @@ SWEEP = [
 # exactly one build row — constant work, not O(n·m) — so they are
 # excluded from the forbidden-node sweep. fuzzy_join_nations is a
 # documented bounded-broadcast theta join (|probes| × |dim|), also
-# excluded by design.
+# excluded by design. window_dist_scaled and
+# equidepth_histogram_sketch broadcast a ONE-ROW model frame (cut
+# array / third-highest value) the same way — constant work,
+# excluded for the same reason.
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
