@@ -176,6 +176,33 @@ COMMENTARY = {
         "|labels|·d rows before the shuffle; array re-pack is a "
         "bounded sorted collect_list per label."
     ),
+    "window_dist_scaled": (
+        "Distributed global rank (round 3): row_number windows "
+        "partition by the sketch-cut bucket (max sorted run = bucket "
+        "depth, never n), bucket offsets come from a |buckets|-row "
+        "frame broadcast back, and the one-row third-highest model "
+        "enters as a constant-work single-row broadcast. The ONLY "
+        "unpartitioned sort left is the final top-100 "
+        "TakeOrderedAndProject. Output is hash-identical to the "
+        "global-window exact form (same oracle)."
+    ),
+    "dedup_simhash_clustered": (
+        "SimHash clusters (round 3): fingerprints are a bare Project "
+        "over the scan; the hamming candidate join runs on DISTINCT "
+        "fingerprints' 15-bit halves (equi-join, never docs²); "
+        "min-label components iterate bounded vertex-keyed "
+        "join+aggregate rounds; doc assignment is one linear "
+        "fp-keyed join. Replaces a 23.4M-row pair materialization "
+        "(measured at sf1) with |docs| output rows."
+    ),
+    "equidepth_histogram_sketch": (
+        "Sketch equi-depth histogram (round 3): ONE percentile_approx "
+        "aggregate (mergeable GK sketch, partial-combined) produces "
+        "the 9-cut model row, broadcast to a closed-form binning "
+        "Project; the final aggregate carries 10 groups. No global "
+        "sort anywhere — the exact ntile twin keeps one for the "
+        "tiny-SF cross-check."
+    ),
 }
 
 
