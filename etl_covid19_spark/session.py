@@ -83,12 +83,16 @@ def get_spark(
         # In local mode the DRIVER heap is the whole JVM — all "local
         # executor" threads run inside it, and Spark's 1g default is
         # a toy budget for 32 concurrent tasks (found the hard way:
-        # sf1 bench OOMed the heap). Size it like one real executor;
-        # on a cluster this block is skipped and spark-submit /
-        # the cluster manager own executor sizing.
+        # sf1 bench OOMed the heap). Size it like one real executor.
+        # MEASURED at sf1: 8-24g are equivalent within noise and ~2×
+        # faster than 48g on the shuffle-heavy dedup/ANN family (G1
+        # scales region/young-gen size with the heap; an oversized
+        # heap trades pause frequency for pause span and cache
+        # locality). 16g clears sf1 with 2× headroom. On a cluster
+        # this block is skipped — spark-submit owns executor sizing.
         conf.setdefault(
             "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"),
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
     if extra_conf:
         conf.update(extra_conf)
