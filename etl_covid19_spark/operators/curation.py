@@ -1,0 +1,161 @@
+"""Model-based corpus-curation scorers — extension surface
+(SURVEY.md §7.2 step 9) beyond the rule-based text kit
+(`functions/text.py`):
+
+- a fastText-shaped hashed n-gram LINEAR CLASSIFIER (Joulin et al.
+  2016, arXiv:1607.01759): tokens and token bigrams hash into K
+  weight buckets, the document score is sigmoid(bias + mean bucket
+  weight) — the standard learned quality-filter architecture (GPT-3 /
+  CCNet-style "looks like reference corpus" scoring);
+- a smoothed UNIGRAM LANGUAGE-MODEL PERPLEXITY filter (the CCNet
+  perplexity-bucket shape, Wenzek et al. 2020, arXiv:1911.00359,
+  with the KenLM 5-gram swapped for an in-engine unigram LM so the
+  model itself is a Spark aggregation).
+
+Both are pure Catalyst column expressions / DataFrame aggregations:
+no Python in the row path, engine-agnostic arithmetic (the DuckDB
+oracles reproduce scores to 6 decimals).
+
+Scale shape:
+- classifier: map-side only — weights are a K-entry literal array
+  (bounded model parameters, the same shipping contract as the LSH
+  planes in `operators/similarity.py`); zero shuffle.
+- perplexity: one explode + two hash aggregations (doc×token, then
+  token) whose map-side partials collapse each partition to its
+  distinct-token counts before any exchange; the vocabulary table is
+  vocab-bounded (not corpus-bounded) and re-joins the doc×token
+  counts on an equi key. Corpus totals (N, V) are a 1-row aggregate
+  collected as bounded model parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.functions import text
+
+N_BUCKETS = 64
+BIAS = 0.25
+_WEIGHT_SEED = 11
+
+
+def make_classifier_weights(k: int = N_BUCKETS, seed: int = _WEIGHT_SEED) -> list[float]:
+    """Deterministic pseudo-random bucket weights in [-1, 1) — the
+    same LCG scheme as `similarity.make_planes`, so "trained" weights
+    are reproducible across engines and runs. A real deployment
+    would substitute weights fit offline (the dataflow is identical:
+    a K-float literal array)."""
+    state = seed
+    out = []
+    for _ in range(k):
+        state = (state * 1103515245 + 12345) % (2**31)
+        out.append((state / 2**31) * 2.0 - 1.0)
+    return out
+
+
+def token_buckets(col, k: int = N_BUCKETS) -> F.Column:
+    """Engine-agnostic token hash → bucket id in [0, k): the
+    (first-codepoint, length) polynomial used by
+    `text.fingerprint`, reduced mod k. array<bigint>."""
+    toks = text.tokens(col)
+    return F.transform(
+        toks,
+        lambda t: (
+            F.ascii(F.substring(t, 1, 1)).cast("bigint") * 1000 + F.length(t)
+        )
+        % k,
+    )
+
+
+def classifier_features(col, k: int = N_BUCKETS) -> F.Column:
+    """Unigram + bigram hashed feature ids (fastText's word-n-gram
+    trick): bigram bucket = (b_i·31 + b_{i+1}) mod k."""
+    b = token_buckets(col, k)
+    n = F.size(b)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(b, F.lit(1), n - 1),
+            F.slice(b, F.lit(2), n - 1),
+            lambda x, y: (x * 31 + y) % k,
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    return F.concat(b, bigrams)
+
+
+def classifier_score(
+    col,
+    weights: list[float] | None = None,
+    bias: float = BIAS,
+    k: int = N_BUCKETS,
+) -> F.Column:
+    """sigmoid(bias + mean_{f ∈ features} W[f]) ∈ (0, 1); documents
+    with no tokens score sigmoid(bias). The weight fetch is an
+    element_at into a literal array — whole-stage codegen, no joins,
+    no Python."""
+    w = weights if weights is not None else make_classifier_weights(k)
+    warr = F.array(*[F.lit(x) for x in w])
+    feats = classifier_features(col, k)
+    wsum = F.aggregate(
+        feats,
+        F.lit(0.0),
+        lambda acc, f: acc + F.element_at(warr, f.cast("int") + 1),
+    )
+    mean_w = F.when(
+        F.size(feats) > 0, wsum / F.size(feats)
+    ).otherwise(F.lit(0.0))
+    z = F.lit(float(bias)) + mean_w
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def unigram_perplexity(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document perplexity under an add-α-smoothed unigram LM
+    trained on the corpus itself: p(t) = (count(t) + α) / (N + α·V).
+
+    Returns (id, n_tokens, cross_entropy, perplexity) where
+    cross_entropy = Σ_t n_t·(−ln p(t)) / n_doc and perplexity =
+    exp(cross_entropy) — the CCNet filter statistic (low = head-like
+    fluent text, high = noise/outlier documents).
+
+    Dataflow: explode once to (doc, token); aggregate to per-doc
+    token counts (this IS the per-doc feature table, reused for
+    scoring); roll those up to the vocabulary table (map-side
+    partials mean the token shuffle carries distinct-token partial
+    counts, not token instances); equi-join counts back on token and
+    re-aggregate by doc. N and V are a single collected stats row
+    (bounded model parameters). At web scale the vocab table is
+    millions of rows — small enough for AQE to broadcast the join,
+    which is why no broadcast is forced here."""
+    tok = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(text.tokens(text_col)).alias("token"),
+    )
+    doc_tok = tok.groupBy("_doc", "token").agg(F.count("*").alias("n"))
+    vocab = doc_tok.groupBy("token").agg(F.sum("n").alias("cnt"))
+    stats = vocab.agg(
+        F.sum("cnt").alias("N"), F.count("*").alias("V")
+    ).collect()[0]
+    denom = float(int(stats["N"]) + alpha * int(stats["V"]))
+    nll = F.col("n") * -F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom))
+    per_doc = (
+        doc_tok.join(vocab, "token")
+        .withColumn("_nll", nll)
+        .groupBy("_doc")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum("_nll").alias("_h_sum"),
+        )
+    )
+    ce = F.col("_h_sum") / F.col("n_tokens")
+    return per_doc.select(
+        F.col("_doc").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )

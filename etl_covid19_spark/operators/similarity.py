@@ -323,6 +323,236 @@ def knn_graph(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_clusters: int = 8,
+    threshold: float = 0.40,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    prune semantic duplicates WITHIN each cluster only — the pairwise
+    comparison that would be |corpus|² globally becomes Σ cluster²,
+    the paper's own cost model (k ≈ √n clusters ⇒ ~n·√n work).
+
+    Keep rule (matches the paper's "keep the document farthest from
+    the centroid" inverted to a deterministic total order): a vector
+    is DROPPED when some same-cluster vector with a strictly higher
+    cosine-to-centroid (tie: lower id) is within `threshold` cosine
+    of it. One row per input vector: (id, cluster_id, cent_cos,
+    keep).
+
+    Scale shape: centroid assignment is map-side against literal
+    seed medoids (bounded model parameters, same contract as
+    `ivf_topk`); the intra-cluster pair generation is an equi-join
+    on cluster_id (no NLJ — in the global plan sweep); the final
+    keep flag is a left join against the distinct dropped-id set.
+    Centroid "training" is the deterministic first-k-by-id medoid
+    stub so the DuckDB oracle reproduces every cluster boundary; the
+    production twin would swap in `ivf_topk_trained`'s seeded
+    k-means centers behind the identical dataflow."""
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in emb.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    ]
+    score_arr = F.array(
+        *[
+            F.struct(
+                vectors.cosine(
+                    vec_col, F.array(*[F.lit(x) for x in cv])
+                ).alias("cos"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    best = F.array_max(score_arr)
+    assigned = emb.select(
+        F.col(id_col).alias("_sd_id"),
+        F.col(vec_col).alias("_sd_v"),
+        best.getField("cid").alias("cluster_id"),
+        best.getField("cos").alias("cent_cos"),
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(b, on="cluster_id")
+        .where(F.col("a._sd_id") != F.col("b._sd_id"))
+        .where(vectors.cosine(F.col("a._sd_v"), F.col("b._sd_v")) > threshold)
+        .where(
+            (F.col("a.cent_cos") > F.col("b.cent_cos"))
+            | (
+                (F.col("a.cent_cos") == F.col("b.cent_cos"))
+                & (F.col("a._sd_id") < F.col("b._sd_id"))
+            )
+        )
+        .select(F.col("b._sd_id").alias("_sd_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assigned.join(dropped, "_sd_id", "left")
+        .select(
+            F.col("_sd_id").alias(id_col),
+            "cluster_id",
+            F.round("cent_cos", 6).alias("cent_cos"),
+            F.col("_dropped").isNull().alias("keep"),
+        )
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    m: int = 8,
+    ks: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al. 2011 "Product
+    Quantization for Nearest Neighbor Search"): coarse IVF routing
+    (same probe dataflow as `ivf_topk`) plus product-quantized
+    residual-free codes ranked by asymmetric distance (ADC).
+
+    The scale win over plain IVF: each corpus vector is stored as m
+    sub-codebook indices (m bytes for ks ≤ 256) instead of dim
+    floats — 32× less memory traffic per candidate at dim=64 — and
+    query-side distances are TABLE LOOKUPS: the query precomputes an
+    m×ks distance table map-side, and per-candidate ADC is m
+    element_at fetches + adds, never a dim-length dot product.
+
+    Codebook training is the deterministic first-ks-by-id stub
+    (sub-centroid p of subspace s = dims [s·sub, (s+1)·sub) of the
+    p-th smallest-id vector) so the DuckDB oracle reproduces codes
+    and rankings exactly; swap seeded per-subspace k-means behind
+    the same encode/lookup dataflow for production. Ties: code
+    argmin breaks to the lower codebook position, ADC ranking to
+    the lower neighbor id. Returns (query_id, neighbor_id, rank,
+    adc) with adc = Σ_s ℓ²²(q_sub[s], cb[s][code[s]])."""
+    sub = dim // m
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in emb.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    ]
+    seed_rows = (
+        emb.orderBy(id_col)
+        .limit(ks)
+        .select(F.col(id_col).alias("j"), F.col(vec_col).alias("v"))
+        .collect()
+    )
+    # codebook: cb[s][p] = sub-vector of the p-th seed (p = rank of
+    # its id, so codes are positions, not raw ids)
+    cb = {
+        s: [
+            [float(r["v"][s * sub + t]) for t in range(sub)]
+            for r in sorted(seed_rows, key=lambda r: int(r["j"]))
+        ]
+        for s in range(m)
+    }
+
+    def _subvec(col: str, s: int) -> F.Column:
+        return F.slice(F.col(col), s * sub + 1, sub)
+
+    def _l2sq(vec: F.Column, lits: list[float]) -> F.Column:
+        def sq(x, y):
+            d = x.cast("double") - y
+            return d * d
+
+        return F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(x) for x in lits]), sq),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    def _coarse_scores(col: str) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    vectors.cosine(
+                        col, F.array(*[F.lit(x) for x in cv])
+                    ).alias("cos"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+
+    codes = F.array(
+        *[
+            F.array_min(
+                F.array(
+                    *[
+                        F.struct(
+                            _l2sq(_subvec(vec_col, s), cv).alias("dist"),
+                            F.lit(p).alias("p"),
+                        )
+                        for p, cv in enumerate(cb[s])
+                    ]
+                )
+            ).getField("p")
+            for s in range(m)
+        ]
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.array_max(_coarse_scores(vec_col)).getField("cid").alias("bucket"),
+        codes.alias("codes"),
+    )
+    dtab = F.array(
+        *[
+            F.array(*[_l2sq(_subvec(vec_col, s), cv) for cv in cb[s]])
+            for s in range(m)
+        ]
+    )
+    probed = F.slice(F.reverse(F.array_sort(_coarse_scores(vec_col))), 1, n_probe)
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            dtab.alias("dtab"),
+            F.explode(probed).alias("_pr"),
+        ).select("query_id", "dtab", F.col("_pr.cid").alias("bucket"))
+    )
+    # Exact DECIMAL accumulation: each looked-up term is bitwise
+    # identical across engines (same HOF fold), so summing the
+    # identically-quantized decimals makes the ADC value — and hence
+    # the ranking — independent of addition order on BOTH sides.
+    adc = F.lit(0).cast("decimal(28,18)")
+    for s in range(m):
+        adc = adc + F.element_at(
+            F.element_at(F.col("dtab"), s + 1),
+            F.element_at(F.col("codes"), s + 1).cast("int") + 1,
+        ).cast("decimal(28,18)")
+    adc = adc.cast("double")
+    scored = (
+        q.join(c, on="bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc", adc)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round("adc", 6).alias("adc"),
+        )
+    )
+
+
 def embedding_quantize_int8(
     df: DataFrame,
     vec_col: str = "embedding",

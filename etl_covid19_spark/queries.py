@@ -7076,3 +7076,272 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n").desc(), F.col("o_custkey").asc()],
         20,
     )
+
+
+# --------------------------------------------------------------------
+# model-based corpus curation (operators/curation.py) + the IVF-PQ /
+# SemDeDup completions of the ANN/semantic-dedup family
+# --------------------------------------------------------------------
+
+from etl_covid19_spark.operators import curation as CUR  # noqa: E402
+
+_CLF_WEIGHTS_SQL = "[" + ", ".join(repr(x) for x in CUR.make_classifier_weights()) + "]"
+
+
+@register(
+    "quality_classifier",
+    oracle=f"""
+    WITH w AS (SELECT CAST({_CLF_WEIGHTS_SQL} AS DOUBLE[]) AS wl),
+    t AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> ''),
+               tk -> CAST((ascii(substr(tk, 1, 1)) * 1000 + length(tk)) % 64
+                          AS BIGINT)) AS b
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, lang,
+             list_concat(b,
+               CASE WHEN len(b) >= 2
+                    THEN list_transform(
+                           list_zip(b[1:len(b)-1], b[2:len(b)]),
+                           p -> (struct_extract(p, 1) * 31
+                                 + struct_extract(p, 2)) % 64)
+                    ELSE CAST([] AS BIGINT[]) END) AS feats
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, lang, len(feats) AS n_features,
+             CASE WHEN len(feats) > 0
+                  THEN list_reduce(
+                         list_prepend(0.0,
+                           list_transform(feats,
+                             ff -> wl[CAST(ff AS INT) + 1])),
+                         (x, y) -> x + y) / len(feats)
+                  ELSE 0.0 END AS mean_w
+      FROM f CROSS JOIN w
+    )
+    SELECT doc_id, lang, CAST(n_features AS INT) AS n_features,
+           round(1.0 / (1.0 + exp(-(0.25 + mean_w))), 6) AS score,
+           1.0 / (1.0 + exp(-(0.25 + mean_w))) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-shaped hashed-n-gram linear quality classifier
+    (Joulin et al. 2016): unigram+bigram buckets → literal weight
+    array lookup → mean → sigmoid — the learned quality-filter
+    architecture as a zero-shuffle map-side Catalyst expression.
+    Weights here are deterministic LCG stand-ins; a trained model
+    ships the same way (a K-float literal)."""
+    d = _t(spark, sf_dir, "documents")
+    score = CUR.classifier_score("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(CUR.classifier_features("text")).alias("n_features"),
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+
+
+@register(
+    "unigram_lm_perplexity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    dt AS (SELECT doc_id, token, count(*) AS n FROM t GROUP BY doc_id, token),
+    v AS (SELECT token, sum(n) AS cnt FROM dt GROUP BY token),
+    s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+                 CAST(count(*) AS DOUBLE) AS vsz
+          FROM v),
+    d AS (
+      SELECT dt.doc_id,
+             CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+             CAST(sum(CAST(dt.n * -ln((CAST(v.cnt AS DOUBLE) + 0.5)
+                                      / (s.n_total + 0.5 * s.vsz))
+                           AS DECIMAL(28,18))) AS DOUBLE) AS h_sum
+      FROM dt JOIN v USING (token) CROSS JOIN s
+      GROUP BY dt.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           round(h_sum / n_tokens, 6) AS cross_entropy,
+           round(exp(h_sum / n_tokens), 6) AS perplexity
+    FROM d
+    """,
+)
+def q_unigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM-perplexity filter (Wenzek et al. 2020) with the
+    LM trained in-engine: add-0.5-smoothed unigram model over the
+    corpus, per-doc cross-entropy and perplexity. One explode, two
+    map-side-partial aggregations, one vocab equi-join; the exact
+    DECIMAL accumulation makes the statistic partition-invariant
+    (same contract as `exact_moments`)."""
+    return CUR.unigram_perplexity(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )
+
+
+@register(
+    "semantic_dedup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    ec AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(list_transform(list_zip(e.v, c.cv),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y)))
+               AS cos
+      FROM e CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster_id, cos AS cent_cos
+      FROM (SELECT vec_id, cid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             a.cent_cos AS ci, b.cent_cos AS cj,
+             list_reduce(list_transform(list_zip(ei.v, ej.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(ei.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(ej.v, x -> x * x), (x, y) -> x + y)))
+               AS cos
+      FROM assign a
+      JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+      JOIN e ei ON ei.vec_id = a.vec_id
+      JOIN e ej ON ej.vec_id = b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT j AS vec_id FROM pairs
+      WHERE cos > 0.40 AND (ci > cj OR (ci = cj AND i < j))
+    )
+    SELECT a.vec_id, a.cluster_id, round(a.cent_cos, 6) AS cent_cos,
+           d.vec_id IS NULL AS keep
+    FROM assign a LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication (Abbas et al. 2023): coarse
+    cluster, prune near-duplicates within clusters only — pairwise
+    work is Sigma cluster-squared, never corpus-squared. One row per
+    vector with its cluster, centroid cosine, and keep flag."""
+    from etl_covid19_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        n_clusters=8, threshold=0.40,
+    )
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+    ec AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(list_transform(list_zip(e.v, c.cv),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y)))
+               AS cos
+      FROM e CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid AS bucket
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS bucket
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec WHERE vec_id BETWEEN 8 AND 15)
+      WHERE rn <= 2
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS p, v
+      FROM e WHERE vec_id < 16
+    ),
+    cb AS (
+      SELECT s.s, seeds.p,
+             list_slice(seeds.v, s.s * 8 + 1, s.s * 8 + 8) AS cv
+      FROM seeds CROSS JOIN range(8) s(s)
+    ),
+    subd AS (
+      SELECT e.vec_id, cb.s, cb.p,
+             list_reduce(
+               list_prepend(0.0,
+                 list_transform(
+                   list_zip(list_slice(e.v, cb.s * 8 + 1, cb.s * 8 + 8), cb.cv),
+                   pr -> (struct_extract(pr, 1) - struct_extract(pr, 2))
+                         * (struct_extract(pr, 1) - struct_extract(pr, 2)))),
+               (x, y) -> x + y) AS dist
+      FROM e CROSS JOIN cb
+    ),
+    codes AS (
+      SELECT vec_id, s, p AS code
+      FROM (SELECT vec_id, s, p,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                        ORDER BY dist ASC, p ASC) AS rn
+            FROM subd)
+      WHERE rn = 1
+    ),
+    adc AS (
+      SELECT pr.query_id, a.neighbor_id,
+             CAST(sum(CAST(qd.dist AS DECIMAL(28,18))) AS DOUBLE) AS adc
+      FROM probe pr
+      JOIN assign a ON pr.bucket = a.bucket AND pr.query_id <> a.neighbor_id
+      JOIN codes n ON n.vec_id = a.neighbor_id
+      JOIN subd qd ON qd.vec_id = pr.query_id AND qd.s = n.s AND qd.p = n.code
+      GROUP BY pr.query_id, a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, round(adc, 6) AS adc
+    FROM (SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY adc ASC, neighbor_id ASC) AS INT) AS rank,
+                 adc
+          FROM adc)
+    WHERE rank <= 10
+    """,
+)
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate top-k (Jegou et al. 2011): coarse IVF
+    probing + product-quantized codes ranked by asymmetric distance
+    (per-query m-by-ks lookup table, m element_at fetches per
+    candidate). The ADC accumulation is exact DECIMAL on both sides
+    so group-order can never flip a rank."""
+    from etl_covid19_spark.operators.similarity import ivf_pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+        "embedding", "vec_id",
+        k=10, n_centroids=8, n_probe=2, m=8, ks=16, dim=64,
+    )

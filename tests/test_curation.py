@@ -1,0 +1,186 @@
+"""Model-based curation operators: hashed linear classifier, unigram
+LM perplexity (operators/curation.py), SemDeDup semantic dedup and
+IVF-PQ ANN (operators/similarity.py additions)."""
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from etl_covid19_spark.operators import curation as cur
+from etl_covid19_spark.operators.similarity import (
+    brute_force_topk,
+    ivf_pq_topk,
+    semantic_dedup,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))
+
+
+class TestQualityClassifier:
+    def test_score_matches_reference_formula(self, spark):
+        w = cur.make_classifier_weights()
+        doc = "hello world hello"
+        df = spark.createDataFrame([Row(text=doc)])
+        got = df.select(
+            F.round(cur.classifier_score("text"), 9).alias("s")
+        ).first()["s"]
+
+        def bucket(t):
+            return (ord(t[0]) * 1000 + len(t)) % 64
+
+        toks = doc.split()
+        feats = [bucket(t) for t in toks]
+        feats += [
+            (bucket(toks[i]) * 31 + bucket(toks[i + 1])) % 64
+            for i in range(len(toks) - 1)
+        ]
+        expected = _sigmoid(0.25 + sum(w[f] for f in feats) / len(feats))
+        assert got == pytest.approx(expected, abs=1e-9)
+
+    def test_empty_doc_scores_bias_sigmoid(self, spark):
+        df = spark.createDataFrame([Row(text="")])
+        got = df.select(cur.classifier_score("text").alias("s")).first()["s"]
+        assert got == pytest.approx(_sigmoid(0.25), abs=1e-12)
+
+    def test_single_token_has_no_bigrams(self, spark):
+        df = spark.createDataFrame([Row(text="solo")])
+        n = df.select(
+            F.size(cur.classifier_features("text")).alias("n")
+        ).first()["n"]
+        assert n == 1
+
+    def test_deterministic_weights(self):
+        assert cur.make_classifier_weights() == cur.make_classifier_weights()
+        assert all(-1.0 <= x < 1.0 for x in cur.make_classifier_weights())
+
+
+class TestUnigramPerplexity:
+    def test_closed_form_two_doc_corpus(self, spark):
+        # corpus: d1 = "a a a", d2 = "a b"  → counts a:4, b:1
+        # N=5, V=2, α=0.5 → p(a)=4.5/6, p(b)=1.5/6
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="a a a"), Row(doc_id=2, text="a b")]
+        )
+        out = {
+            r["doc_id"]: r
+            for r in cur.unigram_perplexity(df, "text", "doc_id").collect()
+        }
+        pa, pb = 4.5 / 6.0, 1.5 / 6.0
+        ce1 = -math.log(pa)
+        ce2 = (-math.log(pa) - math.log(pb)) / 2.0
+        assert out[1]["n_tokens"] == 3 and out[2]["n_tokens"] == 2
+        assert out[1]["cross_entropy"] == pytest.approx(ce1, abs=1e-6)
+        assert out[2]["cross_entropy"] == pytest.approx(ce2, abs=1e-6)
+        assert out[2]["perplexity"] == pytest.approx(math.exp(ce2), abs=1e-5)
+
+    def test_common_token_doc_scores_lower(self, spark):
+        # A doc of corpus-frequent tokens must be less perplexing
+        # than a doc of hapaxes — the CCNet filter's discriminant.
+        rows = [Row(doc_id=i, text="the the the the") for i in range(5)]
+        rows.append(Row(doc_id=99, text="zyx qwv jkl mnop"))
+        df = spark.createDataFrame(rows)
+        out = {
+            r["doc_id"]: r["perplexity"]
+            for r in cur.unigram_perplexity(df, "text", "doc_id").collect()
+        }
+        assert out[0] < out[99]
+
+    def test_all_docs_scored(self, spark):
+        from etl_covid19_spark.sources.catalog import load_table
+
+        docs = load_table(spark, "documents", SF)
+        out = cur.unigram_perplexity(docs, "text", "doc_id")
+        assert out.count() == docs.count()
+
+
+class TestSemanticDedup:
+    def test_planted_near_duplicates_pruned(self, spark):
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.99, 0.10, 0.0, 0.0]),
+            Row(vec_id=3, embedding=[0.98, 0.12, 0.0, 0.0]),
+            Row(vec_id=4, embedding=[0.0, 0.60, 0.80, 0.0]),
+        ]
+        df = spark.createDataFrame(rows)
+        out = semantic_dedup(
+            df, "embedding", "vec_id", n_clusters=2, threshold=0.9
+        )
+        kept = {r["vec_id"] for r in out.collect() if r["keep"]}
+        assert kept == {0, 1, 4}
+        assert out.count() == 5  # one row per input vector
+
+    def test_no_duplicates_keeps_everything(self, spark):
+        rows = [
+            Row(vec_id=0, embedding=[1.0, 0.0, 0.0, 0.0]),
+            Row(vec_id=1, embedding=[0.0, 1.0, 0.0, 0.0]),
+            Row(vec_id=2, embedding=[0.0, 0.0, 1.0, 0.0]),
+        ]
+        out = semantic_dedup(
+            spark.createDataFrame(rows), "embedding", "vec_id",
+            n_clusters=2, threshold=0.99,
+        )
+        assert all(r["keep"] for r in out.collect())
+
+    def test_sf_corpus_prunes_but_keeps_majority(self, spark):
+        from etl_covid19_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF)
+        out = semantic_dedup(emb, "embedding", "vec_id").collect()
+        kept = sum(1 for r in out if r["keep"])
+        assert len(out) == 500
+        assert 400 <= kept < 500  # prunes something, not everything
+
+
+class TestIvfPq:
+    def _recall(self, spark, n_probe):
+        from etl_covid19_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        exact = brute_force_topk(emb, queries, "embedding", "vec_id", k=10)
+        approx = ivf_pq_topk(
+            emb, queries, "embedding", "vec_id", k=10, n_probe=n_probe
+        )
+        e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+        a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+        return len(e & a) / len(e)
+
+    def test_codes_bounded_and_rank_contract(self, spark):
+        from etl_covid19_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF)
+        queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+        out = ivf_pq_topk(emb, queries, "embedding", "vec_id", k=10)
+        rows = out.collect()
+        assert {r["query_id"] for r in rows} == set(range(8, 16))
+        for qid in range(8, 16):
+            ranks = sorted(r["rank"] for r in rows if r["query_id"] == qid)
+            assert ranks == list(range(1, len(ranks) + 1))
+            adcs = [
+                r["adc"]
+                for r in sorted(
+                    (r for r in rows if r["query_id"] == qid),
+                    key=lambda r: r["rank"],
+                )
+            ]
+            assert adcs == sorted(adcs)  # ADC ascending with rank
+
+    def test_recall_beats_random_baseline(self, spark):
+        # PQ on ISOTROPIC synthetic vectors is the worst case (16
+        # codewords per 8-dim subspace carries little signal), so the
+        # pin is modest — but random top-10 would score 10/499 ≈ 0.02,
+        # and measured recall@10 is ~0.34 at n_probe=2 / ~0.33 at full
+        # probe (not monotone in probes: a larger candidate pool also
+        # lets quantization noise promote far vectors). Clustered
+        # real-model embeddings recover the usual high-recall regime
+        # via the coarse router, as `ivf_topk_trained`'s planted-
+        # cluster test shows.
+        assert self._recall(spark, n_probe=2) >= 0.2
+        assert self._recall(spark, n_probe=8) >= 0.2

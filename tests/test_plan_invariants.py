@@ -50,6 +50,10 @@ SWEEP = [
     "substring_dedup",
     "substring_dedup_keep_first",
     "incremental_dedup",
+    "semantic_dedup",
+    "ann_ivf_pq_topk",
+    "quality_classifier",
+    "unigram_lm_perplexity",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",
