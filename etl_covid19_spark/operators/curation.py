@@ -109,6 +109,65 @@ def classifier_score(
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
+def dsir_importance(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    target,
+    keep_cols: tuple[str, ...] = (),
+    k: int = N_BUCKETS,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, arXiv:2302.03169) on hashed unigram features: score every
+    raw document by how much more likely it is under the TARGET
+    domain's bucket distribution than under the raw corpus's,
+    log_importance = Σ_{f ∈ doc} [ln p_target(f) − ln p_raw(f)]
+    with add-α smoothing. High scores = "looks like the target
+    domain"; downstream selection resamples by this weight.
+
+    `target` is a boolean Column over `docs` defining the target
+    domain (e.g. lang == 'en').
+
+    Scale shape — DSIR's design point is that the importance model
+    is TINY, and the dataflow honors it: one explode + one k-row
+    conditional aggregate learns both distributions in a single
+    pass (map-side partials collapse each partition to ≤ k rows);
+    the 2k counts are collected as bounded model parameters and the
+    per-doc score is a zero-shuffle map-side fold over a k-entry
+    literal weight array — at 100 TB the scoring pass is
+    embarrassingly parallel and touches each document once."""
+    import math
+
+    b = token_buckets(text_col, k)
+    feats = docs.select(
+        F.explode(b).alias("f"), target.cast("long").alias("_is_t")
+    )
+    rows = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum("_is_t").alias("ct")
+    ).collect()
+    cr = {int(r["f"]): int(r["cr"]) for r in rows}
+    ct = {int(r["f"]): int(r["ct"]) for r in rows}
+    nr, nt = sum(cr.values()), sum(ct.values())
+    lam = [
+        math.log((ct.get(i, 0) + alpha) / (nt + alpha * k))
+        - math.log((cr.get(i, 0) + alpha) / (nr + alpha * k))
+        for i in range(k)
+    ]
+    warr = F.array(*[F.lit(x) for x in lam])
+    score = F.aggregate(
+        b,
+        F.lit(0.0),
+        lambda acc, f: acc + F.element_at(warr, f.cast("int") + 1),
+    )
+    return docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        F.size(b).alias("n_features"),
+        F.round(score, 6).alias("log_importance"),
+    )
+
+
 def unigram_perplexity(
     docs: DataFrame,
     text_col: str,

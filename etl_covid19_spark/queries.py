@@ -7345,3 +7345,54 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding", "vec_id",
         k=10, n_centroids=8, n_probe=2, m=8, ks=16, dim=64,
     )
+
+
+@register(
+    "dsir_importance",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> ''),
+               tk -> CAST((ascii(substr(tk, 1, 1)) * 1000 + length(tk)) % 64
+                          AS BIGINT)) AS b
+      FROM documents
+    ),
+    x AS (SELECT doc_id, lang, unnest(b) AS f FROM t),
+    counts AS (
+      SELECT f, count(*) AS cr,
+             sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct
+      FROM x GROUP BY f
+    ),
+    tot AS (
+      SELECT CAST(sum(cr) AS DOUBLE) AS nr, CAST(sum(ct) AS DOUBLE) AS nt
+      FROM counts
+    ),
+    w AS (
+      SELECT f,
+             ln((ct + 0.5) / (nt + 0.5 * 64))
+             - ln((cr + 0.5) / (nr + 0.5 * 64)) AS lam
+      FROM counts CROSS JOIN tot
+    ),
+    d AS (
+      SELECT x.doc_id, sum(w.lam) AS s
+      FROM x JOIN w USING (f)
+      GROUP BY x.doc_id
+    )
+    SELECT t.doc_id, t.lang, CAST(len(t.b) AS INT) AS n_features,
+           round(COALESCE(d.s, 0.0), 6) AS log_importance
+    FROM t LEFT JOIN d USING (doc_id)
+    """,
+)
+def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023) with lang='en' as
+    the target domain: hashed-unigram importance model learned in one
+    conditional aggregate, per-doc log-importance scored map-side
+    against the collected k-entry weight array (zero shuffle)."""
+    d = _t(spark, sf_dir, "documents")
+    return CUR.dsir_importance(
+        d, "text", "doc_id",
+        target=F.col("lang") == "en",
+        keep_cols=("lang",),
+    )

@@ -99,6 +99,34 @@ class TestUnigramPerplexity:
         assert out.count() == docs.count()
 
 
+class TestDsirImportance:
+    def test_target_docs_score_higher(self, spark):
+        # Target-domain docs must average a higher log-importance
+        # than off-target docs — DSIR's selection discriminant.
+        rows = [Row(doc_id=i, lang="en", text="the cat sat on the mat")
+                for i in range(10)]
+        rows += [Row(doc_id=100 + i, lang="de", text="zzz qqq www vvv kkk")
+                 for i in range(10)]
+        df = spark.createDataFrame(rows)
+        out = cur.dsir_importance(
+            df, "text", "doc_id", target=F.col("lang") == "en",
+            keep_cols=("lang",),
+        ).collect()
+        en = [r["log_importance"] for r in out if r["lang"] == "en"]
+        de = [r["log_importance"] for r in out if r["lang"] == "de"]
+        assert min(en) > max(de)
+
+    def test_uniform_target_scores_near_zero(self, spark):
+        # If the target IS the corpus, p_target ≈ p_raw and every
+        # importance weight collapses to ~0.
+        rows = [Row(doc_id=i, text="alpha beta gamma") for i in range(6)]
+        out = cur.dsir_importance(
+            spark.createDataFrame(rows), "text", "doc_id",
+            target=F.lit(True),
+        ).collect()
+        assert all(abs(r["log_importance"]) < 1e-6 for r in out)
+
+
 class TestSemanticDedup:
     def test_planted_near_duplicates_pruned(self, spark):
         rows = [

@@ -54,6 +54,7 @@ SWEEP = [
     "ann_ivf_pq_topk",
     "quality_classifier",
     "unigram_lm_perplexity",
+    "dsir_importance",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",
