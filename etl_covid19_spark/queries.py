@@ -7396,3 +7396,92 @@ def q_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         target=F.col("lang") == "en",
         keep_cols=("lang",),
     )
+
+
+@register(
+    "gopher_quality_filter",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                         (a, b) -> a + b)
+               / greatest(len(toks), 1) AS mean_word_len,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               / greatest(len(toks), 1) AS symbol_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / greatest(len(toks), 1) AS alpha_word_frac,
+             len(list_intersect(
+                   list_distinct(list_transform(toks, x -> lower(x))),
+                   ['the','be','to','of','and','that','have','with']))
+               AS n_stop_distinct
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(mean_word_len, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(alpha_word_frac, 6) AS alpha_word_frac,
+           CAST(n_stop_distinct AS INT) AS n_stop_distinct,
+           (n_tokens BETWEEN 50 AND 100000)
+           AND (mean_word_len BETWEEN 3 AND 10)
+           AND (symbol_ratio <= 0.1)
+           AND (alpha_word_frac >= 0.8)
+           AND (n_stop_distinct >= 2) AS pass
+    FROM m
+    """,
+)
+def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher document-level quality rule bundle (Rae et al.
+    2021, §A1.1): word-count bounds, mean-word-length bounds,
+    symbol-to-word ratio, alphabetic-word fraction, and stop-word
+    presence, each surfaced as its metric plus a composite pass
+    flag. (The repetition rules of the same appendix live in
+    `repetition_signals`.) All rules are map-side Catalyst
+    expressions — the canonical rule-based pre-filter runs as a
+    zero-shuffle scan at any corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    n = F.size(toks)
+    nsafe = F.greatest(n, F.lit(1))
+    mean_wl = text.mean_token_length("text")
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ell) / nsafe
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nsafe
+    )
+    stops = F.array(
+        *[F.lit(s) for s in
+          ("the", "be", "to", "of", "and", "that", "have", "with")]
+    )
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)), stops
+        )
+    )
+    passed = (
+        n.between(50, 100000)
+        & mean_wl.between(3, 10)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return d.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop.cast("int").alias("n_stop_distinct"),
+        passed.alias("pass"),
+    )

@@ -127,6 +127,37 @@ class TestDsirImportance:
         assert all(abs(r["log_importance"]) < 1e-6 for r in out)
 
 
+class TestGopherFilter:
+    def _run(self, spark, texts):
+        from etl_covid19_spark.queries import REGISTRY
+        import tempfile, os
+
+        df = spark.createDataFrame(
+            [Row(doc_id=i, text=t, lang="en", source="s",
+                 n_chars=len(t)) for i, t in enumerate(texts)]
+        )
+        tmp = tempfile.mkdtemp()
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "documents.parquet"))
+        return {
+            r["doc_id"]: r
+            for r in REGISTRY["gopher_quality_filter"].fn(spark, tmp).collect()
+        }
+
+    def test_rule_boundaries(self, spark):
+        good = " ".join(["the", "cat", "and", "dog", "ran"] * 10)  # 50 toks
+        short = " ".join(["the", "and", "word"] * 5)               # 15 toks
+        symbols = " ".join(["the", "and"] + ["###"] * 48)          # symbol-heavy
+        nostop = " ".join(["zebra", "quartz", "vortex", "nymph"] * 13)
+        out = self._run(spark, [good, short, symbols, nostop])
+        assert out[0]["pass"] is True
+        assert out[0]["n_tokens"] == 50
+        assert out[1]["pass"] is False          # word count < 50
+        assert out[2]["pass"] is False          # symbol ratio > 0.1
+        assert out[2]["symbol_ratio"] > 0.1
+        assert out[3]["pass"] is False          # < 2 stop words
+        assert out[3]["n_stop_distinct"] == 0
+
+
 class TestSemanticDedup:
     def test_planted_near_duplicates_pruned(self, spark):
         rows = [

@@ -55,6 +55,7 @@ SWEEP = [
     "quality_classifier",
     "unigram_lm_perplexity",
     "dsir_importance",
+    "gopher_quality_filter",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",
