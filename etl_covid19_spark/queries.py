@@ -7485,3 +7485,74 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_stop.cast("int").alias("n_stop_distinct"),
         passed.alias("pass"),
     )
+
+
+@register(
+    "streaming_quality_filter",
+    oracle=f"""
+    WITH w AS (SELECT CAST({_CLF_WEIGHTS_SQL} AS DOUBLE[]) AS wl),
+    t AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> ''),
+               tk -> CAST((ascii(substr(tk, 1, 1)) * 1000 + length(tk)) % 64
+                          AS BIGINT)) AS b
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             list_concat(b,
+               CASE WHEN len(b) >= 2
+                    THEN list_transform(
+                           list_zip(b[1:len(b)-1], b[2:len(b)]),
+                           p -> (struct_extract(p, 1) * 31
+                                 + struct_extract(p, 2)) % 64)
+                    ELSE CAST([] AS BIGINT[]) END) AS feats
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN len(feats) > 0
+                  THEN list_reduce(
+                         list_prepend(0.0,
+                           list_transform(feats,
+                             ff -> wl[CAST(ff AS INT) + 1])),
+                         (x, y) -> x + y) / len(feats)
+                  ELSE 0.0 END AS mean_w
+      FROM f CROSS JOIN w
+    )
+    SELECT doc_id,
+           round(1.0 / (1.0 + exp(-(0.25 + mean_w))), 6) AS score,
+           1.0 / (1.0 + exp(-(0.25 + mean_w))) >= 0.5 AS keep
+    FROM s
+    """,
+)
+def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus curation, executed as a REAL stream: the
+    hashed-n-gram classifier scores every document at ingest time
+    (map-only — no state store, no watermark, each Arrow/codegen
+    batch scored as it arrives) and the drained result hash-matches
+    the batch SQL oracle. The shape that matters at scale: quality
+    filtering needs no nightly batch pass when the scorer is a
+    stateless map over the ingest stream."""
+    import uuid
+
+    from etl_covid19_spark.sources.catalog import documents_stream
+
+    score = CUR.classifier_score("text")
+    scored = documents_stream(spark, sf_dir).select(
+        "doc_id",
+        F.round(score, 6).alias("score"),
+        (score >= 0.5).alias("keep"),
+    )
+    name = f"stream_qf_{uuid.uuid4().hex[:8]}"
+    q = (
+        scored.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

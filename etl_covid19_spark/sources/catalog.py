@@ -132,6 +132,24 @@ def events_stream(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFram
     return _normalize_ts(stream)
 
 
+def documents_stream(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR
+) -> DataFrame:
+    """`readStream` over the documents parquet — the ingest edge for
+    streaming corpus curation (score/filter at arrival time instead
+    of in a nightly batch). Fixed schema: the documents table has no
+    timestamp column, so no physical-encoding probe is needed."""
+    ensure_runtime_confs(spark)
+    return (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, "
+            "source string, n_chars long"
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
