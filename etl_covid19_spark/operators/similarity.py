@@ -437,55 +437,73 @@ def ivf_pq_topk(
     the lower neighbor id. Returns (query_id, neighbor_id, rank,
     adc) with adc = Σ_s ℓ²²(q_sub[s], cb[s][code[s]])."""
     sub = dim // m
-    cents = [
-        (int(r["cid"]), [float(x) for x in r["cv"]])
-        for r in emb.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .collect()
-    ]
-    seed_rows = (
+    seed_rows = sorted(
         emb.orderBy(id_col)
-        .limit(ks)
+        .limit(max(ks, n_centroids))
         .select(F.col(id_col).alias("j"), F.col(vec_col).alias("v"))
-        .collect()
+        .collect(),
+        key=lambda r: int(r["j"]),
     )
+    # coarse centroids are the first n_centroids seeds — one collect
+    # serves both model parameter sets
+    cents = [
+        (int(r["j"]), [float(x) for x in r["v"]])
+        for r in seed_rows[:n_centroids]
+    ]
     # codebook: cb[s][p] = sub-vector of the p-th seed (p = rank of
     # its id, so codes are positions, not raw ids)
     cb = {
         s: [
             [float(r["v"][s * sub + t]) for t in range(sub)]
-            for r in sorted(seed_rows, key=lambda r: int(r["j"]))
+            for r in seed_rows[:ks]
         ]
         for s in range(m)
     }
 
-    def _subvec(col: str, s: int) -> F.Column:
-        return F.slice(F.col(col), s * sub + 1, sub)
+    # Query-side expressions are assembled as ONE parsed SQL string:
+    # building the 8×16-fold distance table as py4j Column objects
+    # measured 6.7 s of serial DRIVER time per call (plan
+    # construction + analysis), vs milliseconds for a string the JVM
+    # parses once — the same lesson the MinHash signature aggregate
+    # carries (`dedup._signatures_from_postings`).
+    def _dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
 
-    def _l2sq(vec: F.Column, lits: list[float]) -> F.Column:
-        def sq(x, y):
-            d = x.cast("double") - y
-            return d * d
+    def _darr(vals: list[float]) -> str:
+        return "array(" + ",".join(_dlit(v) for v in vals) + ")"
 
-        return F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(x) for x in lits]), sq),
-            F.lit(0.0),
-            lambda acc, d: acc + d,
+    vexpr = f"`{vec_col}`"
+
+    def _l2sq_sql(vec_expr: str, lits: list[float]) -> str:
+        return (
+            f"aggregate(zip_with({vec_expr}, {_darr(lits)}, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
         )
 
-    def _coarse_scores(col: str) -> F.Column:
-        return F.array(
-            *[
-                F.struct(
-                    vectors.cosine(
-                        col, F.array(*[F.lit(x) for x in cv])
-                    ).alias("cos"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ]
+    def _cos_sql(vec_expr: str, lits: list[float]) -> str:
+        dot = (
+            f"aggregate(zip_with({vec_expr}, {_darr(lits)}, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
         )
+        nv = (
+            f"sqrt(aggregate({vec_expr}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        nc = (
+            f"sqrt(aggregate({_darr(lits)}, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x * x))"
+        )
+        return (
+            f"CASE WHEN {nv} * {nc} = CAST(0.0 AS DOUBLE) "
+            f"THEN CAST(0.0 AS DOUBLE) ELSE {dot} / ({nv} * {nc}) END"
+        )
+
+    coarse_sql = "array(" + ",".join(
+        f"named_struct('cos', {_cos_sql(vexpr, cv)}, 'cid', {cid})"
+        for cid, cv in cents
+    ) + ")"
 
     # Corpus-side encode (coarse bucket + m PQ codes) is pure
     # SELECTION — argmax/argmin indices, no value flows to the
@@ -539,18 +557,23 @@ def ivf_pq_topk(
     c = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
         _encode, schema="neighbor_id bigint, bucket int, codes array<int>"
     )
-    dtab = F.array(
-        *[
-            F.array(*[_l2sq(_subvec(vec_col, s), cv) for cv in cb[s]])
-            for s in range(m)
-        ]
+    dtab_sql = "array(" + ",".join(
+        "array("
+        + ",".join(
+            _l2sq_sql(f"slice({vexpr}, {s * sub + 1}, {sub})", cv)
+            for cv in cb[s]
+        )
+        + ")"
+        for s in range(m)
+    ) + ")"
+    probed_sql = (
+        f"slice(reverse(array_sort({coarse_sql})), 1, {n_probe})"
     )
-    probed = F.slice(F.reverse(F.array_sort(_coarse_scores(vec_col))), 1, n_probe)
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
-            dtab.alias("dtab"),
-            F.explode(probed).alias("_pr"),
+            F.expr(dtab_sql).alias("dtab"),
+            F.explode(F.expr(probed_sql)).alias("_pr"),
         ).select("query_id", "dtab", F.col("_pr.cid").alias("bucket"))
     )
     # Exact DECIMAL accumulation: each looked-up term is bitwise
