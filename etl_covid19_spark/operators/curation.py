@@ -54,59 +54,81 @@ def make_classifier_weights(k: int = N_BUCKETS, seed: int = _WEIGHT_SEED) -> lis
     return out
 
 
-def token_buckets(col, k: int = N_BUCKETS) -> F.Column:
-    """Engine-agnostic token hash → bucket id in [0, k): the
-    (first-codepoint, length) polynomial used by
-    `text.fingerprint`, reduced mod k. array<bigint>."""
-    toks = text.tokens(col)
-    return F.transform(
-        toks,
-        lambda t: (
-            F.ascii(F.substring(t, 1, 1)).cast("bigint") * 1000 + F.length(t)
-        )
-        % k,
+def _tokens_sql(col: str) -> str:
+    return f"filter(split(trim(`{col}`), '\\\\s+'), t -> t != '')"
+
+
+def _buckets_sql(col: str, k: int) -> str:
+    return (
+        f"transform({_tokens_sql(col)}, "
+        f"t -> (CAST(ascii(substring(t, 1, 1)) AS BIGINT) * 1000 "
+        f"+ length(t)) % {k})"
     )
 
 
-def classifier_features(col, k: int = N_BUCKETS) -> F.Column:
+def features_sql(col: str, k: int = N_BUCKETS) -> str:
+    """SQL text for the unigram+bigram hashed feature ids. All
+    classifier expressions are generated as SQL STRINGS and parsed
+    once in the JVM: the identical py4j Column construction measured
+    ~3 s of serial driver time per call (the MinHash/IVF-PQ lesson —
+    wide literal-array expressions are cheap to run, expensive to
+    build call-by-call)."""
+    b = _buckets_sql(col, k)
+    return (
+        f"concat({b}, CASE WHEN size({b}) >= 2 THEN "
+        f"zip_with(slice({b}, 1, size({b}) - 1), "
+        f"slice({b}, 2, size({b}) - 1), "
+        f"(x, y) -> (x * 31 + y) % {k}) "
+        f"ELSE CAST(array() AS ARRAY<BIGINT>) END)"
+    )
+
+
+def score_sql(
+    col: str,
+    weights: list[float] | None = None,
+    bias: float = BIAS,
+    k: int = N_BUCKETS,
+) -> str:
+    """SQL text for sigmoid(bias + mean_{f ∈ features} W[f])."""
+    w = weights if weights is not None else make_classifier_weights(k)
+    warr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in w) + ")"
+    feats = features_sql(col, k)
+    wsum = (
+        f"aggregate({feats}, CAST(0.0 AS DOUBLE), "
+        f"(acc, f) -> acc + element_at({warr}, CAST(f AS INT) + 1))"
+    )
+    mean_w = (
+        f"CASE WHEN size({feats}) > 0 THEN {wsum} / size({feats}) "
+        f"ELSE CAST(0.0 AS DOUBLE) END"
+    )
+    z = f"(CAST('{float(bias)!r}' AS DOUBLE) + {mean_w})"
+    return f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-{z}))"
+
+
+def token_buckets(col: str, k: int = N_BUCKETS) -> F.Column:
+    """Engine-agnostic token hash → bucket id in [0, k): the
+    (first-codepoint, length) polynomial used by
+    `text.fingerprint`, reduced mod k. array<bigint>."""
+    return F.expr(_buckets_sql(col, k))
+
+
+def classifier_features(col: str, k: int = N_BUCKETS) -> F.Column:
     """Unigram + bigram hashed feature ids (fastText's word-n-gram
     trick): bigram bucket = (b_i·31 + b_{i+1}) mod k."""
-    b = token_buckets(col, k)
-    n = F.size(b)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(b, F.lit(1), n - 1),
-            F.slice(b, F.lit(2), n - 1),
-            lambda x, y: (x * 31 + y) % k,
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    return F.concat(b, bigrams)
+    return F.expr(features_sql(col, k))
 
 
 def classifier_score(
-    col,
+    col: str,
     weights: list[float] | None = None,
     bias: float = BIAS,
     k: int = N_BUCKETS,
 ) -> F.Column:
     """sigmoid(bias + mean_{f ∈ features} W[f]) ∈ (0, 1); documents
     with no tokens score sigmoid(bias). The weight fetch is an
-    element_at into a literal array — whole-stage codegen, no joins,
-    no Python."""
-    w = weights if weights is not None else make_classifier_weights(k)
-    warr = F.array(*[F.lit(x) for x in w])
-    feats = classifier_features(col, k)
-    wsum = F.aggregate(
-        feats,
-        F.lit(0.0),
-        lambda acc, f: acc + F.element_at(warr, f.cast("int") + 1),
-    )
-    mean_w = F.when(
-        F.size(feats) > 0, wsum / F.size(feats)
-    ).otherwise(F.lit(0.0))
-    z = F.lit(float(bias)) + mean_w
-    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    element_at into a literal array — no joins, no Python in the
+    row path."""
+    return F.expr(score_sql(col, weights, bias, k))
 
 
 def dsir_importance(
