@@ -7128,6 +7128,7 @@ _CLF_WEIGHTS_SQL = "[" + ", ".join(repr(x) for x in CUR.make_classifier_weights(
            1.0 / (1.0 + exp(-(0.25 + mean_w))) >= 0.5 AS keep
     FROM s
     """,
+    headline=True,
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed-n-gram linear quality classifier
@@ -7329,6 +7330,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM adc)
     WHERE rank <= 10
     """,
+    headline=True,
 )
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ approximate top-k (Jegou et al. 2011): coarse IVF
@@ -7556,3 +7558,106 @@ def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH w AS (SELECT CAST({_CLF_WEIGHTS_SQL} AS DOUBLE[]) AS wl),
+    tb AS (
+      SELECT doc_id,
+             list_transform(
+               list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                           x -> x <> ''),
+               tk -> CAST((ascii(substr(tk, 1, 1)) * 1000 + length(tk)) % 64
+                          AS BIGINT)) AS b
+      FROM documents
+    ),
+    fe AS (
+      SELECT doc_id,
+             list_concat(b,
+               CASE WHEN len(b) >= 2
+                    THEN list_transform(
+                           list_zip(b[1:len(b)-1], b[2:len(b)]),
+                           p -> (struct_extract(p, 1) * 31
+                                 + struct_extract(p, 2)) % 64)
+                    ELSE CAST([] AS BIGINT[]) END) AS feats
+      FROM tb
+    ),
+    sc AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(0.25 +
+               CASE WHEN len(feats) > 0
+                    THEN list_reduce(
+                           list_prepend(0.0,
+                             list_transform(feats,
+                               ff -> wl[CAST(ff AS INT) + 1])),
+                           (x, y) -> x + y) / len(feats)
+                    ELSE 0.0 END))) AS score_raw
+      FROM fe CROSS JOIN w
+    ),
+    t AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    dt AS (SELECT doc_id, token, count(*) AS n FROM t GROUP BY doc_id, token),
+    v AS (SELECT token, sum(n) AS cnt FROM dt GROUP BY token),
+    s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+                 CAST(count(*) AS DOUBLE) AS vsz
+          FROM v),
+    p AS (
+      SELECT dt.doc_id,
+             CAST(sum(dt.n) AS BIGINT) AS n_tokens,
+             round(exp(
+               CAST(sum(CAST(dt.n * -ln((CAST(v.cnt AS DOUBLE) + 0.5)
+                                        / (s.n_total + 0.5 * s.vsz))
+                             AS DECIMAL(28,18))) AS DOUBLE)
+               / sum(dt.n)), 6) AS perplexity
+      FROM dt JOIN v USING (token) CROSS JOIN s
+      GROUP BY dt.doc_id
+    ),
+    filtered AS (
+      SELECT d.doc_id, d.lang, d.text,
+             round(sc.score_raw, 6) AS score, p.n_tokens, p.perplexity
+      FROM documents d
+      JOIN sc USING (doc_id)
+      JOIN p USING (doc_id)
+      WHERE sc.score_raw >= 0.5 AND p.perplexity <= 30.5
+    ),
+    dedup AS (
+      SELECT doc_id, lang, n_tokens, score, perplexity,
+             ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM filtered
+    )
+    SELECT doc_id, lang, n_tokens, score, perplexity
+    FROM dedup WHERE rn = 1
+    """,
+)
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline as ONE declarative plan (the
+    FineWeb/CCNet shape): learned classifier keep (score ≥ 0.5) →
+    LM-perplexity band (ppl ≤ 30.5, model trained on the RAW corpus
+    as CCNet does) → exact dedup keep-first. Composition stays a
+    single Catalyst plan: the classifier is a map, the perplexity
+    join carries only (doc_id, two doubles), and the dedup window
+    partitions on (xxhash64, length) so document bodies are never
+    shuffled twice."""
+    d = _t(spark, sf_dir, "documents")
+    ppl = CUR.unigram_perplexity(d, "text", "doc_id")
+    score = F.expr(CUR.score_sql("text"))
+    scored = d.select(
+        "doc_id", "lang", "text", F.round(score, 6).alias("score")
+    ).where(score >= 0.5)
+    joined = scored.join(
+        ppl.select("doc_id", "n_tokens", "perplexity"), "doc_id"
+    ).where(F.col("perplexity") <= 30.5)
+    w = Window.partitionBy(
+        F.xxhash64("text"), F.length("text")
+    ).orderBy("doc_id")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("doc_id", "lang", "n_tokens", "score", "perplexity")
+    )

@@ -56,6 +56,7 @@ SWEEP = [
     "unigram_lm_perplexity",
     "dsir_importance",
     "gopher_quality_filter",
+    "curation_pipeline",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",
