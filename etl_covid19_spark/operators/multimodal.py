@@ -296,3 +296,42 @@ def blob_stats_arrow(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return out.select(
         "doc_id", "n_bytes", F.upper(F.hex("magic_bytes")).alias("magic")
     )
+
+
+def image_ahash_bands(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
+    """Perceptual average-hash over the REAL decode path: each image
+    decodes (stdlib PNG inflate+unfilter, PIL tier when importable),
+    each pixel's gray sum (r+g+b) compares against the image mean, and
+    the 64 bits pack into four 16-bit band keys (rows 2k..2k+1) —
+    the SimHash-style pigeonhole blocking unit: hamming ≤ 3 over 4
+    bands guarantees an identical band, so near-dup candidate
+    generation is an equi-join on (band_idx, band_val), never
+    images². All arithmetic is integer-exact (64·g > Σg avoids the
+    mean division), so the SQL oracle reproduces every bit.
+
+    Returns (id_col, bands array<int>) with bands[k] ∈ [0, 65535].
+    """
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                arr = media.decode_image(bytes(payload)).astype(np.int64)
+                if arr.shape[2] == 2:
+                    arr = arr[:, :, :1]
+                elif arr.shape[2] == 4:
+                    arr = arr[:, :, :3]
+                g = arr.sum(axis=2)
+                n = g.shape[0] * g.shape[1]
+                bits = (n * g > g.sum()).astype(np.int64)
+                bands = []
+                for k in range(4):
+                    block = bits[2 * k : 2 * k + 2, :].flatten()
+                    bands.append(int((block << np.arange(block.size)).sum()))
+                rows.append((int(doc_id), bands))
+            yield pd.DataFrame(rows, columns=[id_col, "bands"])
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema=f"{id_col} long, bands array<int>"
+    )

@@ -197,6 +197,39 @@ class TestSemanticDedup:
         assert 400 <= kept < 500  # prunes something, not everything
 
 
+class TestImagePhash:
+    def test_planted_duplicates_found(self, spark):
+        from etl_covid19_spark.queries import REGISTRY
+
+        rows = REGISTRY["image_phash_dedup"].fn(spark, SF).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+        # exact pixel copies (ids 16..19 duplicate 0..3): hamming 0
+        for i in range(4):
+            assert pairs.get((i, 16 + i)) == 0
+        # the brightened-corner copy of image 1 (id 21) has DIFFERENT
+        # bytes but survives the perceptual hash at small hamming —
+        # the pair byte-level dedup cannot see
+        assert (1, 21) in pairs and 0 < pairs[(1, 21)] <= 3
+
+    def test_bands_are_16bit(self, spark):
+        import numpy as np
+
+        from etl_covid19_spark.functions import media as M
+        from etl_covid19_spark.operators.multimodal import image_ahash_bands
+        from pyspark.sql import Row as R
+
+        y, x, c = np.meshgrid(
+            np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+        )
+        arr = ((x * 11 + y * 3 + c * 7) % 256).astype(np.uint8)
+        df = spark.createDataFrame(
+            [R(doc_id=0, payload=bytearray(M.encode_png(arr)))]
+        )
+        bands = image_ahash_bands(df, "doc_id", "payload").first()["bands"]
+        assert len(bands) == 4
+        assert all(0 <= b <= 0xFFFF for b in bands)
+
+
 class TestIvfPq:
     def _recall(self, spark, n_probe):
         from etl_covid19_spark.sources.catalog import load_table
