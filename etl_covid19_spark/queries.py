@@ -7661,3 +7661,123 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("_rn") == 1)
         .select("doc_id", "lang", "n_tokens", "score", "perplexity")
     )
+
+
+@register(
+    "image_phash_dedup",
+    oracle="""
+    WITH ids AS (SELECT range AS id FROM range(24)),
+    imgs AS (
+      SELECT id,
+             CASE WHEN id < 16 THEN id
+                  WHEN id < 20 THEN id - 16
+                  ELSE id - 20 END AS base,
+             id >= 20 AS bumped
+      FROM ids
+    ),
+    pix AS (
+      SELECT i.id, x.range AS x, y.range AS y,
+             (CASE WHEN i.bumped AND x.range < 2 AND y.range < 2
+                   THEN least((i.base*31 + x.range*7 + y.range*13) % 256 + 40, 255)
+                   ELSE (i.base*31 + x.range*7 + y.range*13) % 256 END)
+             + (CASE WHEN i.bumped AND x.range < 2 AND y.range < 2
+                     THEN least((i.base*31 + x.range*7 + y.range*13 + 101) % 256 + 40, 255)
+                     ELSE (i.base*31 + x.range*7 + y.range*13 + 101) % 256 END)
+             + (CASE WHEN i.bumped AND x.range < 2 AND y.range < 2
+                     THEN least((i.base*31 + x.range*7 + y.range*13 + 202) % 256 + 40, 255)
+                     ELSE (i.base*31 + x.range*7 + y.range*13 + 202) % 256 END)
+               AS gsum
+      FROM imgs i, range(8) x, range(8) y
+    ),
+    tot AS (SELECT id, sum(gsum) AS tot FROM pix GROUP BY id),
+    bits AS (
+      SELECT p.id, p.x, p.y,
+             CASE WHEN 64 * p.gsum > t.tot THEN 1 ELSE 0 END AS bit
+      FROM pix p JOIN tot t USING (id)
+    ),
+    bands AS (
+      SELECT id, CAST(y // 2 AS INT) AS band_idx,
+             CAST(sum(bit * (1 << ((y % 2) * 8 + x))) AS INT) AS band_val
+      FROM bits GROUP BY id, y // 2
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS i, b.id AS j
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val
+                  AND a.id < b.id
+    ),
+    ham AS (
+      SELECT c.i AS doc_a, c.j AS doc_b,
+             CAST(sum(bit_count(xor(ba.band_val, bb.band_val))) AS INT)
+               AS hamming
+      FROM cands c
+      JOIN bands ba ON ba.id = c.i
+      JOIN bands bb ON bb.id = c.j AND bb.band_idx = ba.band_idx
+      GROUP BY c.i, c.j
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup over the REAL codec path: 24 formula-
+    derived 8x8 PNGs (16 bases, 4 exact pixel copies, 4 copies with a
+    brightened corner — different bytes, near-identical perception)
+    decode executor-side, average-hash into four 16-bit bands, and
+    near-dup pairs come from SimHash-style band-equality blocking
+    (hamming <= 3 over 4 bands guarantees a shared band) + exact
+    hamming verify. The DuckDB oracle re-derives hash bits, bands,
+    blocking, and hamming from the generating formula without seeing
+    a byte — byte-level dedup misses the brightened copies; the
+    pixel hash catches them. Fixture-sized (codec correctness); the
+    band join IS the scale shape (candidates = Sigma band-bucket^2,
+    never images^2)."""
+    import numpy as np
+
+    from etl_covid19_spark.functions import media as M
+    from etl_covid19_spark.operators.multimodal import image_ahash_bands
+
+    y, x, c = np.meshgrid(
+        np.arange(8), np.arange(8), np.arange(3), indexing="ij"
+    )
+    rows = []
+    for n in range(24):
+        base = n if n < 16 else (n - 16 if n < 20 else n - 20)
+        arr = ((base * 31 + x * 7 + y * 13 + c * 101) % 256).astype(np.int64)
+        if n >= 20:
+            arr[:2, :2, :] = np.minimum(arr[:2, :2, :] + 40, 255)
+        rows.append((n, bytearray(M.encode_png(arr.astype(np.uint8)))))
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = image_ahash_bands(d, "doc_id", "payload")
+    banded = hashed.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=(F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.bands").alias("bands_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.bands").alias("bands_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = sum(
+        F.bit_count(
+            F.element_at("bands_a", k + 1).bitwiseXOR(
+                F.element_at("bands_b", k + 1)
+            )
+        )
+        for k in range(4)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

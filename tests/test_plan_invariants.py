@@ -57,6 +57,7 @@ SWEEP = [
     "dsir_importance",
     "gopher_quality_filter",
     "curation_pipeline",
+    "image_phash_dedup",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",

@@ -76,6 +76,34 @@ COMMENTARY = {
         "broadcast as an anti-join filter before the postings self-join, "
         "bounding every shuffle key's contribution at cap² pairs."
     ),
+    "ann_ivf_pq_topk": (
+        "IVF-PQ: corpus encode (coarse bucket + m PQ codes) is an "
+        "Arrow mapInPandas kernel (selection only — no encoded value "
+        "reaches the output); the probe is a broadcast equi-join on "
+        "the coarse bucket; per-candidate ADC is m element_at lookups "
+        "into the query's precomputed distance table, accumulated in "
+        "exact DECIMAL so ranking is order-independent."
+    ),
+    "semantic_dedup": (
+        "SemDeDup: map-side numpy centroid assignment → ONE Exchange "
+        "on cluster_id → per-cluster pairwise BLAS block inside "
+        "FlatMapGroupsInPandas. No join at all — the O(cluster²) work "
+        "is a single in-task matmul, bounded by the paper's k ≈ √n "
+        "cluster sizing."
+    ),
+    "quality_classifier": (
+        "Learned quality filter: a bare Project over the scan — the "
+        "hashed-feature fold and weight lookups are literal-array "
+        "expressions, ZERO exchanges; the trained-model path ships "
+        "weights the same way."
+    ),
+    "curation_pipeline": (
+        "End-to-end curation in one plan: the classifier filter is "
+        "map-side on the scan; the perplexity branch aggregates to "
+        "doc grain before its equi-join back (two small-key "
+        "shuffles); the final dedup window partitions on "
+        "(xxhash64, length) — document text shuffles exactly once."
+    ),
     "map_kit": (
         "Real map columns built from sorted entries inside the plan; "
         "the canonical k=v encoding is plain projection — no shuffle "
