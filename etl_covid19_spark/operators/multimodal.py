@@ -335,3 +335,42 @@ def image_ahash_bands(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
     return df.select(id_col, bin_col).mapInPandas(
         batches, schema=f"{id_col} long, bands array<int>"
     )
+
+
+def audio_fingerprint_bands(
+    df: DataFrame, id_col: str, bin_col: str, n_frames: int = 16
+) -> DataFrame:
+    """Acoustic fingerprint over the REAL WAV decode path: samples
+    recover to exact int16, the clip splits into `n_frames` equal
+    frames, and bit f = (n_frames · frame_energy > total_energy) —
+    the integer-exact energy-profile analogue of the image
+    average-hash (no division, so the SQL oracle reproduces every
+    bit). The n_frames bits pack into four band keys for
+    SimHash-style pigeonhole blocking: hamming ≤ 3 over 4 bands
+    guarantees a shared band, so near-dup candidates come from an
+    equi-join on (band_idx, band_val), never clips².
+
+    Returns (id_col, bands array<int>)."""
+    import numpy as np
+
+    per_band = n_frames // 4
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                samples, _rate = media.decode_wav(bytes(payload))
+                ints = np.round(samples * 32768.0).astype(np.int64)
+                n = len(ints) - (len(ints) % n_frames)
+                e = (ints[:n] ** 2).reshape(n_frames, -1).sum(axis=1)
+                bits = (n_frames * e > e.sum()).astype(np.int64)
+                bands = []
+                for k in range(4):
+                    block = bits[per_band * k : per_band * (k + 1)]
+                    bands.append(int((block << np.arange(block.size)).sum()))
+                rows.append((int(doc_id), bands))
+            yield pd.DataFrame(rows, columns=[id_col, "bands"])
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches, schema=f"{id_col} long, bands array<int>"
+    )

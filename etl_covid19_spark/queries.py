@@ -7781,3 +7781,115 @@ def q_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "audio_fingerprint_dedup",
+    oracle="""
+    WITH ids AS (SELECT range AS id FROM range(16)),
+    clips AS (
+      SELECT id,
+             CASE WHEN id < 10 THEN id
+                  WHEN id < 13 THEN id - 10
+                  ELSE id - 13 END AS base,
+             id >= 13 AS pert
+      FROM ids
+    ),
+    s AS (
+      SELECT c.id, t.range AS t,
+             ((c.base*17 + t.range*13) % 200 - 100) * 100
+             + CASE WHEN c.pert AND t.range < 50 THEN 500 ELSE 0 END AS k
+      FROM clips c, range(2000) t
+    ),
+    fr AS (
+      SELECT id, CAST(t // 125 AS INT) AS frame, sum(k * k) AS e
+      FROM s GROUP BY id, t // 125
+    ),
+    tot AS (SELECT id, sum(e) AS tot FROM fr GROUP BY id),
+    bits AS (
+      SELECT f.id, f.frame,
+             CASE WHEN 16 * f.e > t.tot THEN 1 ELSE 0 END AS bit
+      FROM fr f JOIN tot t USING (id)
+    ),
+    bands AS (
+      SELECT id, CAST(frame // 4 AS INT) AS band_idx,
+             CAST(sum(bit * (1 << (frame % 4))) AS INT) AS band_val
+      FROM bits GROUP BY id, frame // 4
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS i, b.id AS j
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_val = b.band_val
+                  AND a.id < b.id
+    ),
+    ham AS (
+      SELECT c.i AS doc_a, c.j AS doc_b,
+             CAST(sum(bit_count(xor(ba.band_val, bb.band_val))) AS INT)
+               AS hamming
+      FROM cands c
+      JOIN bands ba ON ba.id = c.i
+      JOIN bands bb ON bb.id = c.j AND bb.band_idx = ba.band_idx
+      GROUP BY c.i, c.j
+    )
+    SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3
+    """,
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acoustic near-dup detection over the REAL codec path: sixteen
+    formula-derived PCM16 WAVs (10 bases, 3 exact copies, 3 copies
+    with the opening 50 samples amplified — different bytes, same
+    sound) decode executor-side, fingerprint into frame-energy bits,
+    and near-dup pairs come from band-equality blocking + exact
+    hamming verify — the audio twin of `image_phash_dedup`. The
+    oracle re-derives energies, bits, and hamming from the sample
+    formula without seeing a byte."""
+    import numpy as np
+
+    from etl_covid19_spark.functions import media as M
+    from etl_covid19_spark.operators.multimodal import (
+        audio_fingerprint_bands,
+    )
+
+    t = np.arange(2000)
+    rows = []
+    for n in range(16):
+        base = n if n < 10 else (n - 10 if n < 13 else n - 13)
+        k = ((base * 17 + t * 13) % 200 - 100) * 100
+        if n >= 13:
+            k = k + np.where(t < 50, 500, 0)
+        rows.append((n, bytearray(M.encode_wav(k, rate=8000))))
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    hashed = audio_fingerprint_bands(d, "doc_id", "payload")
+    banded = hashed.select(
+        "doc_id", "bands", F.posexplode("bands").alias("band_idx", "band_val")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=(F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.bands").alias("bands_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.bands").alias("bands_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = sum(
+        F.bit_count(
+            F.element_at("bands_a", k + 1).bitwiseXOR(
+                F.element_at("bands_b", k + 1)
+            )
+        )
+        for k in range(4)
+    )
+    return (
+        cands.withColumn("hamming", hamming.cast("int"))
+        .where(F.col("hamming") <= 3)
+        .select("doc_a", "doc_b", "hamming")
+    )

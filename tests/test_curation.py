@@ -230,6 +230,20 @@ class TestImagePhash:
         assert all(0 <= b <= 0xFFFF for b in bands)
 
 
+class TestAudioFingerprint:
+    def test_planted_duplicates_found(self, spark):
+        from etl_covid19_spark.queries import REGISTRY
+
+        rows = REGISTRY["audio_fingerprint_dedup"].fn(spark, SF).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in rows}
+        # exact copies (10..12 duplicate 0..2): hamming 0
+        for i in range(3):
+            assert pairs.get((i, 10 + i)) == 0
+        # the amplified-intro copy of clip 2 (id 15): different bytes,
+        # fingerprint within threshold
+        assert (2, 15) in pairs and pairs[(2, 15)] <= 3
+
+
 class TestIvfPq:
     def _recall(self, spark, n_probe):
         from etl_covid19_spark.sources.catalog import load_table

@@ -58,6 +58,7 @@ SWEEP = [
     "gopher_quality_filter",
     "curation_pipeline",
     "image_phash_dedup",
+    "audio_fingerprint_dedup",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",
