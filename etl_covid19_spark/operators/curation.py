@@ -105,6 +105,41 @@ def score_sql(
     return f"CAST(1.0 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + exp(-{z}))"
 
 
+def with_classifier_score(
+    df: DataFrame,
+    text_col: str,
+    weights: list[float] | None = None,
+    bias: float = BIAS,
+    k: int = N_BUCKETS,
+) -> DataFrame:
+    """Stage the classifier through columns: `n_features` and
+    `_score_raw` appended to `df`. The feature array materializes
+    ONCE per row — referenced by both the size and the weight fold,
+    so CollapseProject keeps the stage instead of inlining the
+    tokenizer into every consumer (the monolithic expression
+    re-evaluated the feature pipeline 3×: measured 2.0 s vs 0.68 s
+    at sf0.1). Queries derive round/threshold columns from
+    `_score_raw` so Spark and the SQL oracle filter on the same raw
+    double."""
+    w = weights if weights is not None else make_classifier_weights(k)
+    warr = "array(" + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in w) + ")"
+    staged = df.withColumn("_feats", F.expr(features_sql(text_col, k)))
+    staged = staged.withColumn("n_features", F.size("_feats")).withColumn(
+        "_wsum",
+        F.expr(
+            f"aggregate(_feats, CAST(0.0 AS DOUBLE), "
+            f"(acc, f) -> acc + element_at({warr}, CAST(f AS INT) + 1))"
+        ),
+    )
+    mean_w = F.when(
+        F.col("n_features") > 0, F.col("_wsum") / F.col("n_features")
+    ).otherwise(F.lit(0.0))
+    z = F.lit(float(bias)) + mean_w
+    return staged.withColumn(
+        "_score_raw", F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ).drop("_feats", "_wsum")
+
+
 def token_buckets(col: str, k: int = N_BUCKETS) -> F.Column:
     """Engine-agnostic token hash → bucket id in [0, k): the
     (first-codepoint, length) polynomial used by

@@ -7138,13 +7138,12 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weights here are deterministic LCG stand-ins; a trained model
     ships the same way (a K-float literal)."""
     d = _t(spark, sf_dir, "documents")
-    score = CUR.classifier_score("text")
-    return d.select(
+    return CUR.with_classifier_score(d, "text").select(
         "doc_id",
         "lang",
-        F.size(CUR.classifier_features("text")).alias("n_features"),
-        F.round(score, 6).alias("score"),
-        (score >= 0.5).alias("keep"),
+        "n_features",
+        F.round("_score_raw", 6).alias("score"),
+        (F.col("_score_raw") >= 0.5).alias("keep"),
     )
 
 
@@ -7542,11 +7541,12 @@ def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_covid19_spark.sources.catalog import documents_stream
 
-    score = CUR.classifier_score("text")
-    scored = documents_stream(spark, sf_dir).select(
+    scored = CUR.with_classifier_score(
+        documents_stream(spark, sf_dir), "text"
+    ).select(
         "doc_id",
-        F.round(score, 6).alias("score"),
-        (score >= 0.5).alias("keep"),
+        F.round("_score_raw", 6).alias("score"),
+        (F.col("_score_raw") >= 0.5).alias("keep"),
     )
     name = f"stream_qf_{uuid.uuid4().hex[:8]}"
     q = (
@@ -7646,10 +7646,14 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffled twice."""
     d = _t(spark, sf_dir, "documents")
     ppl = CUR.unigram_perplexity(d, "text", "doc_id")
-    score = F.expr(CUR.score_sql("text"))
-    scored = d.select(
-        "doc_id", "lang", "text", F.round(score, 6).alias("score")
-    ).where(score >= 0.5)
+    scored = (
+        CUR.with_classifier_score(d, "text")
+        .where(F.col("_score_raw") >= 0.5)
+        .select(
+            "doc_id", "lang", "text",
+            F.round("_score_raw", 6).alias("score"),
+        )
+    )
     joined = scored.join(
         ppl.select("doc_id", "n_tokens", "perplexity"), "doc_id"
     ).where(F.col("perplexity") <= 30.5)
