@@ -225,6 +225,102 @@ def dsir_importance(
     )
 
 
+def bigram_perplexity(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    alpha: float = 0.5,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram LM perplexity — the next rung of the
+    CCNet ladder above `unigram_perplexity`: the first token scores
+    under the smoothed unigram model and every following token under
+    λ·p(w₂|w₁) + (1−λ)·p(w₂), with add-α smoothing on both models
+    and exact context counts (Σ_w₂ C₂(w₁,w₂)) as the bigram
+    denominator.
+
+    Scale shape: both model tables are VOCAB-bounded, not
+    corpus-bounded — C₁ is |V| rows and C₂ at most |V|² but in
+    practice ~corpus-distinct-bigrams, with map-side partials
+    collapsing each partition before the token-keyed shuffles; the
+    corpus totals (N, V) are one collected stats row. Scoring joins
+    the per-doc (w₁,w₂) counts against the two model tables on token
+    keys and re-aggregates by doc with exact DECIMAL accumulation
+    (partition-invariant, same contract as `unigram_perplexity`)."""
+    import math
+
+    toks = text.tokens(text_col)
+    base = docs.select(
+        F.col(id_col).alias("_doc"), toks.alias("_toks")
+    )
+    uni = base.select("_doc", F.explode("_toks").alias("w"))
+    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    stats = c1.agg(
+        F.sum("c1").alias("N"), F.count(F.lit(1)).alias("V")
+    ).collect()[0]
+    n_total, vsz = int(stats["N"]), int(stats["V"])
+    denom_uni = float(n_total + alpha * vsz)
+
+    n = F.size("_toks")
+    pair_arr = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice("_toks", F.lit(1), n - 1),
+            F.slice("_toks", F.lit(2), n - 1),
+            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = base.select("_doc", F.explode(pair_arr).alias("p")).select(
+        "_doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    ctx = c2.groupBy("w1").agg(F.sum("c2").alias("cctx"))
+
+    dt2 = pairs.groupBy("_doc", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    p_big = (F.col("c2") + F.lit(alpha)) / (
+        F.col("cctx") + F.lit(alpha * vsz)
+    )
+    p_uni = (F.col("c1") + F.lit(alpha)) / F.lit(denom_uni)
+    p_interp = F.lit(lam) * p_big + F.lit(1.0 - lam) * p_uni
+    nll2 = (
+        dt2.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(c1.withColumnRenamed("w", "w2"), "w2")
+        .select(
+            "_doc",
+            (F.col("n") * -F.log(p_interp)).alias("_nll"),
+        )
+    )
+    firsts = base.where(n >= 1).select(
+        "_doc", F.element_at("_toks", 1).alias("w")
+    )
+    nll1 = firsts.join(c1, "w").select(
+        "_doc",
+        (-F.log((F.col("c1") + F.lit(alpha)) / F.lit(denom_uni))).alias(
+            "_nll"
+        ),
+    )
+    per_doc = (
+        nll1.unionByName(nll2)
+        .groupBy("_doc")
+        .agg(
+            F.sum(F.col("_nll").cast("decimal(28,18)"))
+            .cast("double")
+            .alias("_h_sum")
+        )
+        .join(base.select("_doc", n.alias("n_tokens")), "_doc")
+    )
+    ce = F.col("_h_sum") / F.col("n_tokens")
+    return per_doc.select(
+        F.col("_doc").alias(id_col),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.round(ce, 6).alias("cross_entropy"),
+        F.round(F.exp(ce), 6).alias("perplexity"),
+    )
+
+
 def unigram_perplexity(
     docs: DataFrame,
     text_col: str,

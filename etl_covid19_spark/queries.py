@@ -7897,3 +7897,73 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+@register(
+    "bigram_lm_perplexity",
+    oracle="""
+    WITH tkn AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    uni AS (SELECT doc_id, unnest(toks) AS w FROM tkn),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total,
+                  CAST(count(*) AS DOUBLE) AS vsz
+           FROM c1),
+    pr AS (
+      SELECT doc_id, struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2
+      FROM (SELECT doc_id,
+                   unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
+                     AS p
+            FROM tkn WHERE len(toks) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY w1, w2),
+    ctx AS (SELECT w1, sum(c2) AS cctx FROM c2 GROUP BY w1),
+    dt2 AS (SELECT doc_id, w1, w2, count(*) AS n FROM pr GROUP BY doc_id, w1, w2),
+    nll2 AS (
+      SELECT dt2.doc_id,
+             CAST(dt2.n * -ln(
+               CAST(0.7 AS DOUBLE)
+                 * ((c2.c2 + 0.5) / (ctx.cctx + 0.5 * st.vsz))
+               + (CAST(1.0 AS DOUBLE) - CAST(0.7 AS DOUBLE))
+                 * ((u.c1 + 0.5) / (st.n_total + 0.5 * st.vsz))
+             ) AS DECIMAL(28,18)) AS nll
+      FROM dt2
+      JOIN c2 USING (w1, w2)
+      JOIN ctx USING (w1)
+      JOIN c1 u ON u.w = dt2.w2
+      CROSS JOIN st
+    ),
+    nll1 AS (
+      SELECT t.doc_id,
+             CAST(-ln((c1.c1 + 0.5) / (st.n_total + 0.5 * st.vsz))
+                  AS DECIMAL(28,18)) AS nll
+      FROM tkn t
+      JOIN c1 ON c1.w = t.toks[1]
+      CROSS JOIN st
+      WHERE len(t.toks) >= 1
+    ),
+    d AS (
+      SELECT doc_id, CAST(sum(nll) AS DOUBLE) AS h
+      FROM (SELECT * FROM nll1 UNION ALL SELECT * FROM nll2)
+      GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           round(d.h / len(t.toks), 6) AS cross_entropy,
+           round(exp(d.h / len(t.toks)), 6) AS perplexity
+    FROM tkn t JOIN d USING (doc_id)
+    """,
+)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram-LM perplexity (λ=0.7 bigram, add-0.5
+    smoothing, exact context counts) — the next rung of the CCNet
+    ladder above `unigram_lm_perplexity`: sequence-aware, so shuffled
+    word salad scores worse than fluent text even when the unigram
+    mix matches. Model tables stay vocab-bounded; scoring joins on
+    token keys and re-aggregates by doc with exact DECIMAL sums."""
+    return CUR.bigram_perplexity(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
+    )

@@ -127,6 +127,35 @@ class TestDsirImportance:
         assert all(abs(r["log_importance"]) < 1e-6 for r in out)
 
 
+class TestBigramPerplexity:
+    def test_sequence_aware(self, spark):
+        # Same unigram mix, different order: the doc whose BIGRAMS
+        # match the corpus must score lower perplexity — the signal
+        # the unigram model cannot see.
+        rows = [Row(doc_id=i, text="a b c d") for i in range(10)]
+        rows.append(Row(doc_id=100, text="d c b a"))
+        df = spark.createDataFrame(rows)
+        out = {
+            r["doc_id"]: r["perplexity"]
+            for r in cur.bigram_perplexity(df, "text", "doc_id").collect()
+        }
+        assert out[0] < out[100]
+        uni = {
+            r["doc_id"]: r["perplexity"]
+            for r in cur.unigram_perplexity(df, "text", "doc_id").collect()
+        }
+        assert uni[0] == uni[100]  # unigram model is order-blind
+
+    def test_single_token_doc_scores_unigram_only(self, spark):
+        df = spark.createDataFrame(
+            [Row(doc_id=1, text="solo"), Row(doc_id=2, text="solo solo")]
+        )
+        out = cur.bigram_perplexity(df, "text", "doc_id").collect()
+        assert {r["doc_id"] for r in out} == {1, 2}
+        one = next(r for r in out if r["doc_id"] == 1)
+        assert one["n_tokens"] == 1 and one["perplexity"] > 0
+
+
 class TestGopherFilter:
     def _run(self, spark, texts):
         from etl_covid19_spark.queries import REGISTRY

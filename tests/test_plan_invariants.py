@@ -54,6 +54,7 @@ SWEEP = [
     "ann_ivf_pq_topk",
     "quality_classifier",
     "unigram_lm_perplexity",
+    "bigram_lm_perplexity",
     "dsir_importance",
     "gopher_quality_filter",
     "curation_pipeline",
