@@ -7967,3 +7967,55 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return CUR.bigram_perplexity(
         _t(spark, sf_dir, "documents"), "text", "doc_id"
     )
+
+
+@register(
+    "corpus_datacard",
+    oracle="""
+    WITH t AS (
+      SELECT source, lang,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_tok,
+             n_chars, md5(text) AS h
+      FROM documents
+    )
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           round(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+           round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)
+             AS dup_rate
+    FROM t
+    GROUP BY GROUPING SETS ((source, lang), (source), (lang), ())
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary in ONE pass: per-(source, lang) cell plus
+    both marginals and the corpus total via GROUPING SETS — document
+    counts, token/char volumes, mean length, and the exact-dup rate
+    (distinct content hashes, so text never shuffles — only its
+    md5). The report every corpus release ships, as a single
+    Expand + hash aggregate."""
+    from etl_covid19_spark.operators import aggregates as AGG
+
+    d = _t(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        text.token_count("text").alias("n_tok"),
+        "n_chars",
+        F.md5("text").alias("h"),
+    )
+    return AGG.grouping_sets_agg(
+        d,
+        sets=[["source", "lang"], ["source"], ["lang"], []],
+        keys=["source", "lang"],
+        aggs={
+            "n_docs": "CAST(COUNT(*) AS BIGINT)",
+            "total_tokens": "CAST(SUM(n_tok) AS BIGINT)",
+            "total_chars": "CAST(SUM(n_chars) AS BIGINT)",
+            "avg_tokens": "round(CAST(SUM(n_tok) AS DOUBLE) / COUNT(*), 6)",
+            "dup_rate":
+                "round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)",
+        },
+    )

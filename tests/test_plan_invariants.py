@@ -60,6 +60,7 @@ SWEEP = [
     "curation_pipeline",
     "image_phash_dedup",
     "audio_fingerprint_dedup",
+    "corpus_datacard",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",
