@@ -319,3 +319,110 @@ class TestIvfPq:
         # cluster test shows.
         assert self._recall(spark, n_probe=2) >= 0.2
         assert self._recall(spark, n_probe=8) >= 0.2
+
+
+class TestRandomizedCuration:
+    """Seeded random corpora vs pure-Python references — catches the
+    edges the fixed corpus lacks (empty/whitespace docs, unicode
+    first chars, heavy repetition)."""
+
+    WORDS = ["the", "cat", "é-word", "ζeta", "42", "a", "longish-token",
+             "x!", "..", "of"]
+
+    def _random_docs(self, seed, n=40):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        docs = []
+        for i in range(n):
+            k = int(rng.integers(0, 12))
+            if k == 0:
+                t = "" if rng.random() < 0.5 else "   "
+            else:
+                t = " ".join(rng.choice(self.WORDS) for _ in range(k))
+            docs.append((i, t))
+        return docs
+
+    def test_classifier_matches_python_reference(self, spark):
+        import math
+
+        w = cur.make_classifier_weights()
+
+        def ref(textv):
+            toks = textv.split()
+            b = [(ord(t[0]) * 1000 + len(t)) % 64 for t in toks]
+            feats = b + [(b[i] * 31 + b[i + 1]) % 64
+                         for i in range(len(b) - 1)]
+            mean = sum(w[f] for f in feats) / len(feats) if feats else 0.0
+            return 1.0 / (1.0 + math.exp(-(0.25 + mean)))
+
+        docs = self._random_docs(7)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r["s"]
+            for r in df.select(
+                "doc_id", cur.classifier_score("text").alias("s")
+            ).collect()
+        }
+        for i, t in docs:
+            assert got[i] == pytest.approx(ref(t), abs=1e-9), (i, t)
+
+    def test_unigram_perplexity_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        docs = self._random_docs(11)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in cur.unigram_perplexity(df, "text", "doc_id").collect()
+        }
+        counts = Counter(w for _, t in docs for w in t.split())
+        N, V = sum(counts.values()), len(counts)
+        for i, t in docs:
+            toks = t.split()
+            if not toks:
+                assert i not in out
+                continue
+            ce = sum(
+                -math.log((counts[w] + 0.5) / (N + 0.5 * V)) for w in toks
+            ) / len(toks)
+            assert out[i]["cross_entropy"] == pytest.approx(ce, abs=1e-5)
+            assert out[i]["perplexity"] == pytest.approx(
+                math.exp(ce), rel=1e-5
+            )
+
+    def test_bigram_perplexity_matches_python_reference(self, spark):
+        import math
+        from collections import Counter
+
+        docs = self._random_docs(13)
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {
+            r["doc_id"]: r
+            for r in cur.bigram_perplexity(df, "text", "doc_id").collect()
+        }
+        c1 = Counter(w for _, t in docs for w in t.split())
+        c2 = Counter(
+            (ts[i], ts[i + 1])
+            for _, t in docs
+            for ts in [t.split()]
+            for i in range(len(ts) - 1)
+        )
+        ctx = Counter()
+        for (w1, _), n in c2.items():
+            ctx[w1] += n
+        N, V = sum(c1.values()), len(c1)
+        lam = 0.7
+        for i, t in docs:
+            ts = t.split()
+            if not ts:
+                assert i not in out
+                continue
+            nll = -math.log((c1[ts[0]] + 0.5) / (N + 0.5 * V))
+            for j in range(1, len(ts)):
+                pb = (c2[(ts[j - 1], ts[j])] + 0.5) / (ctx[ts[j - 1]] + 0.5 * V)
+                pu = (c1[ts[j]] + 0.5) / (N + 0.5 * V)
+                nll += -math.log(lam * pb + (1.0 - lam) * pu)
+            ce = nll / len(ts)
+            assert out[i]["cross_entropy"] == pytest.approx(ce, abs=1e-5), (i, t)
