@@ -8019,3 +8019,73 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "round(1.0 - CAST(COUNT(DISTINCT h) AS DOUBLE) / COUNT(*), 6)",
         },
     )
+
+
+@register(
+    "semantic_dedup_scaled",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    kk AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM e),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e CROSS JOIN kk
+          WHERE vec_id < kk.k),
+    ec AS (
+      SELECT e.vec_id, c.cid,
+             list_reduce(list_transform(list_zip(e.v, c.cv),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(e.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(c.cv, x -> x * x), (x, y) -> x + y)))
+               AS cos
+      FROM e CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, cid AS cluster_id, cos AS cent_cos
+      FROM (SELECT vec_id, cid, cos,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec)
+      WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             a.cent_cos AS ci, b.cent_cos AS cj,
+             list_reduce(list_transform(list_zip(ei.v, ej.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(ei.v, x -> x * x), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(ej.v, x -> x * x), (x, y) -> x + y)))
+               AS cos
+      FROM assign a
+      JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id <> b.vec_id
+      JOIN e ei ON ei.vec_id = a.vec_id
+      JOIN e ej ON ej.vec_id = b.vec_id
+    ),
+    dropped AS (
+      SELECT DISTINCT j AS vec_id FROM pairs
+      WHERE cos > 0.40 AND (ci > cj OR (ci = cj AND i < j))
+    )
+    SELECT a.vec_id, a.cluster_id, round(a.cent_cos, 6) AS cent_cos,
+           d.vec_id IS NULL AS keep
+    FROM assign a LEFT JOIN dropped d USING (vec_id)
+    """,
+)
+def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the paper's k ≈ √n cluster sizing REGISTERED,
+    not just documented: n_clusters = ceil(√corpus), so the per-task
+    pairwise block is O(n) total (Σ cluster² ≈ n·√n/√n) and keeps
+    shrinking relative to the corpus as it grows. The fixed-k form
+    (`semantic_dedup`) stays as the deterministic small-k
+    cross-check — same promote-the-scale-twin pattern as
+    `equidepth_histogram_sketch` and `window_dist_scaled`."""
+    import math
+
+    from etl_covid19_spark.operators.similarity import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    k = math.ceil(math.sqrt(emb.count()))
+    return semantic_dedup(
+        emb, "embedding", "vec_id", n_clusters=k, threshold=0.40
+    )

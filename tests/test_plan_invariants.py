@@ -51,6 +51,7 @@ SWEEP = [
     "substring_dedup_keep_first",
     "incremental_dedup",
     "semantic_dedup",
+    "semantic_dedup_scaled",
     "ann_ivf_pq_topk",
     "quality_classifier",
     "unigram_lm_perplexity",
