@@ -166,6 +166,46 @@ def classifier_score(
     return F.expr(score_sql(col, weights, bias, k))
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_metrics(col: str) -> dict[str, F.Column]:
+    """The Gopher §A1.1 document-level rule metrics as named Column
+    expressions (word-count/mean-length bounds, symbol ratio,
+    alphabetic fraction, stop-word presence, composite `pass`) — one
+    definition shared by `gopher_quality_filter` and the
+    signal-agreement audit. All map-side."""
+    toks = text.tokens(col)
+    n = F.size(toks)
+    nsafe = F.greatest(n, F.lit(1))
+    mean_wl = text.mean_token_length(col)
+    n_hash = F.length(col) - F.length(F.regexp_replace(col, "#", ""))
+    n_ell = (
+        F.length(col) - F.length(F.regexp_replace(col, r"\.\.\.", ""))
+    ) / 3
+    symbol_ratio = (n_hash + n_ell) / nsafe
+    alpha_frac = F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nsafe
+    stops = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(F.transform(toks, F.lower)), stops)
+    )
+    passed = (
+        n.between(50, 100000)
+        & mean_wl.between(3, 10)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_tokens": n,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_distinct": n_stop,
+        "pass": passed,
+    }
+
+
 def dsir_importance(
     docs: DataFrame,
     text_col: str,

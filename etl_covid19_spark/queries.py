@@ -7449,42 +7449,15 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions — the canonical rule-based pre-filter runs as a
     zero-shuffle scan at any corpus size."""
     d = _t(spark, sf_dir, "documents")
-    toks = text.tokens("text")
-    n = F.size(toks)
-    nsafe = F.greatest(n, F.lit(1))
-    mean_wl = text.mean_token_length("text")
-    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
-    n_ell = (
-        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
-    ) / 3
-    symbol_ratio = (n_hash + n_ell) / nsafe
-    alpha_frac = (
-        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / nsafe
-    )
-    stops = F.array(
-        *[F.lit(s) for s in
-          ("the", "be", "to", "of", "and", "that", "have", "with")]
-    )
-    n_stop = F.size(
-        F.array_intersect(
-            F.array_distinct(F.transform(toks, F.lower)), stops
-        )
-    )
-    passed = (
-        n.between(50, 100000)
-        & mean_wl.between(3, 10)
-        & (symbol_ratio <= 0.1)
-        & (alpha_frac >= 0.8)
-        & (n_stop >= 2)
-    )
+    m = CUR.gopher_metrics("text")
     return d.select(
         "doc_id",
-        n.cast("bigint").alias("n_tokens"),
-        F.round(mean_wl, 6).alias("mean_word_len"),
-        F.round(symbol_ratio, 6).alias("symbol_ratio"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
-        n_stop.cast("int").alias("n_stop_distinct"),
-        passed.alias("pass"),
+        m["n_tokens"].cast("bigint").alias("n_tokens"),
+        F.round(m["mean_word_len"], 6).alias("mean_word_len"),
+        F.round(m["symbol_ratio"], 6).alias("symbol_ratio"),
+        F.round(m["alpha_word_frac"], 6).alias("alpha_word_frac"),
+        m["n_stop_distinct"].cast("int").alias("n_stop_distinct"),
+        m["pass"].alias("pass"),
     )
 
 
@@ -8088,4 +8061,144 @@ def q_semantic_dedup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = math.ceil(math.sqrt(emb.count()))
     return semantic_dedup(
         emb, "embedding", "vec_id", n_clusters=k, threshold=0.40
+    )
+
+
+@register(
+    "curation_signal_agreement",
+    oracle=f"""
+    WITH w AS (SELECT CAST({_CLF_WEIGHTS_SQL} AS DOUBLE[]) AS wl),
+    tb AS (
+      SELECT doc_id, lang, text,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    fe AS (
+      SELECT doc_id,
+             list_concat(b,
+               CASE WHEN len(b) >= 2
+                    THEN list_transform(
+                           list_zip(b[1:len(b)-1], b[2:len(b)]),
+                           p -> (struct_extract(p, 1) * 31
+                                 + struct_extract(p, 2)) % 64)
+                    ELSE CAST([] AS BIGINT[]) END) AS feats
+      FROM (SELECT doc_id,
+                   list_transform(toks,
+                     tk -> CAST((ascii(substr(tk, 1, 1)) * 1000
+                                 + length(tk)) % 64 AS BIGINT)) AS b
+            FROM tb)
+    ),
+    clf AS (
+      SELECT doc_id,
+             1.0 / (1.0 + exp(-(0.25 +
+               CASE WHEN len(feats) > 0
+                    THEN list_reduce(
+                           list_prepend(0.0,
+                             list_transform(feats,
+                               ff -> wl[CAST(ff AS INT) + 1])),
+                           (x, y) -> x + y) / len(feats)
+                    ELSE 0.0 END))) >= 0.5 AS clf_keep
+      FROM fe CROSS JOIN w
+    ),
+    gph AS (
+      SELECT doc_id,
+             (len(toks) BETWEEN 50 AND 100000)
+             AND (list_reduce(list_prepend(0,
+                    list_transform(toks, x -> length(x))), (a, b) -> a + b)
+                  / greatest(len(toks), 1) BETWEEN 3 AND 10)
+             AND (((length(text) - length(replace(text, '#', '')))
+                   + (length(text) - length(replace(text, '...', ''))) / 3)
+                  / greatest(len(toks), 1) <= 0.1)
+             AND (len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  / greatest(len(toks), 1) >= 0.8)
+             AND (len(list_intersect(
+                    list_distinct(list_transform(toks, x -> lower(x))),
+                    ['the','be','to','of','and','that','have','with'])) >= 2)
+               AS gopher_pass
+      FROM tb
+    ),
+    t AS (SELECT doc_id, unnest(toks) AS token FROM tb),
+    dt AS (SELECT doc_id, token, count(*) AS n FROM t GROUP BY doc_id, token),
+    v AS (SELECT token, sum(n) AS cnt FROM dt GROUP BY token),
+    s AS (SELECT CAST(sum(cnt) AS DOUBLE) AS n_total,
+                 CAST(count(*) AS DOUBLE) AS vsz
+          FROM v),
+    p AS (
+      SELECT dt.doc_id,
+             round(exp(
+               CAST(sum(CAST(dt.n * -ln((CAST(v.cnt AS DOUBLE) + 0.5)
+                                        / (s.n_total + 0.5 * s.vsz))
+                             AS DECIMAL(28,18))) AS DOUBLE)
+               / sum(dt.n)), 6) <= 30.5 AS ppl_band
+      FROM dt JOIN v USING (token) CROSS JOIN s
+      GROUP BY dt.doc_id
+    ),
+    joined AS (
+      SELECT d.lang, c.clf_keep, g.gopher_pass,
+             COALESCE(p.ppl_band, FALSE) AS ppl_band
+      FROM documents d
+      JOIN clf c USING (doc_id)
+      JOIN gph g USING (doc_id)
+      LEFT JOIN p USING (doc_id)
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CASE WHEN clf_keep THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS clf_keep_rate,
+           round(CAST(SUM(CASE WHEN gopher_pass THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS gopher_pass_rate,
+           round(CAST(SUM(CASE WHEN ppl_band THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS ppl_band_rate,
+           round(CAST(SUM(CASE WHEN clf_keep AND gopher_pass AND ppl_band
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS all_pass_rate,
+           round(CAST(SUM(CASE WHEN clf_keep = gopher_pass
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS clf_gopher_agree
+    FROM joined GROUP BY lang
+    """,
+)
+def q_curation_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-calibration audit: per-language keep rates of the
+    learned classifier, the Gopher rule bundle, and the perplexity
+    band, plus their joint pass rate and classifier↔rules agreement.
+    The report you read BEFORE trusting any single curation signal —
+    systematic per-language disagreement means a filter is biased
+    against that slice (the practical failure mode of quality
+    filtering). One scan feeds all three signal branches; the rates
+    aggregate exact integer counts."""
+    d = _t(spark, sf_dir, "documents")
+    clf = CUR.with_classifier_score(d, "text").select(
+        "doc_id", "lang", (F.col("_score_raw") >= 0.5).alias("clf_keep")
+    )
+    gph = d.select(
+        "doc_id", CUR.gopher_metrics("text")["pass"].alias("gopher_pass")
+    )
+    ppl = CUR.unigram_perplexity(d, "text", "doc_id").select(
+        "doc_id", (F.col("perplexity") <= 30.5).alias("ppl_band")
+    )
+    joined = (
+        clf.join(gph, "doc_id")
+        .join(ppl, "doc_id", "left")
+        .withColumn("ppl_band", F.coalesce("ppl_band", F.lit(False)))
+    )
+    cnt = F.count(F.lit(1))
+
+    def rate(c):
+        return F.round(
+            F.sum(c.cast("int")).cast("double") / cnt, 6
+        )
+
+    return joined.groupBy("lang").agg(
+        cnt.cast("bigint").alias("n_docs"),
+        rate(F.col("clf_keep")).alias("clf_keep_rate"),
+        rate(F.col("gopher_pass")).alias("gopher_pass_rate"),
+        rate(F.col("ppl_band")).alias("ppl_band_rate"),
+        rate(
+            F.col("clf_keep") & F.col("gopher_pass") & F.col("ppl_band")
+        ).alias("all_pass_rate"),
+        rate(F.col("clf_keep") == F.col("gopher_pass")).alias(
+            "clf_gopher_agree"
+        ),
     )

@@ -62,6 +62,7 @@ SWEEP = [
     "image_phash_dedup",
     "audio_fingerprint_dedup",
     "corpus_datacard",
+    "curation_signal_agreement",
     "q5_local_supplier_volume",
     "q10_returned_item",
     "q14_promo_revenue",
