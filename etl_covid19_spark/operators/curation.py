@@ -302,10 +302,10 @@ def bigram_perplexity(
         key,
         lambda: docs.select(
             F.col(id_col).alias("_doc"),
-            F.posexplode(text.tokens(text_col)).alias("pos", "w"),
+            F.posexplode(text.tokens(text_col)).alias("pos", "token"),
         ),
     )
-    c1 = pos_frame.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = pos_frame.groupBy(F.col("token").alias("w")).agg(F.count(F.lit(1)).alias("c1"))
     stats = c1.agg(
         F.sum("c1").alias("N"), F.count(F.lit(1)).alias("V")
     ).collect()[0]
@@ -313,9 +313,9 @@ def bigram_perplexity(
     denom_uni = float(n_total + alpha * vsz)
 
     wspec = Window.partitionBy("_doc").orderBy("pos")
-    seq = pos_frame.withColumn("w1", F.lag("w").over(wspec))
+    seq = pos_frame.withColumn("w1", F.lag("token").over(wspec))
     pairs = seq.where(F.col("w1").isNotNull()).select(
-        "_doc", "w1", F.col("w").alias("w2")
+        "_doc", "w1", F.col("token").alias("w2")
     )
     c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     ctx = c2.groupBy("w1").agg(F.sum("c2").alias("cctx"))
@@ -337,7 +337,9 @@ def bigram_perplexity(
             (F.col("n") * -F.log(p_interp)).alias("_nll"),
         )
     )
-    firsts = pos_frame.where(F.col("pos") == 0).select("_doc", "w")
+    firsts = pos_frame.where(F.col("pos") == 0).select(
+        "_doc", F.col("token").alias("w")
+    )
     nll1 = firsts.join(c1, "w").select(
         "_doc",
         (-F.log((F.col("c1") + F.lit(alpha)) / F.lit(denom_uni))).alias(
@@ -391,11 +393,22 @@ def unigram_perplexity(
     (bounded model parameters). At web scale the vocab table is
     millions of rows — small enough for AQE to broadcast the join,
     which is why no broadcast is forced here."""
-    tok = docs.select(
-        F.col(id_col).alias("_doc"),
-        F.explode(text.tokens(text_col)).alias("token"),
+    from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
+
+    # Shares the pooled (doc, pos, token) frame with
+    # `bigram_perplexity` (same key) — ONE tokenization pass serves
+    # both models and any composition that scores with either.
+    key = ("lm_positions", corpus_key(docs), text_col, id_col)
+    pos_frame = SHARED_CACHE.get_or_build(
+        key,
+        lambda: docs.select(
+            F.col(id_col).alias("_doc"),
+            F.posexplode(text.tokens(text_col)).alias("pos", "token"),
+        ),
     )
-    doc_tok = tok.groupBy("_doc", "token").agg(F.count("*").alias("n"))
+    doc_tok = pos_frame.groupBy("_doc", "token").agg(
+        F.count(F.lit(1)).alias("n")
+    )
     vocab = doc_tok.groupBy("token").agg(F.sum("n").alias("cnt"))
     stats = vocab.agg(
         F.sum("cnt").alias("N"), F.count("*").alias("V")
@@ -404,11 +417,11 @@ def unigram_perplexity(
     nll = F.col("n") * -F.log((F.col("cnt") + F.lit(alpha)) / F.lit(denom))
     per_doc = (
         doc_tok.join(vocab, "token")
-        .withColumn("_nll", nll)
+        .withColumn("_nll", nll.cast("decimal(28,18)"))
         .groupBy("_doc")
         .agg(
             F.sum("n").alias("n_tokens"),
-            F.sum("_nll").alias("_h_sum"),
+            F.sum("_nll").cast("double").alias("_h_sum"),
         )
     )
     ce = F.col("_h_sum") / F.col("n_tokens")
