@@ -431,3 +431,72 @@ def unigram_perplexity(
         F.round(ce, 6).alias("cross_entropy"),
         F.round(F.exp(ce), 6).alias("perplexity"),
     )
+
+
+def repetition_signals_batch(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Gopher repetition signals as an Arrow batch kernel — the scale
+    path for LONG documents. The Catalyst sorted-array fold
+    (`text.top_ngram_stats`) is the right shape for short docs (zero
+    shuffle, no Python), but its interpreted per-gram struct fold is
+    O(tokens) with a ~100 µs constant: on a 3000-token corpus it
+    measured >9 MINUTES for 2000 docs where this kernel takes
+    seconds. Same outputs bit-for-bit: counts are integers, the
+    tie-break is the lexicographically smallest gram among the
+    maxima (what the sorted fold's strict `>` yields), and the char
+    fractions are single double divisions of exact integers — so the
+    relational SQL oracle verifies BOTH implementations."""
+    from collections import Counter
+
+    def one(doc_id, textv):
+        toks = textv.split()
+        n = len(toks)
+        nd = len(set(toks))
+        dup = float(n - nd) / n if n else 0.0
+        total_chars = sum(len(t) for t in toks)
+        out = [int(doc_id), dup]
+        for g in (2, 3):
+            if n >= g:
+                grams = Counter(
+                    " ".join(toks[i : i + g]) for i in range(n - g + 1)
+                )
+                best_n = max(grams.values())
+                best = min(k for k, v in grams.items() if v == best_n)
+                gram_chars = len(best.replace(" ", ""))
+                frac = (
+                    float(best_n * gram_chars) / total_chars
+                    if total_chars > 0 and best_n > 0
+                    else 0.0
+                )
+                out += [best, int(best_n), frac]
+            else:
+                out += ["", 0, 0.0]
+        return tuple(out)
+
+    def batches(it):
+        for pdf in it:
+            rows = [
+                one(d, t) for d, t in zip(pdf[id_col], pdf[text_col])
+            ]
+            import pandas as pd
+
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "dup_token_frac",
+                    "top_bigram", "top_bigram_n", "top_bigram_char_frac",
+                    "top_trigram", "top_trigram_n", "top_trigram_char_frac",
+                ],
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        batches,
+        schema=(
+            "doc_id long, dup_token_frac double, "
+            "top_bigram string, top_bigram_n long, "
+            "top_bigram_char_frac double, "
+            "top_trigram string, top_trigram_n long, "
+            "top_trigram_char_frac double"
+        ),
+    )

@@ -3973,24 +3973,17 @@ def q_asof_join_cogrouped(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-family repetition quality signals (Rae et al. 2021):
     unigram duplicate fraction plus the most frequent word bi-/tri-
-    gram with its character-coverage fraction. Spark computes each
-    doc's n-gram mode with a map-side sorted-array fold (zero
-    shuffle; functions/text.top_ngram_stats has the scale note); the
-    oracle recomputes it the relational way (unnest → count →
-    window), so the fold's tie-breaking and char math are proven
-    against an independent formulation."""
-    d = _t(spark, sf_dir, "documents")
-    t2 = text.top_ngram_stats("text", 2)
-    t3 = text.top_ngram_stats("text", 3)
-    return d.select(
-        "doc_id",
-        text.dup_token_fraction("text").alias("dup_token_frac"),
-        t2["gram"].alias("top_bigram"),
-        t2["n"].alias("top_bigram_n"),
-        t2["char_frac"].alias("top_bigram_char_frac"),
-        t3["gram"].alias("top_trigram"),
-        t3["n"].alias("top_trigram_n"),
-        t3["char_frac"].alias("top_trigram_char_frac"),
+    gram with its character-coverage fraction. The registered path is
+    the Arrow batch kernel (`curation.repetition_signals_batch`) —
+    the Catalyst sorted-array fold (`text.top_ngram_stats`, still the
+    zero-Python option for short docs) measured >9 min on a
+    2000×3000-token fat corpus where the kernel takes seconds; a
+    parity test pins the two implementations equal. The oracle
+    recomputes everything the relational way (unnest → count →
+    window), so tie-breaking and char math are proven against an
+    independent formulation."""
+    return CUR.repetition_signals_batch(
+        _t(spark, sf_dir, "documents"), "text", "doc_id"
     )
 
 

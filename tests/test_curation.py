@@ -426,3 +426,42 @@ class TestRandomizedCuration:
                 nll += -math.log(lam * pb + (1.0 - lam) * pu)
             ce = nll / len(ts)
             assert out[i]["cross_entropy"] == pytest.approx(ce, abs=1e-5), (i, t)
+
+
+class TestRepetitionKernelParity:
+    def test_kernel_matches_catalyst_fold(self, spark):
+        # The Arrow kernel (registered scale path) and the Catalyst
+        # sorted-array fold must agree exactly — including tie-breaks
+        # and edge docs (empty / single-token / all-same).
+        import numpy as np
+
+        from etl_covid19_spark.functions import text as T
+
+        rng = np.random.default_rng(3)
+        words = ["a", "b", "cc", "ddd", "e!"]
+        rows = [(0, ""), (1, "x"), (2, "w w w w"), (3, "a b a b a")]
+        for i in range(4, 40):
+            k = int(rng.integers(0, 30))
+            rows.append((i, " ".join(rng.choice(words) for _ in range(k))))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        t2, t3 = T.top_ngram_stats("text", 2), T.top_ngram_stats("text", 3)
+        fold = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in df.select(
+                "doc_id",
+                T.dup_token_fraction("text").alias("dup_token_frac"),
+                t2["gram"].alias("top_bigram"),
+                t2["n"].alias("top_bigram_n"),
+                t2["char_frac"].alias("top_bigram_char_frac"),
+                t3["gram"].alias("top_trigram"),
+                t3["n"].alias("top_trigram_n"),
+                t3["char_frac"].alias("top_trigram_char_frac"),
+            ).collect()
+        }
+        kern = {
+            r["doc_id"]: tuple(r)[1:]
+            for r in cur.repetition_signals_batch(
+                df, "text", "doc_id"
+            ).collect()
+        }
+        assert fold == kern
