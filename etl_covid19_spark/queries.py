@@ -7868,27 +7868,27 @@ def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "bigram_lm_perplexity",
     oracle="""
-    WITH tkn AS (
+    WITH tkn AS MATERIALIZED (
       SELECT doc_id,
              list_filter(regexp_split_to_array(trim(text), '\\s+'),
                          x -> x <> '') AS toks
       FROM documents
     ),
-    uni AS (SELECT doc_id, unnest(toks) AS w FROM tkn),
+    uni AS MATERIALIZED (SELECT doc_id, unnest(toks) AS w FROM tkn),
     c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
     st AS (SELECT CAST(sum(c1) AS DOUBLE) AS n_total,
                   CAST(count(*) AS DOUBLE) AS vsz
            FROM c1),
-    pr AS (
+    pr AS MATERIALIZED (
       SELECT doc_id, struct_extract(p, 1) AS w1, struct_extract(p, 2) AS w2
       FROM (SELECT doc_id,
                    unnest(list_zip(toks[1:len(toks)-1], toks[2:len(toks)]))
                      AS p
             FROM tkn WHERE len(toks) >= 2)
     ),
-    c2 AS (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY w1, w2),
+    c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c2 FROM pr GROUP BY w1, w2),
     ctx AS (SELECT w1, sum(c2) AS cctx FROM c2 GROUP BY w1),
-    dt2 AS (SELECT doc_id, w1, w2, count(*) AS n FROM pr GROUP BY doc_id, w1, w2),
+    dt2 AS MATERIALIZED (SELECT doc_id, w1, w2, count(*) AS n FROM pr GROUP BY doc_id, w1, w2),
     nll2 AS (
       SELECT dt2.doc_id,
              CAST(dt2.n * -ln(
