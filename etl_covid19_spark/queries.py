@@ -7080,10 +7080,7 @@ from etl_covid19_spark.operators import curation as CUR  # noqa: E402
 
 _CLF_WEIGHTS_SQL = "[" + ", ".join(repr(x) for x in CUR.make_classifier_weights()) + "]"
 
-
-@register(
-    "quality_classifier",
-    oracle=f"""
+_CLF_ORACLE = f"""
     WITH w AS (SELECT CAST({_CLF_WEIGHTS_SQL} AS DOUBLE[]) AS wl),
     t AS (
       SELECT doc_id, lang,
@@ -7120,9 +7117,10 @@ _CLF_WEIGHTS_SQL = "[" + ", ".join(repr(x) for x in CUR.make_classifier_weights(
            round(1.0 / (1.0 + exp(-(0.25 + mean_w))), 6) AS score,
            1.0 / (1.0 + exp(-(0.25 + mean_w))) >= 0.5 AS keep
     FROM s
-    """,
-    headline=True,
-)
+    """
+
+
+@register("quality_classifier", oracle=_CLF_ORACLE)
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """fastText-shaped hashed-n-gram linear quality classifier
     (Joulin et al. 2016): unigram+bigram buckets → literal weight
@@ -7132,6 +7130,26 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ships the same way (a K-float literal)."""
     d = _t(spark, sf_dir, "documents")
     return CUR.with_classifier_score(d, "text").select(
+        "doc_id",
+        "lang",
+        "n_features",
+        F.round("_score_raw", 6).alias("score"),
+        (F.col("_score_raw") >= 0.5).alias("keep"),
+    )
+
+
+@register("quality_classifier_arrow", oracle=_CLF_ORACLE, headline=True)
+def q_quality_classifier_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same classifier through the Arrow kernel
+    (`curation.classifier_scores_arrow`) — the default/benched path:
+    Catalyst HOFs are CodegenFallback, so the pure-Column form pays
+    per-row interpreter cost (5.6 s at sf1); the RE2+numpy kernel
+    does the identical arithmetic batch-at-a-time and is bit-exact
+    against both the HOF form (parity-tested) and this shared
+    oracle. `quality_classifier` stays registered as the engine-pure
+    cross-check — the same twin pattern as embedding_near_dup."""
+    d = _t(spark, sf_dir, "documents")
+    return CUR.classifier_scores_arrow(d, "text", ["doc_id", "lang"]).select(
         "doc_id",
         "lang",
         "n_features",

@@ -465,3 +465,46 @@ class TestRepetitionKernelParity:
             ).collect()
         }
         assert fold == kern
+
+
+class TestClassifierKernelParity:
+    def test_kernel_matches_hof_bit_exact(self, spark):
+        # The Arrow kernel (registered/benched scale path) must be
+        # BIT-exact against the Catalyst-HOF classifier: the kernel
+        # emits only exact fold values (weights are multiples of
+        # 2^-30, so every partial sum is exactly representable) and
+        # the sigmoid runs Spark-side in the same JVM Math.exp.
+        # Edge rows cover empty / whitespace-only / single-token /
+        # Java-\s separators / accented + astral first codepoints.
+        import struct
+
+        import numpy as np
+
+        rng = np.random.default_rng(17)
+        words = ["the", "spark", "café", "naïve", "日本語", "😀grin", "a", "zz!"]
+        rows = [
+            (0, "", "en"),
+            (1, "   ", "en"),
+            (2, "single", "fr"),
+            (3, "\ta b\n c  d\x0b e\x0c f\r g", "en"),
+            (4, "x " * 200, "en"),
+        ]
+        for i in range(5, 60):
+            k = int(rng.integers(0, 25))
+            rows.append(
+                (i, " ".join(rng.choice(words) for _ in range(k)), "xx")
+            )
+        df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+        hof = {
+            r["doc_id"]: (r["n_features"], struct.pack("d", r["_score_raw"]))
+            for r in cur.with_classifier_score(df, "text")
+            .select("doc_id", "n_features", "_score_raw")
+            .collect()
+        }
+        kern = {
+            r["doc_id"]: (r["n_features"], struct.pack("d", r["_score_raw"]))
+            for r in cur.classifier_scores_arrow(
+                df, "text", ["doc_id", "lang"]
+            ).collect()
+        }
+        assert hof == kern
