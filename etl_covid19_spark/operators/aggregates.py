@@ -229,3 +229,96 @@ def distributed_rank(
         .withColumn("_pos", F.col("_off") + F.col("_r"))
         .drop("_b", "_r", "_off")
     )
+
+
+def attach_scalar(df: DataFrame, scalar_df: DataFrame) -> DataFrame:
+    """Attach a 1-row aggregate frame to every row of ``df`` as a
+    constant-key broadcast EQUI-join. A bare crossJoin would plan as
+    BroadcastNestedLoopJoin — harmless at 1 row but
+    indistinguishable in a plan audit from a real O(n·m) fallback,
+    so the global no-NLJ sweep (tests/test_plan_invariants.py)
+    would need whitelists. The key must be NON-FOLDABLE — a literal
+    key gets constant-folded out of the equi-condition and the plan
+    degenerates back to BNLJ — so it derives from a column:
+    pmod(hash(col), 1) is always 0 but opaque to ConstantFolding,
+    keeping the plan a BroadcastHashJoin."""
+    key = "_scalar_key"
+
+    def const_key(d: DataFrame) -> Column:
+        return F.pmod(F.hash(F.col(d.columns[0])), F.lit(1))
+
+    return (
+        df.withColumn(key, const_key(df))
+        .join(F.broadcast(scalar_df.withColumn(key, const_key(scalar_df))), key)
+        .drop(key)
+    )
+
+
+def frequent_items(
+    df: DataFrame, col: str, k: int = 20, capacity: int | None = None
+) -> DataFrame:
+    """Exact heavy hitters — every value of ``col`` with frequency
+    strictly greater than n/k — via the two-pass Misra-Gries /
+    mergeable-summaries pattern (Misra & Gries 1982; Agarwal et al.,
+    "Mergeable Summaries", PODS'12):
+
+    pass 1 (candidates): one ``mapInPandas`` sweep keeps at most
+    ``capacity`` decremented counters per PARTITION and emits only
+    the surviving keys. Misra-Gries guarantees a summary of capacity
+    c underestimates any key's partition-local count by at most
+    m_p/(c+1) (m_p = partition rows), so with c >= k every key whose
+    local count exceeds m_p/k survives in that partition — and a
+    global heavy hitter (freq > n/k) must exceed m_p/k in at least
+    one partition (averaging argument). The union of partition
+    candidates is therefore a SUPERSET of the true heavy hitters,
+    at most capacity·P rows total, with no token-grain shuffle.
+
+    pass 2 (exact verify): recount ONLY the candidates (broadcast
+    left-semi prune, then a groupBy whose map-side combine is
+    bounded by the candidate set) against the exact total, keeping
+    freq·k > n. The output is exact regardless of sketch sizing —
+    the sketch only bounds pass-1 memory and the candidate volume,
+    the same candidates-then-verify contract the MinHash/LSH family
+    uses.
+
+    The naive single-pass ``groupBy(col)`` ships every distinct key's
+    partial state; at web scale (10⁹+ distinct tokens) that shuffle
+    dominates. Here the shuffle carries at most capacity·P candidate
+    keys plus one count row.
+
+    Returns (``col``, freq, share) — share is freq/n as a plain
+    double division of exactly-equal integers."""
+    capacity = capacity or 8 * k
+    out_schema = df.select(col).schema
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > capacity:
+                vals = sorted(counters.values(), reverse=True)
+                d = vals[capacity]  # (capacity+1)-th largest
+                counters = {
+                    t: c - d for t, c in counters.items() if c - d > 0
+                }
+        import pandas as pd
+
+        yield pd.DataFrame({col: list(counters.keys())})
+
+    candidates = df.select(col).mapInPandas(mg, schema=out_schema).distinct()
+    total = df.agg(F.count(F.lit(1)).alias("_n"))
+    counts = (
+        df.join(F.broadcast(candidates), [col], "left_semi")
+        .groupBy(col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return (
+        attach_scalar(counts, total)
+        .filter(F.col("freq") * k > F.col("_n"))
+        .select(
+            col,
+            "freq",
+            (F.col("freq").cast("double") / F.col("_n")).alias("share"),
+        )
+    )

@@ -845,3 +845,116 @@ def strip_duplicate_spans(
         ),
         F.concat_ws(" ", kept).alias("clean_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered incremental dedup (scale twin of
+# incremental_exact_dedup)
+# ---------------------------------------------------------------------------
+
+
+def build_text_bloom(
+    df: DataFrame, text_col: str, m_words: int = 1024, k: int = 5
+) -> list[int]:
+    """Aggregate a Bloom filter over ``df[text_col]`` with Catalyst
+    built-ins only: each text sets ``k`` bit positions
+    ``pmod(xxhash64(text, seed), 64·m_words)``; positions group by
+    64-bit word index and combine with ``bit_or`` (map-side partial —
+    the shuffle carries at most ``m_words`` rows per partition
+    regardless of corpus size). The finished filter is ``m_words``
+    longs (8·m_words bytes) — a bounded model parameter, collected
+    like the IVF centroids and quantizer stats are.
+
+    Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k for n distinct
+    texts over m = 64·m_words bits; the default 64 Kbit / k=5 holds
+    ~1% at n = 6k. Size m_words ∝ corpus keys at scale (64 MB of
+    words covers ~5·10⁸ keys at 1%)."""
+    m_bits = m_words * 64
+    pos = [
+        F.pmod(F.xxhash64(F.col(text_col), F.lit(i)), F.lit(m_bits))
+        for i in range(k)
+    ]
+    words = (
+        df.select(F.explode(F.array(*pos)).alias("j"))
+        .select(
+            F.expr("cast(j div 64 as int)").alias("w"),
+            F.expr("shiftleft(cast(1 as bigint), cast(j % 64 as int))").alias(
+                "bit"
+            ),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    arr = [0] * m_words
+    for r in words.collect():  # bounded: <= m_words rows
+        arr[r["w"]] = r["word"]
+    return arr
+
+
+def bloom_words_column(words: list[int]):
+    """The filter as a literal column, pinned to array<bigint>:
+    a saturated filter's words are small negative ints, and
+    PySpark's literal inference would type them array<int> — where
+    shiftright silently wraps shift distances mod 32."""
+    return F.lit(words).cast("array<bigint>")
+
+
+def bloom_membership_predicate(
+    words: list[int], text_col: str, k: int = 5
+):
+    """Column predicate: True iff all ``k`` Bloom positions of
+    ``text_col`` are set in the literal word array ``words`` (bound
+    to the row as ``_bloom_words``). Never false-negative for texts
+    the filter was built over — xxhash64 is deterministic, so a
+    member's positions are set by construction."""
+    m_bits = len(words) * 64
+    tests = []
+    for i in range(k):
+        j = f"pmod(xxhash64({text_col}, {i}), {m_bits})"
+        tests.append(
+            f"(shiftright(element_at(_bloom_words, "
+            f"cast(({j}) div 64 as int) + 1), "
+            f"cast(({j}) % 64 as int)) & 1) = 1"
+        )
+    return F.expr(" AND ".join(tests))
+
+
+def incremental_exact_dedup_bloom(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    m_words: int = 1024,
+    k: int = 5,
+) -> DataFrame:
+    """Scale twin of :func:`incremental_exact_dedup`: same result,
+    Bloom-prefiltered probe. The historical corpus collapses to a
+    fixed-size Bloom filter; only batch rows the filter claims as
+    possible members (true dupes + the tuned false-positive rate)
+    enter the exact anti-join verify — definite non-members skip the
+    join entirely. At 100 TB the daily anti-join's probe shrinks
+    from |batch| to ~|dupes|, and the corpus side ships once as
+    8·m_words bytes instead of once per batch as a distinct-key
+    shuffle. Exactness does not depend on Bloom sizing: the filter
+    cannot false-negative a real member, and false positives are
+    removed by the verify join."""
+    words = build_text_bloom(corpus_df, text_col, m_words, k)
+    probe = new_df.select(
+        F.col(text_col).alias("content_key"), F.col(id_col)
+    ).withColumn("_bloom_words", bloom_words_column(words))
+    might = bloom_membership_predicate(words, "content_key", k)
+    positives = probe.filter(might).drop("_bloom_words")
+    negatives = probe.filter(~might).drop("_bloom_words")
+    seen = corpus_df.select(
+        F.col(text_col).alias("content_key")
+    ).distinct()
+    verified = positives.join(seen, ["content_key"], "left_anti")
+    survivors = verified.unionByName(negatives)
+    return (
+        survivors.groupBy("content_key")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("canonical_id", "n_copies")
+    )

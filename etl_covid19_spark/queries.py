@@ -1272,9 +1272,8 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "lang_id",
-    oracle="""
+# shared with langid_confusion below
+_LANG_ID_ORACLE = """
     WITH t AS (
       SELECT doc_id, lang,
              list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -1297,8 +1296,10 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN s_de >= s_zh THEN 'de'
                 ELSE 'zh' END AS predicted_lang
     FROM s
-    """,
-)
+    """
+
+
+@register("lang_id", oracle=_LANG_ID_ORACLE)
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: stopword-marker hit counts per
     language, deterministic priority argmax (en>es>fr>de>zh on
@@ -8212,4 +8213,203 @@ def q_curation_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate(F.col("clf_keep") == F.col("gopher_pass")).alias(
             "clf_gopher_agree"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus-statistics batch (round 3, late): heavy hitters, tf-idf,
+# OOV audit, lang-ID confusion, Bloom incremental dedup
+# ---------------------------------------------------------------------------
+
+_TOKS_CTE = """
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(trim(text), '\\s+'), x -> x <> ''))
+               AS tok
+      FROM documents
+"""
+
+
+@register(
+    "heavy_hitter_tokens",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    tot AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT tok, COUNT(*) AS freq,
+           CAST(COUNT(*) AS DOUBLE) / n AS share
+    FROM toks CROSS JOIN tot
+    GROUP BY tok, n
+    HAVING COUNT(*) * 30 > n
+    """,
+)
+def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus heavy hitters (tokens with > 1/30 of all
+    occurrences) via the two-pass Misra-Gries sketch
+    (aggregates.frequent_items): bounded per-partition candidate
+    state + exact verify, so the full-vocabulary shuffle of a naive
+    token groupBy never happens. The output is provably exact — the
+    sketch only generates the candidate superset."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokens("text")).alias("tok"))
+    return agg.frequent_items(toks, "tok", k=30, capacity=240)
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    tf AS (
+      SELECT doc_id, tok, COUNT(*) AS term_freq
+      FROM toks GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT tok, COUNT(*) AS doc_freq FROM tf GROUP BY tok),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.tok, tf.term_freq, dfreq.doc_freq,
+             CAST(tf.term_freq AS DOUBLE) * n_docs / dfreq.doc_freq
+               AS score
+      FROM tf JOIN dfreq USING (tok) CROSS JOIN nd
+    )
+    SELECT doc_id, tok, term_freq, doc_freq, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, tok ASC) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document distinctive terms: top-3 by a tf-idf-shaped
+    rarity score (term_freq · n_docs / doc_freq — an exact integer
+    ratio, monotone in idf, so rankings are engine-reproducible
+    without transcendental log rounding). Three keyed shuffles —
+    (doc, tok) term counts, |vocab| doc frequencies, per-doc window —
+    every one on hashed grouping keys with map-side partials; the
+    tf⋈df join is a plain equi-join (AQE broadcasts the vocab side
+    when it fits; at web scale with 10⁹ distinct tokens it
+    sort-merges — never a loop join)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("term_freq")
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        agg.attach_scalar(tf.join(dfreq, "tok"), nd)
+        .withColumn(
+            "score",
+            F.col("term_freq").cast("double")
+            * F.col("n_docs")
+            / F.col("doc_freq"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "tok", "term_freq", "doc_freq", "score")
+    )
+
+
+@register(
+    "oov_rate",
+    oracle=f"""
+    WITH toks AS ({_TOKS_CTE}),
+    vocab AS (
+      SELECT tok FROM toks GROUP BY tok
+      ORDER BY COUNT(*) DESC, tok ASC LIMIT 10
+    )
+    SELECT t.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-coverage audit: per-document out-of-vocabulary rate
+    against the corpus top-10 vocabulary — the check you run before
+    freezing a tokenizer (docs with high OOV are the slices the
+    vocab underserves). The vocabulary is a TakeOrderedAndProject
+    top-k broadcast to the token stream; the per-doc aggregate
+    shuffles doc-grain partials only."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = agg.top_k(
+        freqs, [F.col("freq").desc(), F.col("tok").asc()], 10
+    ).select("tok", F.lit(True).alias("in_vocab"))
+    oov = F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+    return (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(oov).cast("bigint").alias("n_oov"),
+            (F.sum(oov).cast("double") / F.count(F.lit(1))).alias(
+                "oov_rate"
+            ),
+        )
+    )
+
+
+@register(
+    "langid_confusion",
+    oracle=f"""
+    WITH pred AS ({_LANG_ID_ORACLE})
+    SELECT actual_lang, predicted_lang, COUNT(*) AS n_docs,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY actual_lang)
+             AS share_of_actual
+    FROM pred GROUP BY actual_lang, predicted_lang
+    """,
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lang-ID calibration: confusion matrix of the heuristic
+    detector against the corpus's labeled language, with each cell's
+    share of its actual-language row. At most |langs|² cells ever
+    shuffle; the window normalization runs over the aggregated
+    matrix, not the documents."""
+    pred = q_lang_id(spark, sf_dir)
+    cells = pred.groupBy("actual_lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("actual_lang")
+    return cells.withColumn(
+        "share_of_actual",
+        F.col("n_docs").cast("double") / F.sum("n_docs").over(w),
+    )
+
+
+@register(
+    "incremental_dedup_bloom",
+    oracle="""
+    SELECT MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents b
+    WHERE doc_id >= 250
+      AND NOT EXISTS (SELECT 1 FROM documents c
+                      WHERE c.doc_id < 250 AND c.text = b.text)
+    GROUP BY b.text
+    """,
+)
+def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale twin of `incremental_dedup` (same oracle): the
+    historical corpus collapses to a 64 Kbit Bloom filter built with
+    bit_or aggregation; only batch rows the filter cannot rule out
+    enter the exact anti-join verify. Result is exact by
+    construction — Bloom sizing tunes cost, never correctness
+    (dedup.incremental_exact_dedup_bloom)."""
+    from etl_covid19_spark.operators.dedup import (
+        incremental_exact_dedup_bloom,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return incremental_exact_dedup_bloom(
+        docs.filter(F.col("doc_id") >= 250),
+        docs.filter(F.col("doc_id") < 250),
+        "text",
+        "doc_id",
     )

@@ -50,6 +50,10 @@ SWEEP = [
     "substring_dedup",
     "substring_dedup_keep_first",
     "incremental_dedup",
+    "incremental_dedup_bloom",
+    "heavy_hitter_tokens",
+    "tfidf_top_terms",
+    "oov_rate",
     "semantic_dedup",
     "semantic_dedup_scaled",
     "ann_ivf_pq_topk",
