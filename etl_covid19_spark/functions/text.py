@@ -201,3 +201,141 @@ def top_ngram_stats(col: Column | str, n: int) -> Column:
         folded["best"].alias("n"),
         frac.alias("char_frac"),
     )
+
+
+def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
+    """Arrow-kernel twin of the per-document quality metric stack
+    (tokens / mean_token_length / punct_ratio / stopword_ratio /
+    quality_score) — same escape hatch as
+    `curation.classifier_scores_arrow` for the interpreted-HOF bound.
+
+    Bit-exactness contract: the kernel emits only EXACT INTEGER
+    counts (token count, total token codepoints, non-alphanumeric
+    non-space codepoints, stopword hits, text codepoints); every
+    division, min/max clamp, and the 6-decimal round happen
+    Spark-side in `quality_from_counts`, expression-for-expression
+    the formulas of `quality_score` — so the twin shares the HOF
+    oracle verbatim. Tokenization is the Java-`\\s` ASCII class over
+    a 0x20-only trim, both matching Catalyst (probe-verified in the
+    classifier kernel); `utf8_length` counts codepoints = Spark
+    `length`; `utf8_lower` = Spark `lower` for the membership test.
+    """
+    import pyarrow.types  # noqa: F401  (ensure pa.types available)
+
+    from pyspark.sql import types as T
+
+    fields = [df.schema[c] for c in keep_cols] + [
+        T.StructField("n_tokens", T.IntegerType(), True),
+        T.StructField("total_tok_len", T.LongType(), True),
+        T.StructField("n_punct", T.LongType(), True),
+        T.StructField("n_stop", T.IntegerType(), True),
+        T.StructField("n_chars", T.LongType(), True),
+    ]
+    out_schema = T.StructType(fields)
+    proj = df.select(*keep_cols, text_col)
+    n_keep = len(keep_cols)
+    stop_set = list(EN_STOPWORDS)
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
+        # complement of Java [A-Za-z0-9\s], spelled for RE2 (RE2's
+        # \s lacks \x0b); each match is exactly one codepoint, so
+        # count_substring_regex == length(regexp_replace(...))
+        # — and measured 40x cheaper than replace+utf8_length
+        # (0.04 s vs 1.6 s over sf1's 50k docs single-threaded)
+        punct_pat = "[^A-Za-z0-9 \t\n\x0b\x0c\r]"
+        stops = pa.array(stop_set, pa.string())
+
+        for b in batches:
+            txt = b.column(n_keep)
+            if txt.null_count:
+                txt = pc.fill_null(txt, "")
+            n = len(txt)
+            n_chars = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+            n_chars = np.nan_to_num(n_chars).astype(np.int64)
+            n_punct = pc.count_substring_regex(txt, punct_pat).to_numpy(
+                zero_copy_only=False
+            )
+            n_punct = np.nan_to_num(n_punct).astype(np.int64)
+
+            toks = pc.split_pattern_regex(pc.utf8_trim(txt, " "), ws_pat)
+            offs = np.asarray(toks.offsets, dtype=np.int64)
+            vals = toks.values
+            tlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+            tlen = np.nan_to_num(tlen).astype(np.int64)
+            is_stop = pc.is_in(
+                pc.utf8_lower(vals), value_set=stops
+            ).to_numpy(zero_copy_only=False)
+            is_stop = np.nan_to_num(is_stop).astype(bool)
+
+            lo, hi = offs[0], offs[-1]
+            doc_idx = np.repeat(
+                np.arange(n, dtype=np.int64), np.diff(offs)
+            )
+            valid = tlen[lo:hi] > 0  # drop empty split artifacts
+            docv = doc_idx[valid]
+            n_tok = np.bincount(docv, minlength=n).astype(np.int64)
+            tot_len = np.bincount(
+                docv, weights=tlen[lo:hi][valid], minlength=n
+            ).astype(np.int64)
+            n_stop = np.bincount(
+                docv, weights=is_stop[lo:hi][valid], minlength=n
+            ).astype(np.int64)
+
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(n_keep)]
+                + [
+                    pa.array(n_tok.astype(np.int32), pa.int32()),
+                    pa.array(tot_len, pa.int64()),
+                    pa.array(n_punct, pa.int64()),
+                    pa.array(n_stop.astype(np.int32), pa.int32()),
+                    pa.array(n_chars, pa.int64()),
+                ],
+                names=keep_cols
+                + [
+                    "n_tokens",
+                    "total_tok_len",
+                    "n_punct",
+                    "n_stop",
+                    "n_chars",
+                ],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
+
+
+def quality_from_counts() -> dict[str, Column]:
+    """Spark-side finisher over `quality_counts_arrow` output:
+    expression-for-expression the `mean_token_length` /
+    `punct_ratio` / `stopword_ratio` / `quality_score` formulas with
+    the exact counts substituted — all double arithmetic runs in the
+    same JVM operators as the HOF path, so results are
+    bit-identical and the twin shares its oracle."""
+    nt = F.greatest(F.col("n_tokens"), F.lit(1))
+    nc = F.greatest(F.col("n_chars"), F.lit(1))
+    mean_token_len = F.col("total_tok_len") / nt
+    punct_ratio_ = F.col("n_punct") / nc
+    stopword_ratio_ = F.col("n_stop") / nt
+    len_score = F.least(F.col("n_chars") / F.lit(200.0), F.lit(1.0))
+    tok_score = F.when(
+        (mean_token_len >= 2) & (mean_token_len <= 12), F.lit(1.0)
+    ).otherwise(F.lit(0.3))
+    punct_score = F.lit(1.0) - F.least(punct_ratio_ * 5, F.lit(1.0))
+    stop_score = F.least(stopword_ratio_ * 4, F.lit(1.0))
+    quality = F.round(
+        0.3 * len_score
+        + 0.3 * tok_score
+        + 0.2 * punct_score
+        + 0.2 * stop_score,
+        6,
+    )
+    return {
+        "mean_token_len": mean_token_len,
+        "punct_ratio": punct_ratio_,
+        "stopword_ratio": stopword_ratio_,
+        "quality": quality,
+    }

@@ -1222,9 +1222,8 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_quality",
-    oracle="""
+# shared between the HOF form and its Arrow-kernel twin
+_TEXT_QUALITY_ORACLE = """
     WITH t AS (
       SELECT doc_id, text, lang,
              list_filter(regexp_split_to_array(trim(text), '\\s+'),
@@ -1253,9 +1252,10 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  + 0.2 * (1.0 - least(punct_ratio * 5, 1.0))
                  + 0.2 * least(stopword_ratio * 4, 1.0), 6) AS quality
     FROM m
-    """,
-    headline=True,
-)
+    """
+
+
+@register("text_quality", oracle=_TEXT_QUALITY_ORACLE)
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics: token count, mean token length,
     punctuation ratio, stopword ratio, composite quality score —
@@ -1269,6 +1269,30 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         text.punct_ratio("text").alias("punct_ratio"),
         text.stopword_ratio("text").alias("stopword_ratio"),
         text.quality_score("text").alias("quality"),
+    )
+
+
+@register("text_quality_arrow", oracle=_TEXT_QUALITY_ORACLE, headline=True)
+def q_text_quality_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same quality metrics through the Arrow counting kernel
+    (`text.quality_counts_arrow`) — the default/benched path, the
+    same HOF-vs-kernel swap as `quality_classifier_arrow`: the
+    kernel emits only exact integer counts and the Spark-side
+    finisher (`text.quality_from_counts`) replays the HOF formulas
+    expression-for-expression, so the twin is bit-exact against the
+    shared oracle. `text_quality` stays registered as the
+    engine-pure cross-check."""
+    d = _t(spark, sf_dir, "documents")
+    staged = text.quality_counts_arrow(d, ["doc_id", "lang"], "text")
+    m = text.quality_from_counts()
+    return staged.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        m["mean_token_len"].alias("mean_token_len"),
+        m["punct_ratio"].alias("punct_ratio"),
+        m["stopword_ratio"].alias("stopword_ratio"),
+        m["quality"].alias("quality"),
     )
 
 

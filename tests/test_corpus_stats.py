@@ -159,3 +159,72 @@ def test_langid_confusion_shares_sum_to_one(spark):
         .collect()
     )
     assert all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+# ---------------------------------------------------------------------------
+# text_quality Arrow twin: bit-exact parity with the HOF form
+# ---------------------------------------------------------------------------
+
+
+def test_quality_counts_arrow_bit_parity(spark):
+    import struct
+
+    import numpy as np
+
+    from etl_covid19_spark.functions import text as TX
+
+    rng = np.random.default_rng(23)
+    words = ["the", "spark!", "café", "naïve", "日本語", "😀,.;", "a", "It"]
+    rows = [
+        (0, "", "en"),
+        (1, "   ", "en"),
+        (2, "single", "fr"),
+        (3, "\ta b\n c  d\x0b e\x0c f\r g", "en"),
+        (4, "x " * 200, "en"),
+        (5, "!!! ??? ...", "en"),
+    ]
+    for i in range(6, 80):
+        k = int(rng.integers(0, 30))
+        rows.append(
+            (i, " ".join(rng.choice(words) for _ in range(k)), "xx")
+        )
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def pack(r):
+        return tuple(
+            struct.pack("d", v) if isinstance(v, float) else v
+            for v in (
+                r["n_tokens"],
+                r["mean_token_len"],
+                r["punct_ratio"],
+                r["stopword_ratio"],
+                r["quality"],
+            )
+        )
+
+    hof = {
+        r["doc_id"]: pack(r)
+        for r in df.select(
+            "doc_id",
+            TX.token_count("text").alias("n_tokens"),
+            TX.mean_token_length("text").alias("mean_token_len"),
+            TX.punct_ratio("text").alias("punct_ratio"),
+            TX.stopword_ratio("text").alias("stopword_ratio"),
+            TX.quality_score("text").alias("quality"),
+        ).collect()
+    }
+    m = TX.quality_from_counts()
+    kern = {
+        r["doc_id"]: pack(r)
+        for r in TX.quality_counts_arrow(df, ["doc_id", "lang"], "text")
+        .select(
+            "doc_id",
+            "n_tokens",
+            m["mean_token_len"].alias("mean_token_len"),
+            m["punct_ratio"].alias("punct_ratio"),
+            m["stopword_ratio"].alias("stopword_ratio"),
+            m["quality"].alias("quality"),
+        )
+        .collect()
+    }
+    assert hof == kern

@@ -58,6 +58,7 @@ SWEEP = [
     "semantic_dedup_scaled",
     "ann_ivf_pq_topk",
     "quality_classifier",
+    "text_quality_arrow",
     "unigram_lm_perplexity",
     "bigram_lm_perplexity",
     "dsir_importance",
