@@ -8437,3 +8437,105 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "doc_id",
     )
+
+
+@register("bpe_vocab_merges", oracle=None)
+def q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer induction (operators/bpe.py): first 20 merges
+    learned over the corpus word-frequency dictionary. Iterative →
+    no SQL oracle (rows-only at the driver gate, like PageRank);
+    correctness is the exact-match differential against the
+    pure-Python Sennrich-shape reference in tests/test_bpe.py plus
+    compositionality/tie-break/overlap edge pins. Corpus-scale work
+    is one map-side-combined token groupBy; every merge round runs
+    on the |vocab|-row symbol table and collects one row."""
+    from etl_covid19_spark.operators.bpe import bpe_merge_table
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_table(spark, d, "text", n_merges=20, min_count=2)
+
+
+@register(
+    "pmi_bigrams",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                 x -> x <> '') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM t, unnest(range(1, len(toks))) r(i)
+    ),
+    cbg AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bg GROUP BY w1, w2),
+    uni AS (SELECT unnest(toks) AS tok FROM t),
+    cuni AS (SELECT tok, COUNT(*) AS cnt FROM uni GROUP BY tok),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+             (SELECT COUNT(*) FROM bg) AS n_bi
+    )
+    SELECT w1, w2, pair_count,
+           (CAST(pair_count AS DOUBLE) / n_bi)
+             / ((CAST(u1.cnt AS DOUBLE) / n_uni)
+                * (CAST(u2.cnt AS DOUBLE) / n_uni)) AS lift
+    FROM cbg
+    JOIN cuni u1 ON cbg.w1 = u1.tok
+    JOIN cuni u2 ON cbg.w2 = u2.tok
+    CROSS JOIN tot
+    WHERE pair_count >= 20
+    ORDER BY lift DESC, w1 ASC, w2 ASC
+    LIMIT 20
+    """,
+)
+def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining: top-20 adjacent-token pairs by
+    pointwise-mutual-information LIFT — P(w1,w2) / (P(w1)·P(w2)) as
+    a pure ratio of exact integer counts (the log-PMI ordering is
+    identical since log is monotone, and skipping the transcendental
+    keeps the score engine-reproducible). Bigrams never cross
+    document borders. Shuffle budget: one |vocab|²-bounded bigram
+    aggregate, one |vocab| unigram aggregate, two equi-joins of the
+    bigram table to unigram counts (AQE broadcasts the count side
+    when it fits), scalars attached via the non-foldable constant
+    key, min-support 20, TakeOrderedAndProject top-20."""
+    d = _t(spark, sf_dir, "documents")
+    toks = text.tokens("text")
+    pair_struct = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.element_at(toks, i).alias("w1"),
+            F.element_at(toks, i + 1).alias("w2"),
+        ),
+    )
+    pairs_arr = F.when(F.size(toks) >= 2, pair_struct).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+    bg = d.select(F.explode(pairs_arr).alias("p")).select("p.w1", "p.w2")
+    cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
+    uni = d.select(F.explode(toks).alias("tok"))
+    cuni = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    totals = agg.attach_scalar(
+        uni.agg(F.count(F.lit(1)).alias("n_uni")),
+        bg.agg(F.count(F.lit(1)).alias("n_bi")),
+    )
+    u1 = cuni.select(
+        F.col("tok").alias("w1"), F.col("cnt").alias("cnt1")
+    )
+    u2 = cuni.select(
+        F.col("tok").alias("w2"), F.col("cnt").alias("cnt2")
+    )
+    scored = agg.attach_scalar(
+        cbg.join(u1, "w1").join(u2, "w2"), totals
+    ).withColumn(
+        "lift",
+        (F.col("pair_count").cast("double") / F.col("n_bi"))
+        / (
+            (F.col("cnt1").cast("double") / F.col("n_uni"))
+            * (F.col("cnt2").cast("double") / F.col("n_uni"))
+        ),
+    )
+    return agg.top_k(
+        scored.filter(F.col("pair_count") >= 20),
+        [F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()],
+        20,
+    ).select("w1", "w2", "pair_count", "lift")

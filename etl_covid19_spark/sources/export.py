@@ -1,0 +1,132 @@
+"""Training-data export: deterministic sharded JSONL with a
+verification manifest.
+
+The hand-off format most training stacks ingest (one JSON object
+per line, fixed shard count, a manifest the loader checks before
+streaming). Extension surface beyond the reference (SURVEY.md §7.2
+step 9) — its S2 sink lands raw JSON into a zone
+(``dags/ETL_covid19_pandas.py:49-51``); this is the outbound twin.
+
+Design for 100 TB:
+- shard assignment is pmod(xxhash64(id), n_shards) — deterministic
+  (re-exports are bit-identical, failed exports re-run safely) and
+  key-uniform, so shards stay balanced without a global sort;
+- the write is ONE repartition-by-shard pass; maxRecordsPerFile
+  caps file sizes within a shard;
+- the manifest aggregates per-shard row counts, token counts, and
+  an ORDER-INVARIANT content checksum (bit_xor of per-row
+  xxhash64 of the canonical JSON) in the same pass shape — n_shards
+  rows to the driver, a bounded model parameter;
+- verification re-aggregates the written files and compares
+  manifests — the reader's pre-flight check.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MANIFEST_NAME = "manifest.json"
+
+
+def _with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+    )
+
+
+def _shard_stats(sharded: DataFrame, text_col: str | None) -> DataFrame:
+    """Per-shard (rows, tokens, checksum). The checksum hashes the
+    canonical JSON of the full row (sorted struct fields) and
+    bit_xor-combines — order-invariant, so any task/partition
+    ordering of the same rows verifies equal."""
+    data_cols = sorted(c for c in sharded.columns if c != "shard")
+    row_json = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    aggs = [
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(F.xxhash64(row_json)).alias("checksum"),
+    ]
+    if text_col is not None:
+        from etl_covid19_spark.functions import text as TX
+
+        aggs.insert(
+            1,
+            F.sum(TX.token_count(text_col).cast("bigint")).alias("tokens"),
+        )
+    return sharded.groupBy("shard").agg(*aggs)
+
+
+def export_jsonl_shards(
+    df: DataFrame,
+    out_dir: str,
+    id_col: str,
+    text_col: str | None = None,
+    n_shards: int = 8,
+    max_records_per_file: int | None = None,
+) -> dict:
+    """Write ``df`` as ``out_dir/shard=N/*.json`` plus a manifest;
+    returns the manifest dict. One repartition(shard) pass; the
+    stats aggregate shares the shard key so both shuffles hash the
+    same way."""
+    sharded = _with_shard(df, id_col, n_shards)
+    writer = (
+        sharded.repartition(n_shards, F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.json(out_dir)
+
+    stats = {
+        int(r["shard"]): {
+            k: int(r[k]) for k in r.asDict() if k != "shard"
+        }
+        for r in _shard_stats(sharded, text_col).collect()
+    }
+    manifest = {
+        "format": "jsonl-shards-v1",
+        "n_shards": n_shards,
+        "id_col": id_col,
+        "text_col": text_col,
+        "columns": sorted(c for c in df.columns),
+        "total_rows": sum(s["rows"] for s in stats.values()),
+        "shards": {str(k): stats[k] for k in sorted(stats)},
+    }
+    with open(os.path.join(out_dir, MANIFEST_NAME), "w") as f:
+        json.dump(manifest, f, indent=2, sort_keys=True)
+    return manifest
+
+
+def verify_jsonl_shards(spark: SparkSession, out_dir: str) -> dict:
+    """Re-aggregate the written shards and compare against the
+    manifest. Raises ValueError on any mismatch; returns the
+    verified manifest. The checksum catches content corruption that
+    row counts miss."""
+    with open(os.path.join(out_dir, MANIFEST_NAME)) as f:
+        manifest = json.load(f)
+    df = spark.read.option("basePath", out_dir).json(
+        os.path.join(out_dir, "shard=*")
+    )
+    got = {
+        int(r["shard"]): {
+            k: int(r[k]) for k in r.asDict() if k != "shard"
+        }
+        for r in _shard_stats(df, manifest["text_col"]).collect()
+    }
+    want = {int(k): v for k, v in manifest["shards"].items()}
+    if got != want:
+        bad = sorted(
+            k
+            for k in set(got) | set(want)
+            if got.get(k) != want.get(k)
+        )
+        raise ValueError(
+            f"shard verification failed for shards {bad}: "
+            f"manifest={ {k: want.get(k) for k in bad} } "
+            f"actual={ {k: got.get(k) for k in bad} }"
+        )
+    return manifest
