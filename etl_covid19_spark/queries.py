@@ -1155,7 +1155,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64) -> str:
+def _lsh_ann_oracle(
+    n_planes: int = 6,
+    dim: int = 64,
+    query_pred: str = "q.vec_id < 8",
+    k: int = 10,
+) -> str:
     """GENERATED oracle for ann_lsh_topk: the hyperplanes are
     deterministic LCG constants, so they embed as SQL literals and
     DuckDB reproduces signature, bucketing, and ranking exactly
@@ -1194,7 +1199,7 @@ def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64) -> str:
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cosine
       FROM s q JOIN s c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-      WHERE q.vec_id < 8
+      WHERE {query_pred}
     )
     SELECT query_id, neighbor_id, rank, cosine
     FROM (SELECT query_id, neighbor_id,
@@ -1202,7 +1207,7 @@ def _lsh_ann_oracle(n_planes: int = 6, dim: int = 64) -> str:
                       ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
                  cosine
           FROM scored)
-    WHERE rank <= 10
+    WHERE rank <= {k}
     """
 
 
@@ -5856,9 +5861,8 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "bm25_search",
-    oracle="""
+# shared with hybrid_retrieval_rrf's oracle (the kw side)
+_BM25_ORACLE = """
     WITH tok AS (
       SELECT doc_id,
              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -5895,8 +5899,10 @@ def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_terms_matched
     FROM scored GROUP BY doc_id
     ORDER BY score DESC, doc_id ASC LIMIT 20
-    """,
-)
+    """
+
+
+@register("bm25_search", oracle=_BM25_ORACLE)
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 keyword search over the documents corpus: inverted-index
     postings (one hash aggregate), term document frequencies, and a
@@ -8539,3 +8545,144 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("lift").desc(), F.col("w1").asc(), F.col("w2").asc()],
         20,
     ).select("w1", "w2", "pair_count", "lift")
+
+
+@register(
+    "training_shuffle",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+             (((doc_id + 7919) % 2147483648) * 2654435761) % 4294967296
+               AS shuffle_key
+      FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % 16 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY shuffle_key % 16
+             ORDER BY shuffle_key, doc_id
+           ) AS BIGINT) AS position
+    FROM h
+    ORDER BY shard, position
+    """,
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded global shuffle for training export: every
+    document gets a pseudo-random shuffle key (the `dataset_split`
+    Knuth hash with the epoch seed folded into the id BEFORE the
+    mod-2^31 reduce, so a new seed permutes everything), a shard
+    assignment, and a position within its shard. Reruns and engines
+    agree bit-for-bit — the property `ORDER BY rand()` lacks, and the
+    reason interrupted exports can resume. No GLOBAL sort at scale:
+    the plan is one hash shuffle on the shard key plus a per-shard
+    local sort (the window partitions by shard). Shard count is
+    chosen so one shard ≈ one loader file (sf registry pins 16;
+    at 100 TB you'd size n_shards = bytes / ~250 MB, keeping each
+    window partition a single spill-friendly task)."""
+    seed = 7919  # epoch seed; re-export with a new prime → new order
+    docs = _t(spark, sf_dir, "documents")
+    key = (
+        ((F.col("doc_id") + F.lit(seed)) % F.lit(2147483648))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    n_shards = 16
+    w = Window.partitionBy(F.col("shuffle_key") % n_shards).orderBy(
+        "shuffle_key", "doc_id"
+    )
+    return (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .select(
+            "doc_id",
+            "shuffle_key",
+            (F.col("shuffle_key") % n_shards).cast("bigint").alias("shard"),
+            F.row_number().over(w).cast("bigint").alias("position"),
+        )
+        .orderBy("shard", "position")
+    )
+
+
+def _hybrid_rrf_oracle() -> str:
+    """GENERATED oracle for hybrid_retrieval_rrf: the kw side is the
+    shared BM25 SQL (rank = dense order over its rounded scores), the
+    vector side is the generated LSH SQL pinned to query vector 0 and
+    k=20, fused with reciprocal-rank weights 1/(60+rank)."""
+    kw = _BM25_ORACLE.strip().rstrip()
+    vec = _lsh_ann_oracle(
+        n_planes=6, dim=64, query_pred="q.vec_id = 0", k=20
+    ).strip()
+    return f"""
+    WITH kw AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                  AS INT) AS kw_rank
+      FROM ({kw})
+    ),
+    vec AS (
+      SELECT neighbor_id AS doc_id, rank AS vec_rank
+      FROM ({vec})
+    ),
+    fused AS (
+      SELECT COALESCE(kw.doc_id, vec.doc_id) AS doc_id, kw_rank, vec_rank,
+             round(COALESCE(CAST(1.0 AS DOUBLE) / (60 + kw_rank), 0.0)
+                   + COALESCE(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0.0),
+                   6) AS rrf_score
+      FROM kw FULL OUTER JOIN vec ON kw.doc_id = vec.doc_id
+    )
+    SELECT doc_id, kw_rank, vec_rank, rrf_score
+    FROM fused ORDER BY rrf_score DESC, doc_id ASC LIMIT 20
+    """
+
+
+@register("hybrid_retrieval_rrf", oracle=_hybrid_rrf_oracle())
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse BM25 keyword ranks with ANN vector
+    ranks by reciprocal-rank fusion (Cormack, Clarke & Buettcher
+    2009 — score = Σ 1/(60+rank), the standard rank-level combiner
+    that needs NO score calibration between the two retrievers).
+    The keyword side is the bm25_search top-20 (inverted-index
+    postings, broadcast-pruned to the query terms); the vector side
+    is the LSH-bucketed ANN top-20 for query vector 0 (the SCALE
+    path — bucket equi-join, never corpus²). Both lists are ≤k rows,
+    so the fusion join is a broadcast of bounded model-sized frames
+    no matter the corpus size; ranks are deterministic on both
+    engines (rounded scores, id tie-breaks), which is what makes an
+    approximate two-retriever pipeline oracle-checkable at all."""
+    from etl_covid19_spark.operators.search import bm25_topk
+    from etl_covid19_spark.operators.similarity import lsh_bucket_ann
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kw = bm25_topk(docs, ["vector", "stream", "window", "join"], k=20)
+    kw_ranked = kw.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .alias("kw_rank"),
+    )
+    vec = lsh_bucket_ann(
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        "embedding",
+        "vec_id",
+        k=20,
+        n_planes=6,
+        dim=64,
+    ).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = kw_ranked.join(vec, "doc_id", "full_outer").select(
+        "doc_id",
+        "kw_rank",
+        "vec_rank",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("kw_rank")), F.lit(0.0))
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0)
+            ),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
+        20
+    )
