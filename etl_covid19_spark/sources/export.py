@@ -32,9 +32,23 @@ from pyspark.sql import functions as F
 MANIFEST_NAME = "manifest.json"
 
 
-def _with_shard(df: DataFrame, id_col: str, n_shards: int) -> DataFrame:
-    return df.withColumn(
-        "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+def _with_shard(
+    df: DataFrame, id_col: str, n_shards: int, shuffle_seed: int | None
+) -> DataFrame:
+    """Attach the shard id — content-hashed (seed None), or derived
+    from the seeded Knuth permutation (`training_shuffle`'s exact
+    arithmetic) so shard AND within-shard order come from one
+    epoch-keyed pseudo-random permutation."""
+    if shuffle_seed is None:
+        return df.withColumn(
+            "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+        )
+    key = (
+        ((F.col(id_col) + F.lit(shuffle_seed)) % F.lit(2147483648))
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    return df.withColumn("_shuffle_key", key).withColumn(
+        "shard", (F.col("_shuffle_key") % n_shards).cast("bigint")
     )
 
 
@@ -43,7 +57,9 @@ def _shard_stats(sharded: DataFrame, text_col: str | None) -> DataFrame:
     canonical JSON of the full row (sorted struct fields) and
     bit_xor-combines — order-invariant, so any task/partition
     ordering of the same rows verifies equal."""
-    data_cols = sorted(c for c in sharded.columns if c != "shard")
+    data_cols = sorted(
+        c for c in sharded.columns if c not in ("shard", "_shuffle_key")
+    )
     row_json = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
     aggs = [
         F.count(F.lit(1)).alias("rows"),
@@ -66,17 +82,24 @@ def export_jsonl_shards(
     text_col: str | None = None,
     n_shards: int = 8,
     max_records_per_file: int | None = None,
+    shuffle_seed: int | None = None,
 ) -> dict:
     """Write ``df`` as ``out_dir/shard=N/*.json`` plus a manifest;
     returns the manifest dict. One repartition(shard) pass; the
     stats aggregate shares the shard key so both shuffles hash the
-    same way."""
-    sharded = _with_shard(df, id_col, n_shards)
-    writer = (
-        sharded.repartition(n_shards, F.col("shard"))
-        .write.mode("overwrite")
-        .partitionBy("shard")
-    )
+    same way. With ``shuffle_seed`` the export is training-ready:
+    shard assignment AND within-shard row order follow the seeded
+    Knuth permutation (one local sort per shard on top of the same
+    single shuffle — never a global sort), so a loader streaming
+    shard files in order replays exactly ``training_shuffle``'s
+    epoch order."""
+    sharded = _with_shard(df, id_col, n_shards, shuffle_seed)
+    writable = sharded.repartition(n_shards, F.col("shard"))
+    if shuffle_seed is not None:
+        writable = writable.sortWithinPartitions(
+            "shard", "_shuffle_key", id_col
+        ).drop("_shuffle_key")
+    writer = writable.write.mode("overwrite").partitionBy("shard")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.json(out_dir)

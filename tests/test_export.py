@@ -99,3 +99,37 @@ def test_verify_detects_content_edit(spark, docs, tmp_path):
         os.remove(crc)
     with pytest.raises(ValueError, match="shard verification failed"):
         verify_jsonl_shards(spark, out)
+
+
+def test_export_shuffle_seed_orders_shards(spark, docs, tmp_path):
+    """With shuffle_seed, within-shard file order replays the
+    training_shuffle permutation exactly (what a sequential loader
+    will feed the model)."""
+    import glob
+
+    seed, n = 7919, 4
+    out = str(tmp_path / "shuf")
+    m = export_jsonl_shards(
+        docs, out, id_col="doc_id", n_shards=n, shuffle_seed=seed
+    )
+    assert m["total_rows"] == docs.count()
+    verify_jsonl_shards(spark, out)
+
+    def key(doc_id):
+        return ((doc_id + seed) % 2**31) * 2654435761 % 2**32
+
+    for shard in range(n):
+        got = []
+        for f in sorted(glob.glob(f"{out}/shard={shard}/*.json")):
+            for line in open(f).read().splitlines():
+                got.append(json.loads(line)["doc_id"])
+        assert got, f"shard {shard} empty"
+        assert all(key(d) % n == shard for d in got)
+        assert got == sorted(got, key=lambda d: (key(d), d))
+
+    # a different seed produces a different permutation
+    out2 = str(tmp_path / "shuf2")
+    m2 = export_jsonl_shards(
+        docs, out2, id_col="doc_id", n_shards=n, shuffle_seed=104729
+    )
+    assert m2["shards"] != m["shards"]
