@@ -8686,3 +8686,109 @@ def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id").asc()).limit(
         20
     )
+
+
+def _binary_sig_ctes(band_bits: int) -> str:
+    """Shared CTE prefix for the binary-quantization family:
+    per-vector banded sign-bit signatures (``band_bits`` bits per
+    band, MSB-first inside the band) as exact BIGINTs."""
+    return f"""
+    e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    bits AS (
+      SELECT vec_id,
+             CAST((r.i - 1) // {band_bits} AS INT) AS band_idx,
+             CASE WHEN v[r.i] > 0
+                  THEN (CAST(1 AS BIGINT)
+                        << ({band_bits - 1} - ((r.i - 1) % {band_bits})))
+                  ELSE 0 END AS bit
+      FROM e, unnest(range(1, len(v) + 1)) r(i)
+    ),
+    sig AS (
+      SELECT vec_id, band_idx, CAST(SUM(bit) AS BIGINT) AS val
+      FROM bits GROUP BY vec_id, band_idx
+    )
+"""
+
+
+@register(
+    "embedding_binarize",
+    oracle=f"""
+    WITH {_binary_sig_ctes(16)}
+    SELECT vec_id,
+           MAX(CASE WHEN band_idx = 0 THEN val END) AS sig0,
+           MAX(CASE WHEN band_idx = 1 THEN val END) AS sig1,
+           MAX(CASE WHEN band_idx = 2 THEN val END) AS sig2,
+           MAX(CASE WHEN band_idx = 3 THEN val END) AS sig3
+    FROM sig GROUP BY vec_id ORDER BY vec_id
+    """,
+)
+def q_embedding_binarize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-bit embedding quantization: pack the sign bit of each of
+    the 64 dimensions into four 16-bit band integers — a 256-byte
+    float vector becomes 32 bytes, and angular similarity becomes
+    integer Hamming distance (the storage/recall trade below int8;
+    `embedding_quantize_int8` is the 8-bit sibling). Map-only scan,
+    integer-exact on both engines."""
+    from etl_covid19_spark.operators.similarity import (
+        binary_signature_bands,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sigs = binary_signature_bands("embedding", dim=64, band_bits=16)
+    return emb.select(
+        "vec_id",
+        *[s.alias(f"sig{i}") for i, s in enumerate(sigs)],
+    ).orderBy("vec_id")
+
+
+@register(
+    "ann_hamming_topk",
+    oracle=f"""
+    WITH {_binary_sig_ctes(8)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sig q
+      JOIN sig c ON q.band_idx = c.band_idx AND q.val = c.val
+      WHERE q.vec_id < 8 AND q.vec_id <> c.vec_id
+    ),
+    ham AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST(SUM(bit_count(xor(a.val, b.val))) AS INT) AS hamming
+      FROM cand
+      JOIN sig a ON a.vec_id = cand.query_id
+      JOIN sig b ON b.vec_id = cand.neighbor_id
+                AND b.band_idx = a.band_idx
+      GROUP BY cand.query_id, cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, hamming
+    FROM (SELECT query_id, neighbor_id, hamming,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY hamming ASC, neighbor_id ASC) AS INT) AS rank
+          FROM ham)
+    WHERE rank <= 10
+    """,
+)
+def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-space ANN over the 1-bit codes: pigeonhole band
+    blocking (share ≥1 of eight 8-bit bands — any vector within
+    Hamming 7 of a query is GUARANTEED a candidate) generates them
+    via a (band_idx, band_val) equi-join, exact integer Hamming
+    re-ranks, window top-10 per query. Everything is int64
+    arithmetic — approximate retrieval with an EXACT oracle. The
+    simhash-dedup blocking shape applied to retrieval; join degree
+    = band-bucket size, corpus² never materializes."""
+    from etl_covid19_spark.operators.similarity import hamming_banded_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return hamming_banded_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        "embedding",
+        "vec_id",
+        k=10,
+        dim=64,
+        band_bits=8,
+    )

@@ -447,3 +447,64 @@ def test_quantized_ann_preserves_neighbor_ranking(spark):
         ap.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(ex[k] & ap.get(k, set())) / 10 for k in ex]
     assert sum(recalls) / len(recalls) >= 0.8
+
+
+def test_binary_signature_matches_python(spark):
+    """Banded sign-bit packing is exactly the MSB-first fold the
+    oracle SQL re-derives."""
+    import random
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(64)]) for i in range(6)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    sigs = similarity.binary_signature_bands("embedding", 64, 16)
+    got = {
+        r["vec_id"]: [r[f"sig{i}"] for i in range(4)]
+        for r in df.select(
+            "vec_id", *[s.alias(f"sig{i}") for i, s in enumerate(sigs)]
+        ).collect()
+    }
+    import struct
+
+    for vid, v in vecs:
+        v32 = [struct.unpack("f", struct.pack("f", x))[0] for x in v]
+        want = [
+            sum(
+                (1 << (15 - j)) if v32[b * 16 + j] > 0 else 0
+                for j in range(16)
+            )
+            for b in range(4)
+        ]
+        assert got[vid] == want, vid
+
+
+def test_hamming_pigeonhole_guarantee(spark):
+    """A neighbor within Hamming distance n_bands-1 of the query
+    MUST be a candidate (pigeonhole: <n_bands flipped bits can't
+    touch every band), and exact integer Hamming ranks it."""
+    base = [1.0] * 64
+    near = list(base)
+    for i in (3, 20, 45):  # 3 flipped sign bits, 8 bands of 8 bits
+        near[i] = -1.0
+    far = [(-1.0) ** i for i in range(64)]  # hamming 32 from base
+    rows = [(0, base), (1, near), (2, far)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.hamming_banded_topk(
+        df,
+        df.filter(F.col("vec_id") == 0),
+        "embedding",
+        "vec_id",
+        k=5,
+        dim=64,
+        band_bits=8,
+    ).collect()
+    by_neighbor = {r["neighbor_id"]: r for r in out}
+    assert 1 in by_neighbor  # guaranteed candidate
+    assert by_neighbor[1]["hamming"] == 3
+    assert by_neighbor[1]["rank"] == 1
+    # 'far' shares bands with neither (alternating signs) unless by
+    # chance; if present its hamming must be exactly 32
+    if 2 in by_neighbor:
+        assert by_neighbor[2]["hamming"] == 32

@@ -34,6 +34,10 @@ SWEEP = [
     "embedding_near_dup",
     "ann_lsh_topk",
     "ann_ivf_topk",
+    "ann_hamming_topk",
+    "embedding_binarize",
+    "training_shuffle",
+    "pmi_bigrams",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
@@ -99,7 +103,10 @@ SWEEP = [
 # excluded by design. window_dist_scaled and
 # equidepth_histogram_sketch broadcast a ONE-ROW model frame (cut
 # array / third-highest value) the same way — constant work,
-# excluded for the same reason.
+# excluded for the same reason. hybrid_retrieval_rrf inherits
+# bm25_search's one-row corpus-stats broadcast (its kw side), so it
+# is excluded with it; its vector side (ann_lsh_topk machinery) and
+# fusion join are equi-joins covered by the swept entries.
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
