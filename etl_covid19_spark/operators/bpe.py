@@ -145,3 +145,44 @@ def bpe_merge_table(
             "freq",
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(merges, MERGE_SCHEMA)
+
+
+def apply_merges(syms: Column, merges: list[tuple]) -> Column:
+    """Encode: replay the learned merge table in rank order — each
+    rank is one greedy left-to-right fold, exactly the transform
+    training applied, so encode states match training states. The
+    merge table is a bounded model parameter (≤ vocab growth, tens
+    to ~50k rows in practice); it ships into the plan as literals,
+    the classic broadcast-model pattern."""
+    out = syms
+    for m in merges:
+        out = _apply_merge(out, m[1], m[2])
+    return out
+
+
+def encode_stats(
+    df: DataFrame, text_col: str, merges: list[tuple]
+) -> DataFrame:
+    """Per-document BPE tokenization stats: token count after
+    applying the merge table, characters-per-token compression.
+    Map-only over the corpus (the merge folds are per-word; no
+    shuffle at all)."""
+    words = text.tokens(text_col)
+    per_word = F.transform(
+        words, lambda w: F.size(apply_merges(_symbols(w), merges))
+    )
+    n_tokens = F.aggregate(
+        per_word, F.lit(0), lambda acc, n: acc + n
+    )
+    return df.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
+        n_tokens.cast("bigint").alias("n_bpe_tokens"),
+    ).withColumn(
+        "chars_per_token",
+        F.round(
+            F.col("n_chars")
+            / F.greatest(F.col("n_bpe_tokens"), F.lit(1)),
+            6,
+        ),
+    )

@@ -8792,3 +8792,28 @@ def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=64,
         band_bits=8,
     )
+
+
+@register("bpe_encode_stats", oracle=None)
+def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION: train the 20-merge table (bounded
+    model parameter, collected once), then re-encode the corpus with
+    it and report per-document token counts and chars-per-token
+    compression. Map-only corpus pass — the merge folds run
+    per-word inside a transform, no shuffle. Iterative training
+    upstream → rows-only at the driver gate; correctness is the
+    exact-match differential against the pure-Python encoder in
+    tests/test_bpe.py."""
+    from etl_covid19_spark.operators.bpe import (
+        bpe_merge_table,
+        encode_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        tuple(r)
+        for r in bpe_merge_table(
+            spark, d, "text", n_merges=20, min_count=2
+        ).collect()
+    ]
+    return encode_stats(d, "text", merges).orderBy("doc_id")

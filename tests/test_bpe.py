@@ -114,3 +114,46 @@ def test_bpe_registry_entry(spark):
     # merges can expose bigger pairs), but every count respects
     # min_count
     assert all(r["pair_count"] >= 2 for r in rows)
+
+
+def py_encode(word: str, merges) -> int:
+    syms = list(word) + [END_OF_WORD]
+    for _, left, right, _, _ in merges:
+        out = []
+        for s in syms:
+            if out and out[-1] == left and s == right:
+                out[-1] = left + right
+            else:
+                out.append(s)
+        syms = out
+    return len(syms)
+
+
+def test_bpe_encode_matches_python(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    merges = _py_merges_from(spark, docs, 12, 2)
+    from etl_covid19_spark.operators.bpe import encode_stats
+
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_bpe_tokens"])
+        for r in encode_stats(docs, "text", merges).collect()
+    }
+    rows = docs.select("doc_id", "text").collect()
+    assert len(got) == len(rows)
+    for r in rows:
+        toks = [w for w in r["text"].strip().split() if w]
+        want = sum(py_encode(w, merges) for w in toks)
+        assert got[r["doc_id"]][1] == want, r["doc_id"]
+        assert got[r["doc_id"]][0] == len(r["text"])
+
+
+def test_bpe_encode_registry_entry(spark):
+    from etl_covid19_spark.queries import REGISTRY
+
+    out = REGISTRY["bpe_encode_stats"].fn(spark, SF)
+    rows = out.limit(50).collect()
+    assert rows
+    for r in rows:
+        assert r["n_bpe_tokens"] >= 1
+        # merges only ever shrink the character tokenization
+        assert r["n_bpe_tokens"] <= r["n_chars"] + 200
