@@ -8499,26 +8499,37 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure ratio of exact integer counts (the log-PMI ordering is
     identical since log is monotone, and skipping the transcendental
     keeps the score engine-reproducible). Bigrams never cross
-    document borders. Shuffle budget: one |vocab|²-bounded bigram
+    document borders. ONE tokenization pass: reads the pooled
+    (doc, pos, token) frame shared with the LM-perplexity family
+    (the per-branch HOF re-tokenization measured 68 s warm at sf1;
+    this shape is ~4 s), bigrams via a lag window over it. Shuffle
+    budget: the (doc, pos) sort, one |vocab|²-bounded bigram
     aggregate, one |vocab| unigram aggregate, two equi-joins of the
     bigram table to unigram counts (AQE broadcasts the count side
     when it fits), scalars attached via the non-foldable constant
     key, min-support 20, TakeOrderedAndProject top-20."""
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    toks = text.tokens("text")
-    pair_struct = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.element_at(toks, i).alias("w1"),
-            F.element_at(toks, i + 1).alias("w2"),
+    key = ("lm_positions", corpus_key(d), "text", "doc_id")
+    pos_frame = SHARED_CACHE.get_or_build(
+        key,
+        lambda: d.select(
+            F.col("doc_id").alias("_doc"),
+            F.posexplode(text.tokens("text")).alias("pos", "token"),
         ),
     )
-    pairs_arr = F.when(F.size(toks) >= 2, pair_struct).otherwise(
-        F.array().cast("array<struct<w1:string,w2:string>>")
+    wspec = Window.partitionBy("_doc").orderBy("pos")
+    bg = (
+        pos_frame.withColumn("w1", F.lag("token").over(wspec))
+        .where(F.col("w1").isNotNull())
+        .select("w1", F.col("token").alias("w2"))
     )
-    bg = d.select(F.explode(pairs_arr).alias("p")).select("p.w1", "p.w2")
     cbg = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("pair_count"))
-    uni = d.select(F.explode(toks).alias("tok"))
+    uni = pos_frame.select(F.col("token").alias("tok"))
     cuni = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
     totals = agg.attach_scalar(
         uni.agg(F.count(F.lit(1)).alias("n_uni")),
