@@ -231,6 +231,38 @@ COMMENTARY = {
         "sort anywhere — the exact ntile twin keeps one for the "
         "tiny-SF cross-check."
     ),
+    "training_shuffle": (
+        "Deterministic training shuffle (round 3): the Knuth "
+        "permutation key is a map-side Project over the scan; ONE "
+        "hash exchange on the shard key feeds per-shard window "
+        "sorts (max sorted run = shard size, chosen ≈ one loader "
+        "file). No global sort, no rand() — rerun-identical."
+    ),
+    "pmi_bigrams": (
+        "PMI collocations (round 3): one InMemoryTableScan of the "
+        "pooled (doc, pos, token) frame serves the unigram "
+        "aggregate, the lag-window bigram derivation, and both "
+        "total counts — the corpus is tokenized exactly once "
+        "(the per-branch re-tokenization measured 68 s warm at "
+        "sf1; this plan is ~2 s). Count joins are AQE-broadcast; "
+        "top-20 is TakeOrderedAndProject."
+    ),
+    "ann_hamming_topk": (
+        "Hamming ANN (round 3): banded sign-bit signatures are a "
+        "Project over the scan; candidates come from a broadcast "
+        "(band_idx, band_val) equi-join against the 8-query band "
+        "list, then exact integer Hamming re-ranks inside a "
+        "per-query window. All arithmetic is int64 — the plan has "
+        "no NLJ and no floating point at all."
+    ),
+    "hybrid_retrieval_rrf": (
+        "Hybrid retrieval fusion (round 3): both retriever legs end "
+        "in TakeOrderedAndProject top-20s, so the fusion full-outer "
+        "join and RRF scoring run over two ≤k-row frames — bounded "
+        "model-sized work regardless of corpus scale. The kw leg "
+        "carries bm25's one-row corpus-stats broadcast (constant "
+        "work); the vector leg is the LSH bucket equi-join."
+    ),
 }
 
 
