@@ -8600,15 +8600,15 @@ def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(F.col("shuffle_key") % n_shards).orderBy(
         "shuffle_key", "doc_id"
     )
-    return (
-        docs.select("doc_id", key.alias("shuffle_key"))
-        .select(
-            "doc_id",
-            "shuffle_key",
-            (F.col("shuffle_key") % n_shards).cast("bigint").alias("shard"),
-            F.row_number().over(w).cast("bigint").alias("position"),
-        )
-        .orderBy("shard", "position")
+    # no presentation orderBy: it would append a rangepartition +
+    # global Sort over the FULL corpus output (plan-checked); the
+    # driver compare is order-insensitive and the export path orders
+    # by sortWithinPartitions
+    return docs.select("doc_id", key.alias("shuffle_key")).select(
+        "doc_id",
+        "shuffle_key",
+        (F.col("shuffle_key") % n_shards).cast("bigint").alias("shard"),
+        F.row_number().over(w).cast("bigint").alias("position"),
     )
 
 
