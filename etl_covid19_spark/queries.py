@@ -8828,3 +8828,131 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     ]
     return encode_stats(d, "text", merges).orderBy("doc_id")
+
+
+def _negative_sampling_oracle(n_queries: int = 8, k: int = 5) -> str:
+    """GENERATED oracle for negative_sampling: reuses the LSH plane
+    literals so DuckDB reproduces the bucket-mate exclusion set, the
+    Knuth sampling hash, and the per-query rank exactly."""
+    from etl_covid19_spark.operators.similarity import make_planes
+
+    planes = make_planes(64, 6)
+
+    def dot_plane(vcol: str, plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform(list_zip({vcol}, "
+            f"[{lits}]), p -> struct_extract(p, 1) * struct_extract(p, 2))), "
+            f"(x, y) -> x + y)"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN {dot_plane('v', planes[i])} > 0 "
+        f"THEN {1 << (6 - 1 - i)} ELSE 0 END)"
+        for i in range(6)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    s AS (SELECT vec_id, {sig} AS bucket FROM e),
+    fanout AS (
+      SELECT c.vec_id AS cand_id, q.query_id
+      FROM s c CROSS JOIN (
+        SELECT unnest(range(0, {n_queries})) AS query_id
+      ) q
+      WHERE c.vec_id <> q.query_id
+    ),
+    excluded AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+      FROM s q JOIN s c ON q.bucket = c.bucket
+      WHERE q.vec_id < {n_queries}
+    ),
+    pool AS (
+      SELECT f.query_id, f.cand_id,
+             ((((f.cand_id % 2147483648) * 31 + f.query_id) % 2147483648)
+              * 2654435761) % 4294967296 AS h
+      FROM fanout f
+      LEFT JOIN excluded x
+        ON f.query_id = x.query_id AND f.cand_id = x.cand_id
+      WHERE x.cand_id IS NULL
+    )
+    SELECT query_id, negative_id, sample_rank
+    FROM (SELECT query_id, cand_id AS negative_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY h ASC, cand_id ASC) AS INT) AS sample_rank
+          FROM pool)
+    WHERE sample_rank <= {k}
+    """
+
+
+@register("negative_sampling", oracle=_negative_sampling_oracle())
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training:
+    for each query vector, pick k pseudo-random negatives from the
+    corpus EXCLUDING its approximate neighbors (hyperplane-LSH
+    bucket mates — sampling a near-duplicate as a 'negative'
+    poisons the loss, the failure hard-negative pipelines guard
+    against). The fan-out is a map-side explode of the bounded
+    query-id list over the corpus scan (no join), the exclusion is
+    a left-anti equi-join on the signature bucket pairs, and the
+    'random' choice is the Knuth hash of (candidate, query) — so
+    sampling is rerun- and engine-identical, which is what makes a
+    SAMPLING operator oracle-checkable at all. Shuffle budget: the
+    anti-join on (query_id, cand_id) plus one per-query window."""
+    from etl_covid19_spark.operators.similarity import (
+        hyperplane_signature,
+        make_planes,
+    )
+
+    n_queries, k = 8, 5
+    emb = _t(spark, sf_dir, "embeddings")
+    planes = make_planes(64, 6)
+    sigs = emb.select(
+        "vec_id", hyperplane_signature("embedding", planes).alias("bucket")
+    )
+    fanout = (
+        sigs.select("vec_id")
+        .select(
+            F.col("vec_id").alias("cand_id"),
+            F.explode(
+                F.array(*[F.lit(i) for i in range(n_queries)])
+            ).alias("query_id"),
+        )
+        .where(F.col("cand_id") != F.col("query_id"))
+    )
+    excluded = (
+        F.broadcast(
+            sigs.where(F.col("vec_id") < n_queries).select(
+                F.col("vec_id").alias("query_id"),
+                F.col("bucket"),
+            )
+        )
+        .join(
+            sigs.select(F.col("vec_id").alias("cand_id"), "bucket"),
+            "bucket",
+        )
+        .select("query_id", "cand_id")
+    )
+    pool = fanout.join(excluded, ["query_id", "cand_id"], "left_anti")
+    h = (
+        (
+            ((F.col("cand_id") % F.lit(2147483648)) * 31 + F.col("query_id"))
+            % F.lit(2147483648)
+        )
+        * F.lit(2654435761)
+    ) % F.lit(4294967296)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("h").asc(), F.col("cand_id").asc()
+    )
+    return (
+        pool.withColumn("h", h)
+        .withColumn("sample_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("sample_rank") <= k)
+        .select(
+            "query_id",
+            F.col("cand_id").alias("negative_id"),
+            "sample_rank",
+        )
+    )

@@ -38,6 +38,7 @@ SWEEP = [
     "embedding_binarize",
     "training_shuffle",
     "pmi_bigrams",
+    "negative_sampling",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
