@@ -8956,3 +8956,99 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sample_rank",
         )
     )
+
+
+@register(
+    "zipf_fit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                                x -> x <> '')) AS token
+      FROM documents
+    ),
+    cnt AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    top AS (
+      SELECT token, c FROM cnt ORDER BY c DESC, token ASC LIMIT 1000
+    ),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS r
+      FROM top
+    ),
+    xy AS (
+      SELECT round(ln(r), 8) AS x, round(ln(c), 8) AS y FROM ranked
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,8))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,8))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x * x AS DECIMAL(38,8))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x * y AS DECIMAL(38,8))) AS DOUBLE) AS sxy
+      FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n,
+                 6) AS zipf_intercept
+    FROM m
+    """,
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: least-squares slope of
+    ln(freq) ~ ln(rank) over the top-1000 vocabulary — natural
+    corpora sit near slope −1; a synthetic or templated corpus
+    shows up immediately as a flat or kinked fit (the cheap
+    anomaly check for scraped training data). The corpus-scale
+    work is ONE map-side-combined token aggregate (shared with the
+    LM family via the pooled positions frame); the regression runs
+    over the bounded 1000-row top-k. ln values are rounded to 8 dp
+    BEFORE the moment products so both engines accumulate identical
+    decimals — the exact_moments discipline (`aggregates.py:95`)
+    applied to a libm input."""
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    key = ("lm_positions", corpus_key(d), "text", "doc_id")
+    pos_frame = SHARED_CACHE.get_or_build(
+        key,
+        lambda: d.select(
+            F.col("doc_id").alias("_doc"),
+            F.posexplode(text.tokens("text")).alias("pos", "token"),
+        ),
+    )
+    cnt = pos_frame.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    top = agg.top_k(
+        cnt, [F.col("c").desc(), F.col("token").asc()], 1000
+    )
+    ranked = top.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), F.col("token").asc()))
+        .alias("r"),
+    )
+    x = F.round(F.log(F.col("r")), 8)
+    y = F.round(F.log(F.col("c")), 8)
+    dec = "decimal(38,8)"
+    m = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum((F.col("x") * F.col("y")).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
+        ).alias("zipf_intercept"),
+    )

@@ -39,6 +39,7 @@ SWEEP = [
     "training_shuffle",
     "pmi_bigrams",
     "negative_sampling",
+    "zipf_fit",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
