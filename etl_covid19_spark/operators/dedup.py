@@ -958,3 +958,38 @@ def incremental_exact_dedup_bloom(
         )
         .select("canonical_id", "n_copies")
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Broder CONTAINMENT near-dup pairs: |A∩B| / min(|A|,|B|) —
+    the asymmetric cousin of Jaccard that catches a short document
+    fully embedded in a long one (quotes, boilerplate wrappers,
+    chunk/parent pairs), where Jaccard = |A∩B|/|A∪B| stays small
+    because the union is dominated by the long side. Same
+    shingle-postings equi-join and skew profile as
+    `ngram_jaccard_pairs`; the only change is the denominator."""
+    posts = shingle_postings_cached(df, text_col, id_col, n)
+    a, b = posts.alias("a"), posts.alias("b")
+    common = (
+        a.join(b, on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.n_shingles").alias("na"),
+            F.col("b.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        common.withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -9052,3 +9052,46 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("sy") - slope * F.col("sx")) / F.col("n"), 6
         ).alias("zipf_intercept"),
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS sh FROM g),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb,
+             COUNT(*) AS nc
+      FROM p a JOIN p b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b, nc * 1.0 / least(na, nb) AS containment
+    FROM c WHERE nc * 1.0 / least(na, nb) >= 0.8
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs (|A∩B| / min set size ≥ 0.8): the
+    asymmetric dedup metric that catches quotes and boilerplate
+    wrappers — a 50-token doc living verbatim inside a 5000-token
+    doc has Jaccard ≈ 0.01 but containment 1.0, so symmetric dedup
+    never sees it. Reuses the pooled hashed shingle postings (one
+    tokenize/shingle pass shared with the Jaccard/MinHash family);
+    the pair join carries 8-byte keys."""
+    from etl_covid19_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.8
+    )

@@ -508,3 +508,36 @@ def test_hamming_pigeonhole_guarantee(spark):
     # chance; if present its hamming must be exactly 32
     if 2 in by_neighbor:
         assert by_neighbor[2]["hamming"] == 32
+
+
+def test_containment_catches_embedded_quote(spark):
+    """A short doc fully contained in a long one: Jaccard stays tiny
+    (union is dominated by the long side) but containment is 1.0 —
+    the pair symmetric dedup misses by construction."""
+    quote = "the adaptive planner coalesces small partitions into larger buckets"
+    long_doc = (
+        "intro section about storage engines. " * 5
+        + quote
+        + " closing words on compaction strategies. " * 5
+    )
+    rows = [
+        (0, long_doc),
+        (1, quote),
+        (2, "unrelated text about cooking pasta at home tonight"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            df, "text", "doc_id", n=3, threshold=0.8
+        ).collect()
+    }
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] == 1.0
+    # and Jaccard indeed misses it at any useful threshold
+    jac = dedup.ngram_jaccard_pairs(
+        df, "text", "doc_id", n=3, threshold=0.4
+    ).collect()
+    assert not any(
+        {r["doc_a"], r["doc_b"]} == {0, 1} for r in jac
+    )

@@ -40,6 +40,7 @@ SWEEP = [
     "pmi_bigrams",
     "negative_sampling",
     "zipf_fit",
+    "dedup_containment",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
