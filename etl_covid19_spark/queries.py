@@ -9095,3 +9095,63 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.8
     )
+
+
+@register(
+    "readability_scores",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> x <> '')) AS n_words,
+             greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS n_sentences,
+             len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE)
+                           / greatest(n_words, 1)), 6) AS flesch
+    FROM m
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document over integer proxies:
+    words (whitespace tokens), sentences (runs of [.!?], floor 1),
+    syllables (vowel-group runs — the standard heuristic). The
+    text-quality filter family's readability axis; everything is a
+    map-side regexp count, ratios are doubles of identical integers
+    on both engines. Prose scores land ~60-80; token-salad training
+    fixtures score deeply negative — either extreme is a filter
+    signal."""
+    d = _t(spark, sf_dir, "documents")
+    n_words = text.token_count("text")
+    n_sentences = F.greatest(
+        F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")), F.lit(1)
+    )
+    n_syllables = F.size(
+        F.expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")
+    )
+    m = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+    )
+    return m.withColumn(
+        "flesch",
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - F.lit(84.6)
+            * (
+                F.col("n_syllables").cast("double")
+                / F.greatest(F.col("n_words"), F.lit(1))
+            ),
+            6,
+        ),
+    )
