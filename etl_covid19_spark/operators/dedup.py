@@ -993,3 +993,83 @@ def containment_pairs(
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def minhash_lsh_pairs_incremental(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 96,
+    bands: int = 24,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dups of DELTA documents against the existing CORPUS
+    without re-deduping the corpus: the daily-ingest shape — at
+    100 TB you LSH the snapshot once, pool its postings/signatures,
+    and each delta joins band keys against it. Candidates are a
+    corpus×delta band-key equi-join (never corpus² and never
+    delta², unlike rerunning full dedup per day); verification is
+    exact Jaccard on the candidate subset, same discipline as
+    `minhash_lsh_pairs`. Assumes disjoint id spaces (snapshots)."""
+    rows = num_hashes // bands
+    posts_c = shingle_postings_cached(corpus, text_col, id_col, n)
+    posts_d = shingle_postings_cached(delta, text_col, id_col, n)
+
+    band_keys = ", ".join(
+        "xxhash64({}, {})".format(
+            band,
+            ", ".join(f"signature[{band * rows + j}]" for j in range(rows)),
+        )
+        for band in range(bands)
+    )
+
+    def banded(posts: DataFrame) -> DataFrame:
+        return _signatures_from_postings(posts, num_hashes).selectExpr(
+            "doc_id", f"explode(array({band_keys})) AS band_key"
+        )
+
+    cands = (
+        banded(posts_c)
+        .alias("a")
+        .join(
+            banded(posts_d).alias("b"),
+            on=(F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("corpus_doc"),
+            F.col("b.doc_id").alias("delta_doc"),
+        )
+        .dropDuplicates(["corpus_doc", "delta_doc"])
+    )
+    cp = posts_c.join(
+        F.broadcast(cands.select(F.col("corpus_doc").alias("doc_id")).distinct()),
+        on="doc_id",
+        how="left_semi",
+    ).alias("pa")
+    dp = posts_d.join(
+        F.broadcast(cands.select(F.col("delta_doc").alias("doc_id")).distinct()),
+        on="doc_id",
+        how="left_semi",
+    ).alias("pb")
+    common = (
+        cp.join(dp, on="sh")
+        .groupBy(
+            F.col("pa.doc_id").alias("corpus_doc"),
+            F.col("pb.doc_id").alias("delta_doc"),
+            F.col("pa.n_shingles").alias("na"),
+            F.col("pb.n_shingles").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    verified = common.join(
+        F.broadcast(cands), on=["corpus_doc", "delta_doc"], how="left_semi"
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        verified.withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("corpus_doc", "delta_doc", "jaccard")
+    )

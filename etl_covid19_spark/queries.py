@@ -9155,3 +9155,64 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ),
     )
+
+
+@register(
+    "incremental_minhash_dedup",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, text,
+             (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100
+               AS bucket
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id, bucket,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM d
+    ),
+    g AS (
+      SELECT doc_id, bucket,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, bucket, len(grams) AS n, unnest(grams) AS sh FROM g),
+    c AS (
+      SELECT a.doc_id AS corpus_doc, b.doc_id AS delta_doc,
+             a.n AS na, b.n AS nb, COUNT(*) AS nc
+      FROM p a JOIN p b ON a.sh = b.sh
+      WHERE a.bucket < 80 AND b.bucket >= 80
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT corpus_doc, delta_doc, nc * 1.0 / (na + nb - nc) AS jaccard
+    FROM c WHERE nc * 1.0 / (na + nb - nc) >= 0.8
+    """,
+)
+def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-ingest NEAR-dedup: find delta documents (the 'new
+    snapshot' — Knuth bucket ≥ 80, the dataset_split arithmetic)
+    that near-duplicate the EXISTING corpus (bucket < 80) without
+    re-deduping the corpus. Candidates are a corpus×delta MinHash
+    band-key equi-join — at 100 TB the corpus signatures are
+    computed once per snapshot and pooled; each delta pays only its
+    own signatures plus the band join. Recall at J≥0.8 ≈ 1-3e-6,
+    so the exact cross-side Jaccard pair set is the oracle (the
+    `dedup_minhash_lsh` pattern, restricted to cross-snapshot
+    pairs). The exact-hash twin is `incremental_dedup`; this is its
+    NEAR-duplicate counterpart."""
+    from etl_covid19_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    bucket = _split_bucket(F.col("doc_id"))
+    corpus = d.where(bucket < 80)
+    delta = d.where(bucket >= 80)
+    return minhash_lsh_pairs_incremental(
+        corpus, delta, "text", "doc_id",
+        n=3, num_hashes=96, bands=24, threshold=0.8,
+    )

@@ -541,3 +541,26 @@ def test_containment_catches_embedded_quote(spark):
     assert not any(
         {r["doc_a"], r["doc_b"]} == {0, 1} for r in jac
     )
+
+
+def test_incremental_minhash_cross_side_only(spark):
+    """Delta docs match against the corpus; delta-internal and
+    corpus-internal duplicates are NOT re-reported (the corpus was
+    deduped when it was ingested; the delta's internal dups are
+    full-dedup's job at delta scale)."""
+    near = BASE.replace("final", "last")
+    corpus = spark.createDataFrame(
+        [(0, BASE), (1, "totally different words about gardens")],
+        "doc_id long, text string",
+    )
+    delta = spark.createDataFrame(
+        [(100, near), (101, near), (102, "nothing similar here at all")],
+        "doc_id long, text string",
+    )
+    got = dedup.minhash_lsh_pairs_incremental(
+        corpus, delta, "text", "doc_id", threshold=0.5
+    ).collect()
+    pairs = {(r["corpus_doc"], r["delta_doc"]) for r in got}
+    assert (0, 100) in pairs and (0, 101) in pairs
+    # no intra-side pairs by construction
+    assert all(c in (0, 1) and d >= 100 for c, d in pairs)

@@ -41,6 +41,7 @@ SWEEP = [
     "negative_sampling",
     "zipf_fit",
     "dedup_containment",
+    "incremental_minhash_dedup",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
