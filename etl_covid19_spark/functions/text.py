@@ -339,3 +339,50 @@ def quality_from_counts() -> dict[str, Column]:
         "stopword_ratio": stopword_ratio_,
         "quality": quality,
     }
+
+
+def compressibility_arrow(df, keep_cols: list[str], text_col: str):
+    """Per-document zlib compressibility — the cheap entropy proxy
+    the RefinedWeb/Gopher filter family uses: word salad and
+    templated boilerplate compress far better than natural prose,
+    so an extreme ratio in either direction is a removal signal.
+
+    Arrow `mapInArrow` kernel (zlib is not expressible in Catalyst
+    or DuckDB SQL → the query is rows-only, pinned by a pure-Python
+    differential instead). The kernel emits EXACT INTEGERS
+    (utf-8 byte length, level-6 deflate byte length); the ratio is
+    computed Spark-side. zlib level 6 output is deterministic for a
+    given input on any zlib build in RFC-1951 compliant mode —
+    and the differential test recomputes it byte-for-byte."""
+    from pyspark.sql import types as T
+
+    fields = [df.schema[c] for c in keep_cols] + [
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("n_deflate", T.LongType(), True),
+    ]
+    out_schema = T.StructType(fields)
+    proj = df.select(*keep_cols, text_col)
+    n_keep = len(keep_cols)
+
+    def kernel(batches):
+        import zlib
+
+        import pyarrow as pa
+
+        for b in batches:
+            txt = b.column(n_keep)
+            n_bytes, n_defl = [], []
+            for v in txt:
+                s = (v.as_py() or "").encode("utf-8")
+                n_bytes.append(len(s))
+                n_defl.append(len(zlib.compress(s, 6)))
+            yield pa.record_batch(
+                [b.column(i) for i in range(n_keep)]
+                + [
+                    pa.array(n_bytes, pa.int64()),
+                    pa.array(n_defl, pa.int64()),
+                ],
+                names=list(keep_cols) + ["n_bytes", "n_deflate"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)

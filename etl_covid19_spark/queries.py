@@ -9216,3 +9216,26 @@ def q_incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, delta, "text", "doc_id",
         n=3, num_hashes=96, bands=24, threshold=0.8,
     )
+
+
+@register("compressibility_scores", oracle=None)
+def q_compressibility_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality signal (deflate bytes / raw bytes):
+    word salad and boilerplate compress dramatically better than
+    prose — the RefinedWeb-family entropy proxy. Arrow kernel emits
+    exact byte counts (zlib has no Catalyst/DuckDB expression →
+    rows-only at the driver gate); the ratio is a Spark-side double
+    of identical integers, and tests/test_functions.py recomputes
+    the deflate length byte-for-byte in pure Python."""
+    d = _t(spark, sf_dir, "documents")
+    staged = text.compressibility_arrow(d, ["doc_id"], "text")
+    return staged.select(
+        "doc_id",
+        "n_bytes",
+        "n_deflate",
+        F.round(
+            F.col("n_deflate")
+            / F.greatest(F.col("n_bytes"), F.lit(1)).cast("double"),
+            6,
+        ).alias("compress_ratio"),
+    )

@@ -101,3 +101,30 @@ def test_fingerprint_deterministic_and_sensitive(spark):
 def test_bpe_ish_token_count(spark):
     # "don't stop!" → don / ' / t / stop / ! = 5 pieces
     assert _one(spark, "don't stop!", text.bpe_ish_token_count("t")) == 5
+
+
+def test_compressibility_matches_python_zlib(spark):
+    """The Arrow kernel's deflate byte counts equal a direct
+    zlib.compress(level 6) recomputation, and the ratio separates
+    repetitive from high-entropy text."""
+    import random
+    import zlib
+
+    from etl_covid19_spark.functions import text as TX
+
+    rng = random.Random(3)
+    rows = [
+        (0, "spam " * 400),
+        (1, "".join(rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(2000))),
+        (2, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bytes"], r["n_deflate"])
+        for r in TX.compressibility_arrow(df, ["doc_id"], "text").collect()
+    }
+    for doc_id, t in rows:
+        enc = t.encode("utf-8")
+        assert got[doc_id] == (len(enc), len(zlib.compress(enc, 6))), doc_id
+    # repetitive text compresses far better than random text
+    assert got[0][1] / got[0][0] < 0.05 < got[1][1] / got[1][0]
