@@ -153,3 +153,58 @@ def verify_jsonl_shards(spark: SparkSession, out_dir: str) -> dict:
             f"actual={ {k: got.get(k) for k in bad} }"
         )
     return manifest
+
+
+def streaming_export_sink(
+    out_dir: str,
+    id_col: str,
+    text_col: str | None = None,
+    n_shards: int = 8,
+    shuffle_seed: int | None = None,
+):
+    """foreachBatch sink publishing each micro-batch as an
+    epoch-stamped shard set:
+
+        out_dir/epoch=<batch_id>/shard=N/*.json  (+ manifest)
+
+    REPLAY-SAFE: a retried epoch rewrites its own `epoch=<id>`
+    directory (`export_jsonl_shards` writes mode=overwrite) and
+    re-derives the identical manifest — deterministic shard
+    assignment means a replay is byte-equivalent, the same
+    idempotency contract as the zone writer's dynamic partition
+    overwrite and the JDBC stage+MERGE sink. A training loader
+    consumes epochs in order and verifies each manifest before
+    streaming the files.
+
+    Usage::
+
+        stream.writeStream.foreachBatch(
+            streaming_export_sink(path, "doc_id", "text")
+        ).trigger(availableNow=True).start()
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        export_jsonl_shards(
+            batch_df,
+            os.path.join(out_dir, f"epoch={batch_id}"),
+            id_col=id_col,
+            text_col=text_col,
+            n_shards=n_shards,
+            shuffle_seed=shuffle_seed,
+        )
+
+    return sink
+
+
+def verify_export_epochs(spark: SparkSession, out_dir: str) -> dict:
+    """Verify every published epoch's manifest against its files;
+    returns {epoch: manifest}. The loader's pre-flight."""
+    epochs = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(out_dir)
+        if d.startswith("epoch=")
+    )
+    return {
+        e: verify_jsonl_shards(spark, os.path.join(out_dir, f"epoch={e}"))
+        for e in epochs
+    }

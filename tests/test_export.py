@@ -133,3 +133,33 @@ def test_export_shuffle_seed_orders_shards(spark, docs, tmp_path):
         docs, out2, id_col="doc_id", n_shards=n, shuffle_seed=104729
     )
     assert m2["shards"] != m["shards"]
+
+
+def test_streaming_export_epochs(spark, tmp_path):
+    """Drive a REAL documents stream into the epoch-sharded JSONL
+    sink; every epoch's manifest verifies and the union of epochs
+    is exactly the corpus."""
+    from etl_covid19_spark.sources.catalog import documents_stream
+    from etl_covid19_spark.sources.export import (
+        streaming_export_sink,
+        verify_export_epochs,
+    )
+
+    out = str(tmp_path / "stream_exp")
+    q = (
+        documents_stream(spark, SF)
+        .writeStream.foreachBatch(
+            streaming_export_sink(out, "doc_id", text_col="text", n_shards=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    manifests = verify_export_epochs(spark, out)
+    assert manifests, "no epochs published"
+    total = sum(m["total_rows"] for m in manifests.values())
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assert total == docs.count()
+    back = spark.read.json(out + "/epoch=*/shard=*")
+    assert back.select("doc_id").distinct().count() == docs.count()
