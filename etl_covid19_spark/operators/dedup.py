@@ -168,12 +168,29 @@ def clear_dedup_caches() -> None:
     _DF_CACHE.clear()
 
 
+# Default postings backend: the vectorized Arrow kernel
+# (`shingle_postings_arrow`). "catalyst" keeps the engine-pure HOF
+# path — the parity cross-check and the fallback if Arrow transfer
+# is ever unavailable. Hash VALUES differ between backends (byte
+# polynomial vs xxhash64) but no consumer or oracle observes them;
+# pair-set parity is pinned in tests/test_dedup_similarity.py.
+SHINGLE_BACKEND = "arrow"
+
+
 def shingle_postings_cached(
-    df: DataFrame, text_col: str, id_col: str, n: int = 3
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    backend: str | None = None,
 ) -> DataFrame:
-    key = ("postings", _corpus_key(df), text_col, id_col, n)
+    backend = backend or SHINGLE_BACKEND
+    key = ("postings", _corpus_key(df), text_col, id_col, n, backend)
+    build = (
+        shingle_postings_arrow if backend == "arrow" else shingle_postings
+    )
     return _DF_CACHE.get_or_build(
-        key, lambda: shingle_postings(df, text_col, id_col, n)
+        key, lambda: build(df, text_col, id_col, n)
     )
 
 
@@ -1073,3 +1090,119 @@ def minhash_lsh_pairs_incremental(
         .where(F.col("jaccard") >= threshold)
         .select("corpus_doc", "delta_doc", "jaccard")
     )
+
+
+def shingle_postings_arrow(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Arrow-kernel twin of `shingle_postings` — the sf10 bench
+    flagged the Catalyst HOF chain (per-token hash transform +
+    zip_with gram folds + array_distinct, all CodegenFallback) as
+    the dominant COLD cost of the whole dedup family (~140 s of
+    ngram_jaccard's 146 s cold at sf10); this kernel vectorizes the
+    same pipeline in numpy over the raw Arrow UTF-8 buffers.
+
+    The hash differs from the Catalyst path (byte-polynomial vs
+    xxhash64 — Spark's xxhash64 has no cheap vectorized Python
+    form), which is CONTRACT-SAFE: no consumer or oracle ever sees
+    hash values, only shingle EQUALITY (Jaccard/containment pair
+    sets, MinHash bands are verified exactly, doc-frequency caps
+    count distinct values) — collisions are the only behavioral
+    difference, ~2⁻³¹ per shingle pair on either hash. Backend
+    parity is test-pinned on the pair-set level."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_shingles", T.IntegerType(), True),
+            T.StructField("sh", T.LongType(), True),
+        ]
+    )
+    proj = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        P = np.int64(_P)
+        ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
+
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            n_docs = len(ids)
+            txt = b.column(1)
+            if txt.null_count:
+                txt = pc.fill_null(txt, "")
+            toks = pc.split_pattern_regex(txt, ws_pat)
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            # raw UTF-8 buffers: offsets + data, no Python strings
+            offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+            offs = offs[flat.offset : flat.offset + len(flat) + 1].astype(
+                np.int64
+            )
+            data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+            starts, ends = offs[:-1], offs[1:]
+            lens = ends - starts
+            # drop empty tokens (split artifacts at borders)
+            keep = lens > 0
+            starts, lens, parents = starts[keep], lens[keep], parents[keep]
+            # vectorized Horner over bytes: h = (h*131 + byte) % P,
+            # one masked pass per byte position
+            h = np.zeros(len(starts), dtype=np.int64)
+            maxlen = int(lens.max()) if len(lens) else 0
+            for j in range(maxlen):
+                m = j < lens
+                idx = starts[m] + j
+                h[m] = (h[m] * 131 + data[idx]) % P
+            # gram hashes: ((h_i*131 + h_{i+1}) % P * 131 + h_{i+2}) % P
+            # valid where three consecutive tokens share a doc
+            if len(h) >= n:
+                g = h[: len(h) - (n - 1)].copy()
+                for j in range(1, n):
+                    g = (g * 131 + h[j : len(h) - (n - 1) + j]) % P
+                gp = parents[: len(h) - (n - 1)]
+                gvalid = parents[n - 1 :] == gp
+                g, gp = g[gvalid], gp[gvalid]
+            else:
+                g = np.empty(0, dtype=np.int64)
+                gp = np.empty(0, dtype=np.int64)
+            # short docs (< n tokens): ONE whole-stream fold shingle
+            tok_counts = np.bincount(parents, minlength=n_docs)
+            short = np.flatnonzero(tok_counts < n)
+            if len(short):
+                acc = {int(d): np.int64(0) for d in short}
+                smask = np.isin(parents, short)
+                for hv, pv in zip(h[smask], parents[smask]):
+                    acc[int(pv)] = (acc[int(pv)] * 131 + hv) % P
+                g = np.concatenate(
+                    [g, np.array([acc[int(d)] for d in short], dtype=np.int64)]
+                )
+                gp = np.concatenate([gp, short.astype(np.int64)])
+            # distinct per doc: lexsort + neighbor mask
+            if len(g):
+                order = np.lexsort((g, gp))
+                g, gp = g[order], gp[order]
+                first = np.ones(len(g), dtype=bool)
+                first[1:] = (gp[1:] != gp[:-1]) | (g[1:] != g[:-1])
+                g, gp = g[first], gp[first]
+            counts = np.bincount(gp, minlength=n_docs)
+            yield pa.record_batch(
+                [
+                    pa.array(ids[gp], pa.int64()),
+                    pa.array(counts[gp].astype(np.int32), pa.int32()),
+                    pa.array(g, pa.int64()),
+                ],
+                names=["doc_id", "n_shingles", "sh"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)

@@ -564,3 +564,67 @@ def test_incremental_minhash_cross_side_only(spark):
     assert (0, 100) in pairs and (0, 101) in pairs
     # no intra-side pairs by construction
     assert all(c in (0, 1) and d >= 100 for c, d in pairs)
+
+
+def test_postings_backend_parity(spark):
+    """Arrow-kernel postings vs the Catalyst HOF path: hash VALUES
+    differ by design (byte polynomial vs xxhash64) but everything a
+    consumer observes — per-doc distinct-shingle counts and the
+    cross-doc equality structure (pair intersection sizes, hence
+    every Jaccard/containment score) — must be identical."""
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, ""),
+            (9002, "one"),
+            (9003, "two tokens"),
+            (9004, "  padded   with    runs\tand\ttabs "),
+            (9005, "café naïve café naïve café naïve café naïve"),
+        ],
+        "doc_id long, text string",
+    )
+    both = docs.unionByName(edge)
+
+    def pair_view(backend):
+        posts = (
+            dedup.shingle_postings_arrow(both, "text", "doc_id")
+            if backend == "arrow"
+            else dedup.shingle_postings(both, "text", "doc_id")
+        )
+        a, b = posts.alias("a"), posts.alias("b")
+        pairs = (
+            a.join(b, on="sh")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                F.col("a.n_shingles").alias("na"),
+                F.col("b.n_shingles").alias("nb"),
+            )
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        return {
+            (r["da"], r["db"]): (r["na"], r["nb"], r["nc"])
+            for r in pairs.collect()
+        }
+
+    arrow, catalyst = pair_view("arrow"), pair_view("catalyst")
+    assert arrow == catalyst
+    # per-doc shingle counts identical too
+    ac = {
+        (r["doc_id"], r["n_shingles"])
+        for r in dedup.shingle_postings_arrow(both, "text", "doc_id")
+        .select("doc_id", "n_shingles")
+        .distinct()
+        .collect()
+    }
+    cc = {
+        (r["doc_id"], r["n_shingles"])
+        for r in dedup.shingle_postings(both, "text", "doc_id")
+        .select("doc_id", "n_shingles")
+        .distinct()
+        .collect()
+    }
+    assert ac == cc
