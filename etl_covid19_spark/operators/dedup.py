@@ -194,6 +194,39 @@ def shingle_postings_cached(
     )
 
 
+def minhash_signatures_cached(
+    df: DataFrame,
+    posts: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    num_hashes: int,
+    backend: str | None = None,
+) -> DataFrame:
+    """Pooled MinHash signatures. Arrow backend: straight from the
+    gram kernel (no postings aggregate — `minhash_signatures_arrow`
+    docstring has the measurement). Catalyst backend: the wide
+    min-aggregate over the given postings frame. Both produce the
+    same values for the same gram hashes (reduceat-vs-agg parity is
+    test-pinned)."""
+    backend = backend or SHINGLE_BACKEND
+    key = (
+        "minhash_sigs",
+        _corpus_key(df),
+        text_col,
+        id_col,
+        n,
+        num_hashes,
+        backend,
+    )
+    build = (
+        (lambda: minhash_signatures_arrow(df, text_col, id_col, n, num_hashes))
+        if backend == "arrow"
+        else (lambda: _signatures_from_postings(posts, num_hashes))
+    )
+    return _DF_CACHE.get_or_build(key, build)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, text_col: str, id_col: str, n: int = 3, threshold: float = 0.4
 ) -> DataFrame:
@@ -351,7 +384,9 @@ def minhash_lsh_pairs(
     rows = num_hashes // bands
     corpus_key = _corpus_key(df)
     posts = shingle_postings_cached(df, text_col, id_col, n)
-    sigs = _signatures_from_postings(posts, num_hashes)
+    sigs = minhash_signatures_cached(
+        df, posts, text_col, id_col, n, num_hashes
+    )
     # Each band key collapses to ONE long (xxhash64 over the band id
     # and its signature slice) so the candidate join is a primitive
     # equi-join, not a struct/array-keyed one. Like the signature
@@ -1042,16 +1077,16 @@ def minhash_lsh_pairs_incremental(
         for band in range(bands)
     )
 
-    def banded(posts: DataFrame) -> DataFrame:
-        return _signatures_from_postings(posts, num_hashes).selectExpr(
-            "doc_id", f"explode(array({band_keys})) AS band_key"
-        )
+    def banded(df: DataFrame, posts: DataFrame) -> DataFrame:
+        return minhash_signatures_cached(
+            df, posts, text_col, id_col, n, num_hashes
+        ).selectExpr("doc_id", f"explode(array({band_keys})) AS band_key")
 
     cands = (
-        banded(posts_c)
+        banded(corpus, posts_c)
         .alias("a")
         .join(
-            banded(posts_d).alias("b"),
+            banded(delta, posts_d).alias("b"),
             on=(F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
@@ -1125,84 +1160,162 @@ def shingle_postings_arrow(
     )
 
     def kernel(batches):
-        import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
-
-        P = np.int64(_P)
-        ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
 
         for b in batches:
-            ids = b.column(0).to_numpy(zero_copy_only=False)
-            n_docs = len(ids)
-            txt = b.column(1)
-            if txt.null_count:
-                txt = pc.fill_null(txt, "")
-            toks = pc.split_pattern_regex(txt, ws_pat)
-            flat = pc.list_flatten(toks)
-            if isinstance(flat, pa.ChunkedArray):
-                flat = flat.combine_chunks()
-            parents = pc.list_parent_indices(toks).to_numpy(
-                zero_copy_only=False
-            )
-            # raw UTF-8 buffers: offsets + data, no Python strings
-            offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)
-            offs = offs[flat.offset : flat.offset + len(flat) + 1].astype(
-                np.int64
-            )
-            data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
-            starts, ends = offs[:-1], offs[1:]
-            lens = ends - starts
-            # drop empty tokens (split artifacts at borders)
-            keep = lens > 0
-            starts, lens, parents = starts[keep], lens[keep], parents[keep]
-            # vectorized Horner over bytes: h = (h*131 + byte) % P,
-            # one masked pass per byte position
-            h = np.zeros(len(starts), dtype=np.int64)
-            maxlen = int(lens.max()) if len(lens) else 0
-            for j in range(maxlen):
-                m = j < lens
-                idx = starts[m] + j
-                h[m] = (h[m] * 131 + data[idx]) % P
-            # gram hashes: ((h_i*131 + h_{i+1}) % P * 131 + h_{i+2}) % P
-            # valid where three consecutive tokens share a doc
-            if len(h) >= n:
-                g = h[: len(h) - (n - 1)].copy()
-                for j in range(1, n):
-                    g = (g * 131 + h[j : len(h) - (n - 1) + j]) % P
-                gp = parents[: len(h) - (n - 1)]
-                gvalid = parents[n - 1 :] == gp
-                g, gp = g[gvalid], gp[gvalid]
-            else:
-                g = np.empty(0, dtype=np.int64)
-                gp = np.empty(0, dtype=np.int64)
-            # short docs (< n tokens): ONE whole-stream fold shingle
-            tok_counts = np.bincount(parents, minlength=n_docs)
-            short = np.flatnonzero(tok_counts < n)
-            if len(short):
-                acc = {int(d): np.int64(0) for d in short}
-                smask = np.isin(parents, short)
-                for hv, pv in zip(h[smask], parents[smask]):
-                    acc[int(pv)] = (acc[int(pv)] * 131 + hv) % P
-                g = np.concatenate(
-                    [g, np.array([acc[int(d)] for d in short], dtype=np.int64)]
-                )
-                gp = np.concatenate([gp, short.astype(np.int64)])
-            # distinct per doc: lexsort + neighbor mask
-            if len(g):
-                order = np.lexsort((g, gp))
-                g, gp = g[order], gp[order]
-                first = np.ones(len(g), dtype=bool)
-                first[1:] = (gp[1:] != gp[:-1]) | (g[1:] != g[:-1])
-                g, gp = g[first], gp[first]
-            counts = np.bincount(gp, minlength=n_docs)
+            ids, g, gp, counts = _gram_arrays(b, n)
             yield pa.record_batch(
                 [
                     pa.array(ids[gp], pa.int64()),
-                    pa.array(counts[gp].astype(np.int32), pa.int32()),
+                    pa.array(counts[gp].astype("int32"), pa.int32()),
                     pa.array(g, pa.int64()),
                 ],
                 names=["doc_id", "n_shingles", "sh"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
+
+
+def _gram_arrays(b, n: int):
+    """Per-batch vectorized shingle computation shared by the Arrow
+    postings and signature kernels: batch (doc_id, text) → (ids,
+    distinct gram hashes g sorted by doc, doc index gp per gram,
+    per-doc distinct counts). Same semantics as the Catalyst
+    pipeline in `shingle_postings` (whitespace tokens, rolling
+    (·131+x) mod P gram polynomial, whole-stream fold for docs
+    shorter than n, per-doc distinct)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    P = np.int64(_P)
+    ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
+
+    ids = b.column(0).to_numpy(zero_copy_only=False)
+    n_docs = len(ids)
+    txt = b.column(1)
+    if txt.null_count:
+        txt = pc.fill_null(txt, "")
+    toks = pc.split_pattern_regex(txt, ws_pat)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    # raw UTF-8 buffers: offsets + data, no Python strings
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+    offs = offs[flat.offset : flat.offset + len(flat) + 1].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    # drop empty tokens (split artifacts at borders)
+    keep = lens > 0
+    starts, lens, parents = starts[keep], lens[keep], parents[keep]
+    # vectorized Horner over bytes: h = (h*131 + byte) % P,
+    # one masked pass per byte position
+    h = np.zeros(len(starts), dtype=np.int64)
+    maxlen = int(lens.max()) if len(lens) else 0
+    for j in range(maxlen):
+        m = j < lens
+        idx = starts[m] + j
+        h[m] = (h[m] * 131 + data[idx]) % P
+    # gram hashes: ((h_i*131 + h_{i+1}) % P * 131 + h_{i+2}) % P
+    # valid where n consecutive tokens share a doc
+    if len(h) >= n:
+        g = h[: len(h) - (n - 1)].copy()
+        for j in range(1, n):
+            g = (g * 131 + h[j : len(h) - (n - 1) + j]) % P
+        gp = parents[: len(h) - (n - 1)]
+        gvalid = parents[n - 1 :] == gp
+        g, gp = g[gvalid], gp[gvalid]
+    else:
+        g = np.empty(0, dtype=np.int64)
+        gp = np.empty(0, dtype=np.int64)
+    # short docs (< n tokens): ONE whole-stream fold shingle
+    tok_counts = np.bincount(parents, minlength=n_docs)
+    short = np.flatnonzero(tok_counts < n)
+    if len(short):
+        acc = {int(d): np.int64(0) for d in short}
+        smask = np.isin(parents, short)
+        for hv, pv in zip(h[smask], parents[smask]):
+            acc[int(pv)] = (acc[int(pv)] * 131 + hv) % P
+        g = np.concatenate(
+            [g, np.array([acc[int(d)] for d in short], dtype=np.int64)]
+        )
+        gp = np.concatenate([gp, short.astype(np.int64)])
+    # distinct per doc: lexsort + neighbor mask
+    if len(g):
+        order = np.lexsort((g, gp))
+        g, gp = g[order], gp[order]
+        first = np.ones(len(g), dtype=bool)
+        first[1:] = (gp[1:] != gp[:-1]) | (g[1:] != g[:-1])
+        g, gp = g[first], gp[first]
+    counts = np.bincount(gp, minlength=n_docs)
+    return ids, g, gp, counts
+
+
+def minhash_signatures_arrow(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    num_hashes: int = 96,
+) -> DataFrame:
+    """Arrow-kernel MinHash signatures: the wide 96-min aggregate
+    over the postings frame was the TRUE dominant cost of cold
+    MinHash at sf10 (~45 s — an earlier count()-based probe read
+    2.8 s because Catalyst PRUNED the unreferenced min columns),
+    so the signatures come straight out of the gram kernel with
+    `np.minimum.reduceat` per coefficient — no 29M-row aggregate at
+    all. Values are the exact (a·g + b) mod P integer mins of the
+    same gram hashes the Arrow postings emit, so signatures and
+    band keys are reproducible, and exact verification still runs
+    against the pooled postings."""
+    from pyspark.sql import types as T
+
+    coeffs = _minhash_coeffs(num_hashes)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_shingles", T.IntegerType(), True),
+            T.StructField(
+                "signature", T.ArrayType(T.LongType(), True), True
+            ),
+        ]
+    )
+    proj = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        P = np.int64(_P)
+        ca = np.array([a for a, _ in coeffs], dtype=np.int64)
+        cb = np.array([b for _, b in coeffs], dtype=np.int64)
+
+        for b in batches:
+            ids, g, gp, counts = _gram_arrays(b, n)
+            if not len(g):
+                continue
+            doc_starts = np.flatnonzero(
+                np.r_[True, gp[1:] != gp[:-1]]
+            )
+            doc_idx = gp[doc_starts]
+            sigs = np.empty((len(doc_idx), len(ca)), dtype=np.int64)
+            for k in range(len(ca)):
+                vals = (ca[k] * g + cb[k]) % P
+                sigs[:, k] = np.minimum.reduceat(vals, doc_starts)
+            yield pa.record_batch(
+                [
+                    pa.array(ids[doc_idx], pa.int64()),
+                    pa.array(
+                        counts[doc_idx].astype("int32"), pa.int32()
+                    ),
+                    pa.array(list(sigs), pa.list_(pa.int64())),
+                ],
+                names=["doc_id", "n_shingles", "signature"],
             )
 
     return proj.mapInArrow(kernel, out_schema)

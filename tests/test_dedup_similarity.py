@@ -628,3 +628,30 @@ def test_postings_backend_parity(spark):
         .collect()
     }
     assert ac == cc
+
+
+def test_minhash_signature_kernel_parity(spark):
+    """Kernel signatures (np.minimum.reduceat over gram hashes) must
+    equal the Catalyst wide min-aggregate computed over the SAME
+    Arrow postings — value-for-value, all 96 slots."""
+    from etl_covid19_spark.operators.dedup import (
+        _signatures_from_postings,
+        minhash_signatures_arrow,
+        shingle_postings_arrow,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    posts = shingle_postings_arrow(docs, "text", "doc_id")
+    want = {
+        r["doc_id"]: (r["n_shingles"], list(r["signature"]))
+        for r in _signatures_from_postings(posts, 96).collect()
+    }
+    got = {
+        r["doc_id"]: (r["n_shingles"], list(r["signature"]))
+        for r in minhash_signatures_arrow(
+            docs, "text", "doc_id", 3, 96
+        ).collect()
+    }
+    assert got == want
