@@ -655,3 +655,25 @@ def test_minhash_signature_kernel_parity(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_hyperplane_bucket_kernel_bit_exact(spark, emb):
+    """The Arrow bucket kernel must reproduce the Catalyst HOF fold
+    BIT-exactly (same left-to-right IEEE double sequence) — sign
+    flips on near-zero dot products would silently change buckets,
+    so this pins every corpus vector, not a sample."""
+    planes = similarity.make_planes(64, 6)
+    want = {
+        r["vec_id"]: r["b"]
+        for r in emb.select(
+            "vec_id",
+            similarity.hyperplane_signature("embedding", planes).alias("b"),
+        ).collect()
+    }
+    got = {
+        r["neighbor_id"]: r["bucket"]
+        for r in similarity.hyperplane_buckets_arrow(
+            emb, "embedding", "vec_id", planes
+        ).collect()
+    }
+    assert got == want
