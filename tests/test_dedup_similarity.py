@@ -677,3 +677,52 @@ def test_hyperplane_bucket_kernel_bit_exact(spark, emb):
         ).collect()
     }
     assert got == want
+
+
+def test_postings_backend_parity_randomized(spark):
+    """Seeded fuzz over nasty strings: unicode whitespace (NBSP is
+    NOT Java \\s — must stay inside tokens), multi-byte runs, emoji,
+    control chars, repeated tokens, giant runs of separators. Pair
+    structure and per-doc counts must match across backends on all
+    of it."""
+    import random
+
+    rng = random.Random(20260814)
+    alphabet = [
+        "word", "täst", "émoji🎉", "a", " joined ", "汉字",
+        "x" * 50, "123", "..", "mixed123täst", "nb sp",
+    ]
+    seps = [" ", "\t", "\n", "  ", " \x0b ", "\r\n", "\x0c"]
+    docs = []
+    for i in range(300):
+        k = rng.randint(0, 12)
+        parts = [rng.choice(alphabet) for _ in range(k)]
+        docs.append(
+            (i, rng.choice(seps).join(parts) + rng.choice(["", " ", "\t"]))
+        )
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    def shape(posts):
+        a, b = posts.alias("a"), posts.alias("b")
+        pairs = (
+            a.join(b, on="sh")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+            )
+            .agg(F.count(F.lit(1)).alias("nc"))
+        )
+        counts = {
+            (r["doc_id"], r["n_shingles"])
+            for r in posts.select("doc_id", "n_shingles")
+            .distinct()
+            .collect()
+        }
+        return counts, {
+            (r["da"], r["db"]): r["nc"] for r in pairs.collect()
+        }
+
+    arrow = shape(dedup.shingle_postings_arrow(df, "text", "doc_id"))
+    catalyst = shape(dedup.shingle_postings(df, "text", "doc_id"))
+    assert arrow == catalyst
