@@ -9239,3 +9239,102 @@ def q_compressibility_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("compress_ratio"),
     )
+
+
+@register(
+    "triangle_count",
+    oracle=f"""
+    WITH knn AS ({_knn_graph_oracle()}),
+    und AS (
+      SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+      FROM knn
+    ),
+    tri AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM und e1
+      JOIN und e2 ON e2.a = e1.b
+      JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    deg AS (
+      SELECT v, COUNT(*) AS d
+      FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+      GROUP BY v
+    ),
+    agg AS (
+      SELECT CAST((SELECT COUNT(*) FROM und) AS BIGINT) AS n_edges,
+             (SELECT n_triangles FROM tri) AS n_triangles,
+             CAST(SUM((d * (d - 1)) // 2) AS BIGINT) AS n_wedges
+      FROM deg
+    )
+    SELECT n_edges, n_triangles, n_wedges,
+           round(CASE WHEN n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * n_triangles / n_wedges END, 6)
+             AS clustering_coefficient
+    FROM agg
+    """,
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + global clustering coefficient over the
+    (undirected) kNN similarity graph — the classic graph statistic
+    for 'how clique-ish is my corpus' (high coefficient → dense
+    near-duplicate neighborhoods; a quality/dedup prioritization
+    signal at corpus scale). Edge list is the bounded |V|·k kNN
+    output symmetrized to a<b; triangles come from the standard
+    ordered three-way equi-self-join (each join keyed on vertex
+    ids, so the join degree is the max vertex degree ≤ 2k after
+    symmetrization — never |E|²); wedges are one degree aggregate.
+    Completes the graph family next to PageRank and connected
+    components."""
+    from etl_covid19_spark.operators.similarity import knn_graph
+
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    und = SHARED_CACHE.get_or_build(
+        ("knn_und_edges", corpus_key(emb), 5, 4, 16),
+        lambda: knn_graph(
+            emb, "embedding", "vec_id", k=5, band_bits=4, n_bands=16
+        )
+        .select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct(),
+    )
+    e1, e2, e3 = und.alias("e1"), und.alias("e2"), und.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.a") == F.col("e1.b"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a"))
+            & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1)) / 2)
+        .cast("bigint")
+        .alias("n_wedges")
+    )
+    edges = und.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    out = agg.attach_scalar(agg.attach_scalar(edges, tri), wedges)
+    return out.select(
+        "n_edges",
+        "n_triangles",
+        "n_wedges",
+        F.round(
+            F.when(F.col("n_wedges") == 0, F.lit(0.0)).otherwise(
+                F.lit(3.0) * F.col("n_triangles") / F.col("n_wedges")
+            ),
+            6,
+        ).alias("clustering_coefficient"),
+    )

@@ -42,6 +42,7 @@ SWEEP = [
     "zipf_fit",
     "dedup_containment",
     "incremental_minhash_dedup",
+    "triangle_count",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
