@@ -9338,3 +9338,87 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("clustering_coefficient"),
     )
+
+
+@register(
+    "item_cooccurrence",
+    oracle="""
+    WITH ui AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+      FROM events
+    ),
+    cnt AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY item),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ui),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+      FROM ui a JOIN ui b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b, n_both,
+           round(CAST(n_both AS DOUBLE) * n_users
+                 / (ca.n * cb.n), 6) AS lift,
+           round(CAST(n_both AS DOUBLE)
+                 / (ca.n + cb.n - n_both), 6) AS jaccard
+    FROM co
+    JOIN cnt ca ON ca.item = co.item_a
+    JOIN cnt cb ON cb.item = co.item_b
+    CROSS JOIN u
+    WHERE n_both >= 20
+    ORDER BY lift DESC, item_a ASC, item_b ASC
+    LIMIT 20
+    """,
+)
+def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket / co-visitation mining over the event stream:
+    top item pairs by lift (and their user-set Jaccard) — the
+    collaborative-filtering primitive behind 'users who touched X
+    also touched Y'. The user-item incidence is DISTINCT'd first so
+    heavy users count once per item; the pair join is keyed on
+    user_id with join degree = items-per-user (bounded by the item
+    vocabulary — at web scale you additionally cap items per user,
+    the same heavy-key discipline as the timeline operators). Lift
+    and Jaccard are double ratios of exact integer counts."""
+    ev = _t(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        json_kit.json_path("props", "$.k").cast("int").alias("item"),
+    ).distinct()
+    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    users = ui.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    a = ui.select(F.col("user_id"), F.col("item").alias("item_a"))
+    b = ui.select(F.col("user_id"), F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    scored = agg.attach_scalar(
+        co.join(ca, "item_a").join(cb, "item_b"), users
+    ).select(
+        "item_a",
+        "item_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            * F.col("n_users")
+            / (F.col("na") * F.col("nb")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_both")),
+            6,
+        ).alias("jaccard"),
+    )
+    return agg.top_k(
+        scored.where(F.col("n_both") >= 20),
+        [F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()],
+        20,
+    ).select("item_a", "item_b", "n_both", "lift", "jaccard")

@@ -43,6 +43,7 @@ SWEEP = [
     "dedup_containment",
     "incremental_minhash_dedup",
     "triangle_count",
+    "item_cooccurrence",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
