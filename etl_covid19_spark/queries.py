@@ -9422,3 +9422,76 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()],
         20,
     ).select("item_a", "item_b", "n_both", "lift", "jaccard")
+
+
+@register(
+    "attribution_last_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+      FROM events
+    ),
+    attributed AS (
+      SELECT user_id, event_id, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN item END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_item
+      FROM ev
+      QUALIFY event_type = 'purchase'
+    )
+    SELECT touch_item,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS attributed_value
+    FROM attributed
+    WHERE touch_item IS NOT NULL
+    GROUP BY touch_item
+    ORDER BY attributed_value DESC, touch_item ASC
+    LIMIT 20
+    """,
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING non-purchase event's item — the marketing-
+    attribution primitive (swap the frame for first-touch; split
+    credit across the frame for linear/time-decay models). One
+    (user, time) window over one events pass — same shuffle shape
+    as sessionization; attribution never joins events to events.
+    Revenue sums are decimal-accumulated (partition-invariant),
+    ties broken by event_id so the 'last' touch is deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        json_kit.json_path("props", "$.k").cast("int").alias("item"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("item")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.withColumn("touch_item", touch)
+        .where(F.col("event_type") == "purchase")
+        .where(F.col("touch_item").isNotNull())
+    )
+    out = purchases.groupBy("touch_item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("attributed_value"),
+    )
+    return agg.top_k(
+        out,
+        [F.col("attributed_value").desc(), F.col("touch_item").asc()],
+        20,
+    ).select("touch_item", "n_purchases", "attributed_value")

@@ -44,6 +44,7 @@ SWEEP = [
     "incremental_minhash_dedup",
     "triangle_count",
     "item_cooccurrence",
+    "attribution_last_touch",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
