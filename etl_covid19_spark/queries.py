@@ -9495,3 +9495,61 @@ def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("attributed_value").desc(), F.col("touch_item").asc()],
         20,
     ).select("touch_item", "n_purchases", "attributed_value")
+
+
+@register(
+    "phrase_search",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    hits AS (
+      SELECT doc_id, COUNT(*) AS n_hits
+      FROM t, unnest(range(1, len(toks) - 1)) r(i)
+      WHERE toks[i] = 'table' AND toks[i + 1] = 'value'
+            AND toks[i + 2] = 'part'
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits
+    FROM hits ORDER BY n_hits DESC, doc_id ASC LIMIT 20
+    """,
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ('table value part') via POSITIONAL
+    postings: filter the pooled (doc, pos, token) frame to each
+    phrase term, then equi-join consecutive positions on
+    (doc, pos+offset) — the classic inverted-index phrase
+    algorithm, here as selective-filter-then-join so the join
+    inputs are only the matching terms' postings, never the corpus.
+    Completes the retrieval family: BM25 (bag of words), RRF hybrid
+    (rank fusion), phrase (order-sensitive)."""
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
+    phrase = ["table", "value", "part"]
+    d = _t(spark, sf_dir, "documents")
+    key = ("lm_positions", corpus_key(d), "text", "doc_id")
+    pos_frame = SHARED_CACHE.get_or_build(
+        key,
+        lambda: d.select(
+            F.col("doc_id").alias("_doc"),
+            F.posexplode(text.tokens("text")).alias("pos", "token"),
+        ),
+    )
+    legs = None
+    for i, term in enumerate(phrase):
+        leg = pos_frame.where(F.col("token") == term).select(
+            F.col("_doc"), (F.col("pos") - i).alias("start")
+        )
+        legs = leg if legs is None else legs.join(leg, ["_doc", "start"])
+    hits = legs.groupBy("_doc").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hits")
+    )
+    return agg.top_k(
+        hits, [F.col("n_hits").desc(), F.col("_doc").asc()], 20
+    ).select(F.col("_doc").alias("doc_id"), "n_hits")

@@ -45,6 +45,7 @@ SWEEP = [
     "triangle_count",
     "item_cooccurrence",
     "attribution_last_touch",
+    "phrase_search",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
