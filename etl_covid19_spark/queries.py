@@ -9553,3 +9553,161 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.top_k(
         hits, [F.col("n_hits").desc(), F.col("_doc").asc()], 20
     ).select(F.col("_doc").alias("doc_id"), "n_hits")
+
+
+@register(
+    "attribution_first_touch",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+      FROM events
+    ),
+    attributed AS (
+      SELECT user_id, event_id, value,
+             FIRST_VALUE(CASE WHEN event_type <> 'purchase' THEN item END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_item
+      FROM ev
+      QUALIFY event_type = 'purchase'
+    )
+    SELECT touch_item,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           round(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS attributed_value
+    FROM attributed
+    WHERE touch_item IS NOT NULL
+    GROUP BY touch_item
+    ORDER BY attributed_value DESC, touch_item ASC
+    LIMIT 20
+    """,
+)
+def q_attribution_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch twin of `attribution_last_touch`: the purchase
+    credits the user's EARLIEST preceding non-purchase event — same
+    single (user, time) window pass, FIRST instead of LAST over the
+    preceding frame. The two models bracket the multi-touch family
+    (linear/time-decay interpolate between them)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        json_kit.json_path("props", "$.k").cast("int").alias("item"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.first(
+        F.when(F.col("event_type") != "purchase", F.col("item")),
+        ignorenulls=True,
+    ).over(w)
+    purchases = (
+        ev.withColumn("touch_item", touch)
+        .where(F.col("event_type") == "purchase")
+        .where(F.col("touch_item").isNotNull())
+    )
+    out = purchases.groupBy("touch_item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)")).cast("double"), 6
+        ).alias("attributed_value"),
+    )
+    return agg.top_k(
+        out,
+        [F.col("attributed_value").desc(), F.col("touch_item").asc()],
+        20,
+    ).select("touch_item", "n_purchases", "attributed_value")
+
+
+@register(
+    "boilerplate_shingles",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM t)
+    SELECT sh AS shingle, CAST(COUNT(*) AS BIGINT) AS df,
+           round(CAST(COUNT(*) AS DOUBLE) / n_docs, 6) AS doc_ratio
+    FROM p CROSS JOIN n
+    GROUP BY sh, n_docs
+    ORDER BY df DESC, shingle ASC
+    LIMIT 20
+    """,
+)
+def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detector: the 3-gram shingles appearing in the
+    most DOCUMENTS (doc frequency, not raw count) — the C4-style
+    prep step for stripping site chrome, licence footers, and
+    navigation text before dedup/training. This query keeps STRING
+    shingles (unlike the hashed dedup postings) because the whole
+    point is a human-readable removal list; one map-side-combined
+    aggregate over distinct shingles per doc."""
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", text.word_shingles("text", 3).alias("grams")
+    )
+    p = sets.select(F.explode("grams").alias("shingle"))
+    df_ = p.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    out = agg.attach_scalar(
+        df_, d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    ).select(
+        "shingle",
+        "df",
+        F.round(F.col("df").cast("double") / F.col("n_docs"), 6).alias(
+            "doc_ratio"
+        ),
+    )
+    return agg.top_k(
+        out, [F.col("df").desc(), F.col("shingle").asc()], 20
+    ).select("shingle", "df", "doc_ratio")
+
+
+@register(
+    "dup_cluster_sizes",
+    oracle="""
+    WITH g AS (
+      SELECT text, COUNT(*) AS n_copies FROM documents GROUP BY text
+    )
+    SELECT CAST(n_copies AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs
+    FROM g GROUP BY n_copies ORDER BY cluster_size ASC
+    """,
+)
+def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size distribution: how much of the corpus
+    sits in exact-duplicate groups of each size — the dataset-card
+    number that decides whether dedup is worth a full pass (a long
+    tail of big clusters = crawl loops or mirrors). Two chained
+    map-side-combined aggregates; at 100 TB the first groups on
+    xxhash64(text) like exact_dedup."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.groupBy("text").agg(F.count(F.lit(1)).alias("n_copies"))
+    return (
+        g.groupBy(F.col("n_copies").cast("bigint").alias("cluster_size"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )

@@ -46,6 +46,9 @@ SWEEP = [
     "item_cooccurrence",
     "attribution_last_touch",
     "phrase_search",
+    "attribution_first_touch",
+    "boilerplate_shingles",
+    "dup_cluster_sizes",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
