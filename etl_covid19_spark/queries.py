@@ -9711,3 +9711,74 @@ def q_dup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+@register(
+    "session_bounce_rate",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    s AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM e
+    ),
+    per AS (
+      SELECT user_id, sid, COUNT(*) AS n_events,
+             epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      FROM s GROUP BY user_id, sid
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS BIGINT)
+             AS n_bounces,
+           round(CAST(COUNT(CASE WHEN n_events = 1 THEN 1 END) AS DOUBLE)
+                 / COUNT(*), 6) AS bounce_rate,
+           round(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6)
+             AS avg_events_per_session,
+           CAST(SUM(dur_us) // COUNT(*) AS BIGINT) AS avg_duration_us
+    FROM per
+    """,
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics session summary: bounce rate (one-event
+    sessions), events per session, mean session duration — built on
+    Spark's NATIVE session_window (30-min gap), summarized in one
+    follow-up aggregate; the oracle replays the merge semantics
+    with gaps-and-islands SQL. Ratios are doubles of exact integer
+    counts; the mean duration is integer microseconds (floor
+    division on both engines)."""
+    ev = _t(spark, sf_dir, "events")
+    per = (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))
+            ).alias("dur_us"),
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count(F.when(F.col("n_events") == 1, 1))
+        .cast("bigint")
+        .alias("n_bounces"),
+        F.round(
+            F.count(F.when(F.col("n_events") == 1, 1)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("bounce_rate"),
+        F.round(
+            F.sum("n_events").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_events_per_session"),
+        F.floor(F.sum("dur_us") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_duration_us"),
+    )

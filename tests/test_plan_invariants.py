@@ -49,6 +49,7 @@ SWEEP = [
     "attribution_first_touch",
     "boilerplate_shingles",
     "dup_cluster_sizes",
+    "session_bounce_rate",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
