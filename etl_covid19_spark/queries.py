@@ -9782,3 +9782,142 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_duration_us"),
     )
+
+
+@register(
+    "source_language_entropy",
+    oracle="""
+    WITH c AS (
+      SELECT source, lang, COUNT(*) AS n FROM documents
+      GROUP BY source, lang
+    ),
+    t AS (SELECT source, SUM(n) AS total FROM c GROUP BY source),
+    e AS (
+      SELECT c.source,
+             CAST(SUM(CAST(round(
+               -1.0 * (CAST(c.n AS DOUBLE) / t.total)
+                    * ln(CAST(c.n AS DOUBLE) / t.total), 10)
+               AS DECIMAL(28,10))) AS DOUBLE) AS h,
+             CAST(MAX(t.total) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_langs
+      FROM c JOIN t ON c.source = t.source
+      GROUP BY c.source
+    )
+    SELECT source, n_docs, n_langs, round(h, 6) AS lang_entropy
+    FROM e ORDER BY source
+    """,
+)
+def q_source_language_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Shannon entropy of the language mix — the
+    data-mixing audit that flags monolingual crawls (entropy ~0)
+    and scrambled-metadata sources (entropy ~ln|langs|) before
+    weights are assigned. Two chained map-side aggregates; each
+    -p·ln p term is rounded to 10 dp and decimal-summed so the
+    entropy is partition- and engine-invariant (the exact_moments
+    discipline applied to a libm term)."""
+    d = _t(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p), 10).cast("decimal(28,10)")
+    e = (
+        c.join(t, "source")
+        .groupBy("source")
+        .agg(
+            F.sum(term).cast("double").alias("h"),
+            F.max("total").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+        )
+    )
+    return e.select(
+        "source",
+        "n_docs",
+        "n_langs",
+        F.round(F.col("h"), 6).alias("lang_entropy"),
+    ).orderBy("source")
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT source,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT DISTINCT source, unnest(grams) AS sh FROM g),
+    n AS (SELECT source, COUNT(*) AS n FROM p GROUP BY source),
+    c AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*) AS n_common
+      FROM p a JOIN p b ON a.sh = b.sh AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE)
+                 / (na.n + nb.n - n_common), 6) AS jaccard,
+           round(CAST(n_common AS DOUBLE) / least(na.n, nb.n), 6)
+             AS containment
+    FROM c
+    JOIN n na ON na.source = c.source_a
+    JOIN n nb ON nb.source = c.source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source duplication matrix: pairwise Jaccard AND
+    containment of the sources' distinct 3-gram shingle sets — the
+    mirror/re-crawl detector run before mixing sources into a
+    training set (a high-containment pair means one source is
+    largely a copy of the other and its mixing weight double-counts
+    it). Source-level sets are |sources|·|shingle vocab| — tiny next
+    to the corpus — and the pair join is the usual postings
+    equi-join. STRING shingles here (human-auditable output), same
+    choice as boilerplate_shingles."""
+    d = _t(spark, sf_dir, "documents")
+    sets = d.select(
+        "source", text.word_shingles("text", 3).alias("grams")
+    )
+    p = sets.select(
+        "source", F.explode("grams").alias("sh")
+    ).distinct()
+    n = p.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = p.select(F.col("source").alias("source_a"), "sh")
+    b = p.select(F.col("source").alias("source_b"), "sh")
+    c = (
+        a.join(b, "sh")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    na = n.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    nb = n.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        c.join(na, "source_a")
+        .join(nb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / F.least(F.col("na"), F.col("nb")),
+                6,
+            ).alias("containment"),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -50,6 +50,8 @@ SWEEP = [
     "boilerplate_shingles",
     "dup_cluster_sizes",
     "session_bounce_rate",
+    "source_language_entropy",
+    "source_overlap_matrix",
     "knn_graph",
     "asof_join_events",
     "range_join_events",
