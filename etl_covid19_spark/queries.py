@@ -9921,3 +9921,96 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    "length_drift_ks",
+    oracle="""
+    WITH lens AS (SELECT source, n_chars FROM documents),
+    per AS (
+      SELECT source, n_chars, COUNT(*) AS c FROM lens
+      GROUP BY source, n_chars
+    ),
+    tot AS (SELECT source, SUM(c) AS n_s FROM per GROUP BY source),
+    grand AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM per),
+    gx AS (
+      SELECT n_chars,
+             SUM(SUM(c)) OVER (ORDER BY n_chars
+                 ROWS UNBOUNDED PRECEDING) AS cum_all
+      FROM per GROUP BY n_chars
+    ),
+    grid AS (
+      SELECT t.source, x.n_chars, x.cum_all, t.n_s
+      FROM tot t CROSS JOIN gx x
+    ),
+    cum AS (
+      SELECT g.source, g.n_chars, g.cum_all, g.n_s,
+             SUM(COALESCE(p.c, 0)) OVER (PARTITION BY g.source
+                 ORDER BY g.n_chars ROWS UNBOUNDED PRECEDING) AS cum_in
+      FROM grid g
+      LEFT JOIN per p
+        ON p.source = g.source AND p.n_chars = g.n_chars
+    )
+    SELECT source, CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           round(MAX(abs(CAST(cum_in AS DOUBLE) / n_s
+                 - CAST(cum_all - cum_in AS DOUBLE)
+                   / (grand.n - n_s))), 6) AS ks_stat
+    FROM cum CROSS JOIN grand
+    GROUP BY source ORDER BY source
+    """,
+)
+def q_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit: the exact two-sample
+    Kolmogorov-Smirnov statistic of each source's document-length
+    distribution against the REST of the corpus — the statistical
+    test behind 'did this crawl change shape' monitoring (KS needs
+    no binning choices, unlike the chi-square already in the
+    registry). Exact: both CDFs are ratios of integer cumulative
+    counts evaluated on the observed support, where the sup of the
+    difference is attained. The grid is a stats-table cross product
+    (|sources| × |distinct lengths| — bounded model-sized frames,
+    never row-level data)."""
+    d = _t(spark, sf_dir, "documents")
+    per = d.groupBy("source", "n_chars").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per.groupBy("source").agg(F.sum("c").alias("n_s"))
+    grand = per.agg(F.sum("c").cast("bigint").alias("n"))
+    gx = (
+        per.groupBy("n_chars")
+        .agg(F.sum("c").alias("cx"))
+        .withColumn(
+            "cum_all",
+            F.sum("cx").over(
+                Window.orderBy("n_chars").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .drop("cx")
+    )
+    grid = tot.crossJoin(gx)
+    cum = grid.join(per, ["source", "n_chars"], "left").withColumn(
+        "cum_in",
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).over(
+            Window.partitionBy("source")
+            .orderBy("n_chars")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    scored = agg.attach_scalar(cum, grand).withColumn(
+        "d",
+        F.abs(
+            F.col("cum_in").cast("double") / F.col("n_s")
+            - (F.col("cum_all") - F.col("cum_in")).cast("double")
+            / (F.col("n") - F.col("n_s"))
+        ),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.max("n_s").cast("bigint").alias("n_docs"),
+            F.round(F.max("d"), 6).alias("ks_stat"),
+        )
+        .orderBy("source")
+    )

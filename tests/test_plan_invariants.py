@@ -121,6 +121,9 @@ SWEEP = [
 # bm25_search's one-row corpus-stats broadcast (its kw side), so it
 # is excluded with it; its vector side (ann_lsh_topk machinery) and
 # fusion join are equi-joins covered by the swept entries.
+# length_drift_ks cross-joins two BOUNDED stats tables (|sources| ×
+# |distinct lengths| — model-sized, never row-level data), the same
+# documented exclusion class.
 
 FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
