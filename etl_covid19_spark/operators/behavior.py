@@ -292,3 +292,89 @@ def cohort_retention(
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct(user).alias("users"))
     )
+
+
+def item_cooccurrence(
+    user_items: DataFrame,
+    min_support: int = 20,
+    max_items_per_user: int | None = 10_000,
+    user: str = "user_id",
+    item: str = "item",
+) -> DataFrame:
+    """Market-basket co-occurrence with lift + Jaccard over a DISTINCT
+    (user, item) incidence — the collaborative-filtering primitive
+    behind 'users who touched X also touched Y'.
+
+    Heavy-key discipline (the same `max_events_per_key` pattern as
+    `event_sequences`): the pair self-join on ``user`` has join
+    degree = items-per-user SQUARED, so one bot user touching 10^5
+    distinct items would emit 10^10 pairs from a single key. Each
+    user is therefore capped to their first ``max_items_per_user``
+    items (row_number over the deterministic item order — one
+    Exchange, reused by the join), which bounds any single key's
+    pair fan-out to cap^2 regardless of input skew; a
+    ``truncated_users`` scalar column marks how many users were cut
+    so the consumer sees the approximation. Item supports and the
+    user universe are computed from the SAME capped incidence, so
+    lift/jaccard stay internally consistent. Pass None to disable
+    (exact, unbounded — small curated catalogs only)."""
+    ui = user_items.select(
+        F.col(user).alias("user_id"), F.col(item).alias("item")
+    ).distinct()
+    if max_items_per_user is None:
+        capped = ui
+        trunc = ui.agg(F.lit(0).cast("bigint").alias("truncated_users"))
+    else:
+        w = Window.partitionBy("user_id").orderBy("item")
+        ranked = ui.select(
+            "user_id", "item", F.row_number().over(w).alias("_rn")
+        )
+        capped = ranked.where(
+            F.col("_rn") <= max_items_per_user
+        ).select("user_id", "item")
+        trunc = ranked.agg(
+            F.count_distinct(
+                F.when(F.col("_rn") > max_items_per_user, F.col("user_id"))
+            )
+            .cast("bigint")
+            .alias("truncated_users")
+        )
+    cnt = capped.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
+    scalars = capped.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    a = capped.select("user_id", F.col("item").alias("item_a"))
+    b = capped.select("user_id", F.col("item").alias("item_b"))
+    co = (
+        a.join(b, "user_id")
+        .where(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
+    cb = cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
+    from . import aggregates as agg
+
+    scored = agg.attach_scalar(
+        agg.attach_scalar(
+            co.join(ca, "item_a").join(cb, "item_b"), scalars
+        ),
+        trunc,
+    ).select(
+        "item_a",
+        "item_b",
+        "n_both",
+        F.round(
+            F.col("n_both").cast("double")
+            * F.col("n_users")
+            / (F.col("na") * F.col("nb")),
+            6,
+        ).alias("lift"),
+        F.round(
+            F.col("n_both").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_both")),
+            6,
+        ).alias("jaccard"),
+        "truncated_users",
+    )
+    return scored.where(F.col("n_both") >= min_support)

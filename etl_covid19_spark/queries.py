@@ -9343,10 +9343,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "item_cooccurrence",
     oracle="""
-    WITH ui AS (
+    WITH ui0 AS (
       SELECT DISTINCT user_id,
              CAST(json_extract_string(props, '$.k') AS INT) AS item
       FROM events
+    ),
+    ranked AS (
+      SELECT user_id, item,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
+      FROM ui0
+    ),
+    ui AS (SELECT user_id, item FROM ranked WHERE rn <= 200),
+    tr AS (
+      SELECT CAST(COUNT(DISTINCT CASE WHEN rn > 200 THEN user_id END)
+                  AS BIGINT) AS truncated_users
+      FROM ranked
     ),
     cnt AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY item),
     u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ui),
@@ -9360,11 +9371,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(n_both AS DOUBLE) * n_users
                  / (ca.n * cb.n), 6) AS lift,
            round(CAST(n_both AS DOUBLE)
-                 / (ca.n + cb.n - n_both), 6) AS jaccard
+                 / (ca.n + cb.n - n_both), 6) AS jaccard,
+           truncated_users
     FROM co
     JOIN cnt ca ON ca.item = co.item_a
     JOIN cnt cb ON cb.item = co.item_b
     CROSS JOIN u
+    CROSS JOIN tr
     WHERE n_both >= 20
     ORDER BY lift DESC, item_a ASC, item_b ASC
     LIMIT 20
@@ -9375,53 +9388,33 @@ def q_item_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     top item pairs by lift (and their user-set Jaccard) — the
     collaborative-filtering primitive behind 'users who touched X
     also touched Y'. The user-item incidence is DISTINCT'd first so
-    heavy users count once per item; the pair join is keyed on
-    user_id with join degree = items-per-user (bounded by the item
-    vocabulary — at web scale you additionally cap items per user,
-    the same heavy-key discipline as the timeline operators). Lift
-    and Jaccard are double ratios of exact integer counts."""
+    heavy users count once per item, then CAPPED at 200 items per
+    user (`operators/behavior.py::item_cooccurrence` — row_number
+    over the deterministic item order, `truncated_users` scalar in
+    the output) so the pair self-join's per-key fan-out is bounded
+    by cap² regardless of skew: one bot user touching 10⁵ items
+    would otherwise emit 10¹⁰ pairs from a single key. Same
+    heavy-key discipline as `event_sequences`' max_events_per_key.
+    Lift and Jaccard are double ratios of exact integer counts
+    computed from the SAME capped incidence (internally
+    consistent); the oracle applies the identical cap."""
+    from etl_covid19_spark.operators import behavior as BHV
+
     ev = _t(spark, sf_dir, "events")
     ui = ev.select(
         "user_id",
         json_kit.json_path("props", "$.k").cast("int").alias("item"),
-    ).distinct()
-    cnt = ui.groupBy("item").agg(F.count(F.lit(1)).alias("n"))
-    users = ui.agg(
-        F.countDistinct("user_id").cast("bigint").alias("n_users")
     )
-    a = ui.select(F.col("user_id"), F.col("item").alias("item_a"))
-    b = ui.select(F.col("user_id"), F.col("item").alias("item_b"))
-    co = (
-        a.join(b, "user_id")
-        .where(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(F.count(F.lit(1)).alias("n_both"))
-    )
-    ca = cnt.select(F.col("item").alias("item_a"), F.col("n").alias("na"))
-    cb = cnt.select(F.col("item").alias("item_b"), F.col("n").alias("nb"))
-    scored = agg.attach_scalar(
-        co.join(ca, "item_a").join(cb, "item_b"), users
-    ).select(
-        "item_a",
-        "item_b",
-        "n_both",
-        F.round(
-            F.col("n_both").cast("double")
-            * F.col("n_users")
-            / (F.col("na") * F.col("nb")),
-            6,
-        ).alias("lift"),
-        F.round(
-            F.col("n_both").cast("double")
-            / (F.col("na") + F.col("nb") - F.col("n_both")),
-            6,
-        ).alias("jaccard"),
+    scored = BHV.item_cooccurrence(
+        ui, min_support=20, max_items_per_user=200
     )
     return agg.top_k(
-        scored.where(F.col("n_both") >= 20),
+        scored,
         [F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()],
         20,
-    ).select("item_a", "item_b", "n_both", "lift", "jaccard")
+    ).select(
+        "item_a", "item_b", "n_both", "lift", "jaccard", "truncated_users"
+    )
 
 
 @register(

@@ -264,3 +264,60 @@ def test_sequences_heavy_key_truncation_surfaced(spark):
     assert out[1].seq[:5] == "vvvvv"
     assert not out[2].truncated
     assert out[2].seq == "vcp"  # normal keys byte-identical to exact
+
+
+def test_item_cooccurrence_heavy_user_capped(spark):
+    """Adversarial skew: one bot user touching 10^4 distinct items.
+    Uncapped, that single key alone would emit ~5*10^7 pairs from the
+    self-join; the cap bounds its contribution to C(cap,2) and marks
+    the truncation. Normal users' pairs are exact and unaffected."""
+    from etl_covid19_spark.operators.behavior import item_cooccurrence
+
+    bot = [(999, i) for i in range(10_000)]
+    # 30 normal users all touching items {1, 2} -> pair (1,2) n_both>=30
+    normal = [(u, i) for u in range(30) for i in (1, 2)]
+    ui = spark.createDataFrame(bot + normal, "user_id long, item int")
+    cap = 50
+    out = item_cooccurrence(
+        ui, min_support=1, max_items_per_user=cap
+    ).collect()
+    # bot contributes at most C(50,2) pairs, not C(10000,2)
+    assert len(out) <= cap * (cap - 1) // 2 + 1
+    assert all(r.truncated_users == 1 for r in out)
+    pair = {(r.item_a, r.item_b): r for r in out}
+    # the normal-user pair survives exactly: 31 users hold both 1 and 2
+    # (30 normals + the bot, whose first 50 items include 1 and 2)
+    assert pair[(1, 2)].n_both == 31
+    # supports from the SAME capped incidence: items 1,2 held by 31 each
+    assert pair[(1, 2)].jaccard == round(31 / (31 + 31 - 31), 6)
+
+
+def test_item_cooccurrence_uncapped_matches_exact(spark):
+    """With the cap disabled the operator is exact: brute-force the
+    tiny incidence in Python and compare every pair."""
+    from itertools import combinations
+
+    from etl_covid19_spark.operators.behavior import item_cooccurrence
+
+    rows = [
+        (1, 10), (1, 20), (1, 30),
+        (2, 10), (2, 20),
+        (3, 20), (3, 30),
+        (4, 10), (4, 30),
+    ]
+    ui = spark.createDataFrame(rows, "user_id long, item int")
+    out = {
+        (r.item_a, r.item_b): r.n_both
+        for r in item_cooccurrence(
+            ui, min_support=1, max_items_per_user=None
+        ).collect()
+    }
+    holders = {}
+    for u, i in rows:
+        holders.setdefault(i, set()).add(u)
+    expect = {}
+    for a, b in combinations(sorted(holders), 2):
+        n = len(holders[a] & holders[b])
+        if n:
+            expect[(a, b)] = n
+    assert out == expect
