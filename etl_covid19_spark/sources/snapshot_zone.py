@@ -17,11 +17,23 @@ Layout:
     <path>/data/<commit-id>/part-*.parquet   immutable data files
     <path>/_manifests/v<N>.json              snapshot N's file list
 
-Scope honestly documented: single-writer (the rename makes a racing
-second writer fail loudly on an existing version, not corrupt);
-local/HDFS-style rename atomicity (object stores need a conditional
-PUT or a commit service, same as Delta on S3); no statistics in the
-manifest yet (file pruning still comes from parquet footers).
+MULTI-WRITER commits use optimistic concurrency control, the same
+protocol a real table format uses: the manifest commit is a true
+compare-and-swap (atomic create-exclusive via `os.link`, which
+fails with EEXIST if the version exists — unlike `os.rename`,
+which silently REPLACES an existing target on POSIX and would let
+the last of two racing writers destroy the first's commit). A
+writer that loses the CAS race re-reads the winner's snapshot and
+retries: appends REBASE (their immutable data files are simply
+re-parented onto the new manifest — no data rewrite), while
+delete/merge RECOMPUTE against the new current snapshot (their
+read set may be stale), up to a bounded attempt count before
+raising `CommitConflictError`. Aborted attempts leave only
+unreferenced data files (invisible to readers, vacuumable).
+Filesystem scope: local/HDFS-style link/rename atomicity (object
+stores need a conditional PUT or a commit service, same as Delta
+on S3); no statistics in the manifest yet (file pruning still
+comes from parquet footers).
 
 Reference parity: this subsumes the reference's row-level ``DELETE
 FROM covid19_table WHERE region_name IN (...)``
@@ -41,6 +53,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _FILE = "__sz_file"
+
+# Bounded optimistic retries before a writer gives up. Each retry is
+# preceded by a short jittered backoff so two lockstep writers break
+# symmetry (uuid-derived, not wall-clock randomness).
+_MAX_COMMIT_ATTEMPTS = 20
+
+# Test seam: called between computing a commit and attempting its CAS.
+# Lets a test inject a deterministic competing commit at the exact
+# interleaving point a real race would hit. Always None in production.
+_before_commit_hook = None
+
+
+class CommitConflictError(RuntimeError):
+    """A competing writer committed the target version and the
+    operation exhausted its optimistic retries (or cannot rebase)."""
 
 
 def _manifest_dir(path: str) -> str:
@@ -72,18 +99,20 @@ def _commit(
     parent: int | None,
     meta: dict | None = None,
 ) -> int:
-    """Make a snapshot visible: write the manifest to a temp name,
-    then one atomic rename. A concurrent writer racing to the same
-    version loses the rename (target exists → we fail loudly) —
-    last-writer-wins corruption is impossible because data files are
-    never shared between in-flight commits."""
+    """Make a snapshot visible with a true COMPARE-AND-SWAP: the
+    manifest is fully written (and fsynced) to a temp name, then
+    `os.link`ed to its version path. link(2) is atomic and fails
+    with EEXIST when the target exists — the property `os.rename`
+    does NOT have on POSIX (rename silently REPLACES, so a
+    check-then-rename is a TOCTOU race in which the second of two
+    racing writers would silently destroy the first's commit).
+    Exactly one writer per version can ever win; losers see
+    `CommitConflictError` and decide rebase/recompute upstream.
+    Data files are never shared between in-flight commits, so a
+    losing attempt leaves only invisible, vacuumable orphans."""
     version = (parent + 1) if parent is not None else 0
     os.makedirs(_manifest_dir(path), exist_ok=True)
     target = _manifest_path(path, version)
-    if os.path.exists(target):
-        raise RuntimeError(
-            f"snapshot conflict: v{version} already committed"
-        )
     manifest = {
         "version": version,
         "parent": parent,
@@ -95,8 +124,31 @@ def _commit(
     tmp = target + f".{uuid.uuid4().hex}.tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f)
-    os.rename(tmp, target)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, target)  # atomic create-exclusive: the CAS
+    except FileExistsError:
+        raise CommitConflictError(
+            f"snapshot conflict: v{version} already committed"
+        ) from None
+    finally:
+        os.unlink(tmp)
+    # Durability of the directory entry itself (link visible after a
+    # crash) — same discipline as a WAL segment rename.
+    dfd = os.open(_manifest_dir(path), os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
     return version
+
+
+def _backoff(attempt: int) -> None:
+    """Jittered backoff between optimistic retries. Deterministic
+    inputs only (uuid entropy, not wall-clock): two lockstep losers
+    must desynchronize or they re-collide every round."""
+    time.sleep(min(0.2, 0.005 * (attempt + 1)) * (1 + uuid.uuid4().int % 7))
 
 
 def _write_data_files(df: DataFrame, path: str) -> list[str]:
@@ -118,15 +170,30 @@ def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
     """Commit df as a new snapshot. ``append`` keeps the parent's
     files; ``overwrite`` replaces the logical table — either way the
     previous snapshot stays readable (time travel) until vacuumed.
+
+    Multi-writer safe: the data files are written ONCE; if a
+    competing writer wins the manifest CAS, the commit REBASES —
+    re-reads the winner's file list and retries with the same
+    immutable data files (append-vs-append and overwrite-vs-anything
+    never conflict semantically, so rebase needs no recompute).
     Returns the committed version."""
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
-    parent = current_version(path)
     new_files = _write_data_files(df, path)
-    base: list[str] = []
-    if mode == "append" and parent is not None:
-        base = _read_manifest(path, parent)["files"]
-    return _commit(path, base + new_files, mode, parent)
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        parent = current_version(path)
+        base: list[str] = []
+        if mode == "append" and parent is not None:
+            base = _read_manifest(path, parent)["files"]
+        if _before_commit_hook is not None:
+            _before_commit_hook()
+        try:
+            return _commit(path, base + new_files, mode, parent)
+        except CommitConflictError:
+            _backoff(attempt)
+    raise CommitConflictError(
+        f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
+    )
 
 
 def snapshot_read(
@@ -151,41 +218,58 @@ def snapshot_delete_where(
     contain matching rows are rewritten (survivors copied into the
     new commit); every other file is carried into the new manifest
     by reference — zero data movement for untouched files, and the
-    pre-delete snapshot remains readable. Returns rows deleted."""
-    parent = current_version(path)
-    if parent is None:
-        return 0
-    cur = snapshot_read(spark, path, parent).withColumn(
-        _FILE, F.input_file_name()
-    )
-    affected = [
-        r[0]
-        for r in cur.filter(predicate).select(_FILE).distinct().collect()
-    ]
-    if not affected:
-        return 0
-    manifest = _read_manifest(path, parent)
-    # input_file_name yields URIs; match manifest entries by basename
-    # (unique by construction: every file name embeds a task UUID)
-    affected_names = {os.path.basename(a) for a in affected}
-    untouched = [
-        f
-        for f in manifest["files"]
-        if os.path.basename(f) not in affected_names
-    ]
-    hit = cur.filter(F.col(_FILE).isin(affected)).persist()
-    try:
-        n_deleted = hit.filter(predicate).count()
-        survivors = hit.filter(~predicate).drop(_FILE)
-        new_files = (
-            _write_data_files(survivors, path)
-            if survivors.limit(1).count()
-            else []
+    pre-delete snapshot remains readable.
+
+    Multi-writer safe by RECOMPUTE: unlike append, a delete's read
+    set (which files contain matching rows) goes stale the moment a
+    competing commit lands — a rebase could resurrect deleted rows
+    (winner re-adds a file we already rewrote) or miss new matches.
+    So a CAS loss re-runs the whole read+rewrite against the
+    winner's snapshot; the stale attempt's files become invisible
+    orphans. Returns rows deleted."""
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        parent = current_version(path)
+        if parent is None:
+            return 0
+        cur = snapshot_read(spark, path, parent).withColumn(
+            _FILE, F.input_file_name()
         )
-    finally:
-        hit.unpersist(blocking=False)
-    _commit(path, untouched + new_files, "delete", parent)
-    return n_deleted
+        affected = [
+            r[0]
+            for r in cur.filter(predicate).select(_FILE).distinct().collect()
+        ]
+        if not affected:
+            return 0
+        manifest = _read_manifest(path, parent)
+        # input_file_name yields URIs; match manifest entries by basename
+        # (unique by construction: every file name embeds a task UUID)
+        affected_names = {os.path.basename(a) for a in affected}
+        untouched = [
+            f
+            for f in manifest["files"]
+            if os.path.basename(f) not in affected_names
+        ]
+        hit = cur.filter(F.col(_FILE).isin(affected)).persist()
+        try:
+            n_deleted = hit.filter(predicate).count()
+            survivors = hit.filter(~predicate).drop(_FILE)
+            new_files = (
+                _write_data_files(survivors, path)
+                if survivors.limit(1).count()
+                else []
+            )
+        finally:
+            hit.unpersist(blocking=False)
+        if _before_commit_hook is not None:
+            _before_commit_hook()
+        try:
+            _commit(path, untouched + new_files, "delete", parent)
+            return n_deleted
+        except CommitConflictError:
+            _backoff(attempt)
+    raise CommitConflictError(
+        f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
+    )
 
 
 def snapshot_merge_upsert(
@@ -195,42 +279,56 @@ def snapshot_merge_upsert(
     key are rewritten with superseded rows replaced; unmatched
     update rows are inserted; untouched files carry by reference.
     The key-bearing-file search is a semi-join on `keys` — at scale
-    it shuffles the (small) update key set, not the zone. Returns
-    the committed version."""
-    parent = current_version(path)
-    if parent is None:
-        return snapshot_write(updates, path, mode="overwrite")
-    cur = snapshot_read(spark, path, parent).withColumn(
-        _FILE, F.input_file_name()
+    it shuffles the (small) update key set, not the zone.
+
+    Multi-writer safe by RECOMPUTE (same reasoning as
+    `snapshot_delete_where`: a merge's affected-file read set is
+    invalidated by any competing commit, so a CAS loss re-runs the
+    semi-join + rewrite against the winner's snapshot). Returns the
+    committed version."""
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        parent = current_version(path)
+        if parent is None:
+            return snapshot_write(updates, path, mode="overwrite")
+        cur = snapshot_read(spark, path, parent).withColumn(
+            _FILE, F.input_file_name()
+        )
+        key_df = updates.select(*keys)
+        affected = [
+            r[0]
+            for r in cur.join(key_df, on=keys, how="left_semi")
+            .select(_FILE)
+            .distinct()
+            .collect()
+        ]
+        manifest = _read_manifest(path, parent)
+        affected_names = {os.path.basename(a) for a in affected}
+        untouched = [
+            f
+            for f in manifest["files"]
+            if os.path.basename(f) not in affected_names
+        ]
+        kept = (
+            cur.filter(F.col(_FILE).isin(affected))
+            .drop(_FILE)
+            .join(key_df, on=keys, how="left_anti")
+            if affected
+            else None
+        )
+        cols = [c for c in cur.columns if c != _FILE]
+        merged = updates.select(*cols)
+        if kept is not None:
+            merged = kept.unionByName(merged)
+        new_files = _write_data_files(merged, path)
+        if _before_commit_hook is not None:
+            _before_commit_hook()
+        try:
+            return _commit(path, untouched + new_files, "merge", parent)
+        except CommitConflictError:
+            _backoff(attempt)
+    raise CommitConflictError(
+        f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
     )
-    key_df = updates.select(*keys)
-    affected = [
-        r[0]
-        for r in cur.join(key_df, on=keys, how="left_semi")
-        .select(_FILE)
-        .distinct()
-        .collect()
-    ]
-    manifest = _read_manifest(path, parent)
-    affected_names = {os.path.basename(a) for a in affected}
-    untouched = [
-        f
-        for f in manifest["files"]
-        if os.path.basename(f) not in affected_names
-    ]
-    kept = (
-        cur.filter(F.col(_FILE).isin(affected))
-        .drop(_FILE)
-        .join(key_df, on=keys, how="left_anti")
-        if affected
-        else None
-    )
-    cols = [c for c in cur.columns if c != _FILE]
-    merged = updates.select(*cols)
-    if kept is not None:
-        merged = kept.unionByName(merged)
-    new_files = _write_data_files(merged, path)
-    return _commit(path, untouched + new_files, "merge", parent)
 
 
 def last_committed_epoch(path: str) -> int | None:
@@ -269,19 +367,34 @@ def streaming_snapshot_sink(path: str):
         last = last_committed_epoch(path)
         if last is not None and batch_id <= last:
             return  # replay of an already-committed epoch
-        parent = current_version(path)
         new_files = _write_data_files(batch_df, path)
-        base = (
-            _read_manifest(path, parent)["files"]
-            if parent is not None
-            else []
-        )
-        _commit(
-            path,
-            base + new_files,
-            "stream-append",
-            parent,
-            meta={"epoch": batch_id},
+        for attempt in range(_MAX_COMMIT_ATTEMPTS):
+            # Re-check the epoch ledger inside the loop: the CAS loser
+            # may discover the competing commit WAS this very epoch
+            # (two replayed drivers racing) — then skipping, not
+            # retrying, is what keeps exactly-once.
+            last = last_committed_epoch(path)
+            if last is not None and batch_id <= last:
+                return
+            parent = current_version(path)
+            base = (
+                _read_manifest(path, parent)["files"]
+                if parent is not None
+                else []
+            )
+            try:
+                _commit(
+                    path,
+                    base + new_files,
+                    "stream-append",
+                    parent,
+                    meta={"epoch": batch_id},
+                )
+                return
+            except CommitConflictError:
+                _backoff(attempt)
+        raise CommitConflictError(
+            f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
         )
 
     return commit_batch

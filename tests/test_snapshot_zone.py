@@ -135,3 +135,120 @@ def test_streaming_sink_is_exactly_once(spark, tmp_path):
     sink(spark.range(100, 130).selectExpr("id", "id % 5 AS k"), epoch + 1)
     assert sz.snapshot_read(spark, path).count() == 130
     assert sz.last_committed_epoch(path) == epoch + 1
+
+
+def test_cas_rejects_duplicate_version(spark, tmp_path):
+    """The commit primitive itself: exactly one writer can own a
+    version. os.link's EEXIST is atomic — no check-then-rename
+    window in which a second writer could silently replace the
+    first's manifest (os.rename REPLACES on POSIX)."""
+    path = str(tmp_path / "casz")
+    df = spark.range(5).selectExpr("id", "id AS k")
+    files = sz._write_data_files(df, path)
+    assert sz._commit(path, files, "append", parent=None) == 0
+    with pytest.raises(sz.CommitConflictError):
+        sz._commit(path, files, "append", parent=None)
+    # the losing attempt must not have clobbered the winner
+    assert sz._read_manifest(path, 0)["files"] == sorted(files)
+
+
+def test_append_append_race_rebases_no_commit_lost(spark, tmp_path):
+    """Two interleaved appenders: writer A computes parent=v0, then
+    writer B lands v1 before A's CAS. A must lose exactly once,
+    rebase onto B's manifest, and commit v2 containing BOTH
+    writers' files — no committed file lost, no data rewritten."""
+    path = str(tmp_path / "racez")
+    base = spark.range(10).selectExpr("id", "id AS k")
+    a_df = spark.range(100, 110).selectExpr("id", "id AS k")
+    b_df = spark.range(200, 210).selectExpr("id", "id AS k")
+    sz.snapshot_write(base, path, mode="overwrite")  # v0
+
+    state = {"fired": 0}
+
+    def competing_commit():
+        if state["fired"] == 0:
+            state["fired"] += 1
+            # writer B wins v1 in the window between A's parent read
+            # and A's CAS — the exact interleaving of a real race
+            sz.snapshot_write(b_df, path, mode="append")
+
+    sz._before_commit_hook = competing_commit
+    try:
+        v = sz.snapshot_write(a_df, path, mode="append")
+    finally:
+        sz._before_commit_hook = None
+
+    assert v == 2, "A lost v1 to B and rebased to v2"
+    assert state["fired"] == 1, "exactly one conflicting writer retried"
+    m1, m2 = sz._read_manifest(path, 1), sz._read_manifest(path, 2)
+    # B's v1 files all survive into A's rebased v2
+    assert set(m1["files"]) <= set(m2["files"])
+    got = {
+        r.id for r in sz.snapshot_read(spark, path).select("id").collect()
+    }
+    assert got == set(range(10)) | set(range(100, 110)) | set(range(200, 210))
+
+
+def test_delete_recomputes_against_winner_snapshot(spark, tmp_path):
+    """Delete-vs-append race: the competing append lands rows that
+    MATCH the delete predicate after the delete computed its read
+    set. A rebase would miss them (stale affected-file list); the
+    recompute loop must re-scan the winner's snapshot and delete
+    them too — snapshot isolation with write-write correctness."""
+    path = str(tmp_path / "delrace")
+    df = spark.range(100).selectExpr("id", "id % 4 AS bucket")
+    sz.snapshot_write(df.repartition(4, "bucket"), path, mode="overwrite")
+    late = spark.range(1000, 1010).selectExpr("id", "CAST(3 AS bigint) AS bucket")
+
+    state = {"fired": 0}
+
+    def competing_commit():
+        if state["fired"] == 0:
+            state["fired"] += 1
+            sz.snapshot_write(late, path, mode="append")
+
+    sz._before_commit_hook = competing_commit
+    try:
+        n = sz.snapshot_delete_where(spark, path, F.col("bucket") == 3)
+    finally:
+        sz._before_commit_hook = None
+
+    assert state["fired"] == 1
+    # 25 original bucket-3 rows + 10 late-landing bucket-3 rows
+    assert n == 35
+    cur = sz.snapshot_read(spark, path)
+    assert cur.filter("bucket = 3").count() == 0
+    assert cur.count() == 75
+
+
+def test_merge_recomputes_against_winner_snapshot(spark, tmp_path):
+    """Merge-vs-append race: the winner's appended rows share a key
+    with the merge's updates; the recompute must supersede them
+    instead of double-keeping (a rebase would leave two rows for
+    the same key)."""
+    path = str(tmp_path / "mergerace")
+    df = spark.range(50).selectExpr("id", "id * 10 AS val")
+    sz.snapshot_write(df, path, mode="overwrite")
+    updates = spark.createDataFrame(
+        [(7, 777), (1007, 777)], "id long, val long"
+    )
+    racing = spark.createDataFrame([(7, -1)], "id long, val long")
+
+    state = {"fired": 0}
+
+    def competing_commit():
+        if state["fired"] == 0:
+            state["fired"] += 1
+            sz.snapshot_write(racing, path, mode="append")
+
+    sz._before_commit_hook = competing_commit
+    try:
+        sz.snapshot_merge_upsert(spark, path, updates, keys=["id"])
+    finally:
+        sz._before_commit_hook = None
+
+    assert state["fired"] == 1
+    cur = sz.snapshot_read(spark, path)
+    rows = {r.id: r.val for r in cur.collect()}
+    assert cur.count() == 51, "one row per key: racing id=7 superseded"
+    assert rows[7] == 777 and rows[1007] == 777
