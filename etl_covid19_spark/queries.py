@@ -4190,6 +4190,63 @@ def _knn_graph_oracle(k: int = 5, band_bits: int = 4, n_bands: int = 16) -> str:
     """
 
 
+def _pagerank_oracle(
+    k: int = 5, n_iter: int = 10, damping: float = 0.85, top: int = 50
+) -> str:
+    """GENERATED oracle for PageRank over the kNN graph: a fixed
+    iteration budget needs no fixpoint test, so the loop UNROLLS
+    into n_iter chained CTEs (r0 → r1 → … → rN), each one
+    edge-join + per-dst aggregate — plain ANSI SQL, no recursive
+    aggregation (which standard recursive CTEs disallow). Float
+    parity holds because both engines run the identical IEEE op
+    sequence: per-round sums are DECIMAL(38,18)-accumulated then
+    cast to DOUBLE (partition- and engine-invariant), and every
+    scalar constant is CAST to DOUBLE so DuckDB's decimal literals
+    can't change the arithmetic. Dangling mass is redistributed
+    exactly as the operator does (graph.pagerank)."""
+    d = f"CAST({damping} AS DOUBLE)"
+    parts = [
+        f"WITH knn AS MATERIALIZED ({_knn_graph_oracle(k=k)}),",
+        "edges AS MATERIALIZED (SELECT src, dst FROM knn),",
+        "verts AS (SELECT DISTINCT v FROM (SELECT src AS v FROM edges"
+        " UNION ALL SELECT dst AS v FROM edges)),",
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM verts),",
+        "deg AS (SELECT src AS vertex, COUNT(*) AS out_deg"
+        " FROM edges GROUP BY src),",
+        "r0 AS MATERIALIZED (SELECT v.v AS vertex, g.out_deg,"
+        " CAST(1.0 AS DOUBLE) / nn.n AS rank"
+        " FROM verts v LEFT JOIN deg g ON g.vertex = v.v CROSS JOIN nn),",
+    ]
+    for i in range(n_iter):
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS vertex,"
+            " CAST(SUM(CAST(r.rank / r.out_deg AS DECIMAL(38,18)))"
+            " AS DOUBLE) AS contrib"
+            f" FROM edges e JOIN r{i} r"
+            " ON r.vertex = e.src AND r.out_deg IS NOT NULL"
+            " GROUP BY e.dst),"
+        )
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT COALESCE(CAST(SUM(CAST(rank AS"
+            " DECIMAL(38,18))) AS DOUBLE), CAST(0.0 AS DOUBLE)) AS m"
+            f" FROM r{i} WHERE out_deg IS NULL),"
+        )
+        parts.append(
+            f"r{i + 1} AS MATERIALIZED (SELECT r.vertex, r.out_deg,"
+            f" (CAST(1.0 AS DOUBLE) - {d}) / nn.n"
+            f" + {d} * (COALESCE(c.contrib, CAST(0.0 AS DOUBLE))"
+            " + dm.m / nn.n) AS rank"
+            f" FROM r{i} r LEFT JOIN c{i} c ON c.vertex = r.vertex"
+            f" CROSS JOIN d{i} dm CROSS JOIN nn),"
+        )
+    parts.append(
+        f"final AS (SELECT vertex AS vec_id, rank FROM r{n_iter})"
+        f" SELECT vec_id, rank FROM final"
+        f" ORDER BY rank DESC, vec_id ASC LIMIT {top}"
+    )
+    return "\n".join(parts)
+
+
 @register("knn_graph", oracle=_knn_graph_oracle())
 def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph over the embedding corpus: each vector's
@@ -6237,8 +6294,10 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pagerank_similarity",
-    oracle=None,  # iterative fixpoint: not SQL-expressible; rows-only +
-    # unit-test pinning (star/cycle graphs, mass conservation)
+    # Fixed iteration budget → the "iterative fixpoint" objection
+    # dissolves: 10 rounds unroll into 10 chained SQL CTEs with the
+    # identical decimal-accumulated arithmetic (see _pagerank_oracle).
+    oracle=_pagerank_oracle(k=5, n_iter=10, top=50),
 )
 def q_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity-centrality ranking: PageRank over the approximate
@@ -8445,13 +8504,124 @@ def q_incremental_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_vocab_merges", oracle=None)
+def _bpe_training_ctes(n_merges: int, min_count: int) -> list[str]:
+    """Shared CTE rounds for the two BPE oracles (see
+    _bpe_encode_oracle for the full derivation)."""
+    D = "chr(1)"
+    parts = [
+        "WITH toks AS MATERIALIZED (SELECT doc_id,"
+        " list_filter(regexp_split_to_array(trim(text), '\\s+'),"
+        " x -> x <> '') AS ws FROM documents),",
+        "wordocc AS MATERIALIZED (SELECT doc_id, unnest(ws) AS word"
+        " FROM toks),",
+        "vocab AS MATERIALIZED (SELECT word, COUNT(*) AS freq"
+        " FROM wordocc GROUP BY word),",
+        f"w0 AS MATERIALIZED (SELECT word, freq, {D} ||"
+        f" array_to_string(list_append(string_split(word, ''), '</w>'),"
+        f" {D}||{D}) || {D} AS s FROM vocab),",
+    ]
+    for i in range(n_merges):
+        parts.append(
+            f"sy{i} AS MATERIALIZED (SELECT freq,"
+            f" string_split(trim(s, {D}), {D}||{D}) AS syms FROM w{i}),"
+        )
+        parts.append(
+            f"pr{i} AS MATERIALIZED (SELECT t.syms[r.i] AS l,"
+            f" t.syms[r.i + 1] AS r2, SUM(t.freq) AS cnt"
+            f" FROM sy{i} t, unnest(range(1, len(t.syms))) r(i)"
+            " GROUP BY 1, 2),"
+        )
+        parts.append(
+            f"b{i} AS MATERIALIZED (SELECT l, r2, cnt FROM pr{i}"
+            f" WHERE cnt >= {min_count}"
+            " ORDER BY cnt DESC, l ASC, r2 ASC LIMIT 1),"
+        )
+        parts.append(
+            f"w{i + 1} AS MATERIALIZED (SELECT w.word, w.freq,"
+            " CASE WHEN b.l IS NULL THEN w.s ELSE"
+            f" replace(w.s, {D}||b.l||{D}||{D}||b.r2||{D},"
+            f" {D}||b.l||b.r2||{D}) END AS s"
+            f" FROM w{i} w LEFT JOIN b{i} b ON TRUE),"
+        )
+    return parts
+
+
+def _bpe_merges_oracle(n_merges: int = 20, min_count: int = 2) -> str:
+    """GENERATED oracle for the BPE merge TABLE itself: the per-round
+    argmax CTEs (b0..bN-1) from the unrolled training are unioned
+    with their rank; rounds after an early stop are empty (the word
+    table stops changing once no pair reaches min_count, so every
+    later argmax stays empty — the same rows Spark's `break`
+    omits)."""
+    rounds = " UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS rank, l AS \"left\","
+        f" r2 AS \"right\", l || r2 AS merged,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "\n".join(
+        _bpe_training_ctes(n_merges, min_count) + [f"m AS ({rounds})", "SELECT * FROM m ORDER BY rank"]
+    )
+
+
+def _bpe_encode_oracle(n_merges: int = 20, min_count: int = 2) -> str:
+    """GENERATED oracle for BPE encode: the training loop UNROLLS
+    into n_merges chained CTE rounds (same move as _pagerank_oracle
+    — a fixed merge budget is not a fixpoint), so DuckDB re-learns
+    the merge table from scratch and re-encodes, with zero Spark
+    state smuggled in. Two tricks make it plain SQL:
+
+    1. Greedy merge-apply == string replace. Each word's symbol
+       sequence is one string with every symbol wrapped in chr(1)
+       delimiters (`\\x01sym\\x01`, so symbol boundaries are
+       unambiguous — chr(1) never occurs in the corpus, asserted
+       by construction of the delimiter choice); applying merge
+       (l, r) is `replace(s, ·l··r·, ·lr·)`, whose non-overlapping
+       left-to-right scan is EXACTLY the operator's greedy fold
+       (`bpe._apply_merge`): a freshly merged symbol can never
+       re-match within the same pass in either formulation.
+    2. encode == final training state. Every document word is in
+       the training vocabulary, so a word's encoded token count is
+       the length of its round-N symbol sequence — the encode pass
+       is a join from doc words to the trained word table, no
+       second merge replay.
+
+    Each round: re-split symbols → adjacent-pair counts weighted by
+    word freq → argmax with the operator's (cnt desc, l, r)
+    tiebreak (empty under min_count = training stopped; LEFT JOIN
+    ON TRUE makes later rounds no-ops, matching the break). CTEs
+    are MATERIALIZED: each round is referenced multiple times and
+    DuckDB's default inlining would re-derive round i once per
+    downstream reference (exponential)."""
+    D = "chr(1)"
+    parts = _bpe_training_ctes(n_merges, min_count)
+    parts.append(
+        f"wtok AS MATERIALIZED (SELECT word,"
+        f" len(string_split(trim(s, {D}), {D}||{D})) AS n_tok"
+        f" FROM w{n_merges}),"
+        " perdoc AS (SELECT o.doc_id, SUM(w.n_tok) AS n_bpe_tokens"
+        " FROM wordocc o JOIN wtok w ON w.word = o.word"
+        " GROUP BY o.doc_id)"
+        " SELECT d.doc_id,"
+        " CAST(length(d.text) AS BIGINT) AS n_chars,"
+        " CAST(COALESCE(p.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens,"
+        " round(CAST(length(d.text) AS DOUBLE)"
+        " / GREATEST(COALESCE(p.n_bpe_tokens, 0), 1), 6)"
+        " AS chars_per_token"
+        " FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id"
+    )
+    return "\n".join(parts)
+
+
+@register("bpe_vocab_merges", oracle=_bpe_merges_oracle())
 def q_bpe_vocab_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer induction (operators/bpe.py): first 20 merges
-    learned over the corpus word-frequency dictionary. Iterative →
-    no SQL oracle (rows-only at the driver gate, like PageRank);
-    correctness is the exact-match differential against the
-    pure-Python Sennrich-shape reference in tests/test_bpe.py plus
+    learned over the corpus word-frequency dictionary. The oracle
+    re-learns the table from scratch with the training rounds
+    unrolled into SQL CTEs (see _bpe_merges_oracle) — a fixed merge
+    budget is not a fixpoint, so 'iterative' no longer means
+    'rows-only'; tests/test_bpe.py additionally pins against a
+    pure-Python Sennrich-shape reference plus
     compositionality/tie-break/overlap edge pins. Corpus-scale work
     is one map-side-combined token groupBy; every merge round runs
     on the |vocab|-row symbol table and collects one row."""
@@ -8805,16 +8975,17 @@ def q_ann_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("bpe_encode_stats", oracle=None)
+@register("bpe_encode_stats", oracle=_bpe_encode_oracle())
 def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION: train the 20-merge table (bounded
     model parameter, collected once), then re-encode the corpus with
     it and report per-document token counts and chars-per-token
     compression. Map-only corpus pass — the merge folds run
-    per-word inside a transform, no shuffle. Iterative training
-    upstream → rows-only at the driver gate; correctness is the
-    exact-match differential against the pure-Python encoder in
-    tests/test_bpe.py."""
+    per-word inside a transform, no shuffle. The oracle re-derives
+    the merge table independently (unrolled training rounds — see
+    _bpe_encode_oracle), so the hash match covers training AND
+    encoding; tests/test_bpe.py additionally pins both against a
+    pure-Python reference."""
     from etl_covid19_spark.operators.bpe import (
         bpe_merge_table,
         encode_stats,
