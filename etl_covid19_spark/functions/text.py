@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from etl_covid19_spark.operators.parallelism import fan_out
 
 # Small multilingual stopword marker sets for the heuristic
 # language-ID scorer (deterministic, SQL-expressible).
@@ -232,7 +233,7 @@ def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
         T.StructField("n_chars", T.LongType(), True),
     ]
     out_schema = T.StructType(fields)
-    proj = df.select(*keep_cols, text_col)
+    proj = fan_out(df.select(*keep_cols, text_col))
     n_keep = len(keep_cols)
     stop_set = list(EN_STOPWORDS)
 
@@ -361,7 +362,7 @@ def compressibility_arrow(df, keep_cols: list[str], text_col: str):
         T.StructField("n_deflate", T.LongType(), True),
     ]
     out_schema = T.StructType(fields)
-    proj = df.select(*keep_cols, text_col)
+    proj = fan_out(df.select(*keep_cols, text_col))
     n_keep = len(keep_cols)
 
     def kernel(batches):

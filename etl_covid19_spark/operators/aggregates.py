@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from etl_covid19_spark.operators.parallelism import fan_out
 
 
 def grouped_agg(
@@ -306,7 +307,7 @@ def frequent_items(
 
         yield pd.DataFrame({col: list(counters.keys())})
 
-    candidates = df.select(col).mapInPandas(mg, schema=out_schema).distinct()
+    candidates = fan_out(df.select(col)).mapInPandas(mg, schema=out_schema).distinct()
     total = df.agg(F.count(F.lit(1)).alias("_n"))
     counts = (
         df.join(F.broadcast(candidates), [col], "left_semi")

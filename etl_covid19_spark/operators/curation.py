@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_covid19_spark.operators.parallelism import fan_out
 
 from etl_covid19_spark.functions import text
 
@@ -210,7 +211,7 @@ def classifier_scores_arrow(
         T.StructField("_wsum", T.DoubleType(), True),
     ]
     out_schema = T.StructType(fields)
-    proj = df.select(*keep_cols, text_col)
+    proj = fan_out(df.select(*keep_cols, text_col))
     n_keep = len(keep_cols)
     fbias = float(bias)
 
@@ -633,7 +634,7 @@ def repetition_signals_batch(
                 ],
             )
 
-    return df.select(id_col, text_col).mapInPandas(
+    return fan_out(df.select(id_col, text_col)).mapInPandas(
         batches,
         schema=(
             "doc_id long, dup_token_frac double, "

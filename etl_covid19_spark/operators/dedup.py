@@ -160,6 +160,7 @@ def shingle_postings(
 # operators/df_cache for the lifecycle rules
 from etl_covid19_spark.operators.df_cache import SHARED_CACHE as _DF_CACHE
 from etl_covid19_spark.operators.df_cache import corpus_key as _corpus_key
+from etl_covid19_spark.operators.parallelism import fan_out
 
 
 def clear_dedup_caches() -> None:
@@ -439,9 +440,29 @@ def minhash_lsh_pairs(
     )
     cposts = posts.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
     pa, pb = cposts.alias("pa"), cposts.alias("pb")
-    common = (
+    # The candidate-pair semi-join runs BEFORE the pair aggregate,
+    # not after: the sh equi-join emits one row per co-shingled doc
+    # pair per shared shingle (Σ df² over candidate postings — 222M
+    # rows at sf10 for 1.47M candidate pairs), and an unfiltered
+    # groupBy would hold partial-agg state for EVERY co-shingled
+    # pair (measured 1.65 GB of shuffled partials, the dominant
+    # stage warm and cold). Filtering each row against the broadcast
+    # candidate set first bounds the aggregate's key space — and its
+    # shuffle — by the LSH candidate volume the banding already
+    # guarantees.
+    verified = (
         pa.join(pb, on="sh")
         .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .join(
+            F.broadcast(
+                cands.select(
+                    F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
+                )
+            ),
+            on=(F.col("pa.doc_id") == F.col("_ca"))
+            & (F.col("pb.doc_id") == F.col("_cb")),
+            how="left_semi",
+        )
         .groupBy(
             F.col("pa.doc_id").alias("doc_a"),
             F.col("pb.doc_id").alias("doc_b"),
@@ -449,9 +470,6 @@ def minhash_lsh_pairs(
             F.col("pb.n_shingles").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    verified = common.join(
-        F.broadcast(cands), on=["doc_a", "doc_b"], how="left_semi"
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
@@ -1106,8 +1124,24 @@ def minhash_lsh_pairs_incremental(
         on="doc_id",
         how="left_semi",
     ).alias("pb")
-    common = (
+    # Same discipline as minhash_lsh_pairs: the candidate semi-join
+    # runs BEFORE the pair aggregate, so the groupBy's key space (and
+    # its shuffled partial state) is bounded by the LSH candidate
+    # volume, not by every corpus×delta doc pair that happens to
+    # share one shingle (Σ df² of the joined postings).
+    verified = (
         cp.join(dp, on="sh")
+        .join(
+            F.broadcast(
+                cands.select(
+                    F.col("corpus_doc").alias("_cc"),
+                    F.col("delta_doc").alias("_cd"),
+                )
+            ),
+            on=(F.col("pa.doc_id") == F.col("_cc"))
+            & (F.col("pb.doc_id") == F.col("_cd")),
+            how="left_semi",
+        )
         .groupBy(
             F.col("pa.doc_id").alias("corpus_doc"),
             F.col("pb.doc_id").alias("delta_doc"),
@@ -1115,9 +1149,6 @@ def minhash_lsh_pairs_incremental(
             F.col("pb.n_shingles").alias("nb"),
         )
         .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    verified = common.join(
-        F.broadcast(cands), on=["corpus_doc", "delta_doc"], how="left_semi"
     )
     jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
@@ -1154,9 +1185,11 @@ def shingle_postings_arrow(
             T.StructField("sh", T.LongType(), True),
         ]
     )
-    proj = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("_t"),
+    proj = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
     )
 
     def kernel(batches):
@@ -1282,9 +1315,11 @@ def minhash_signatures_arrow(
             ),
         ]
     )
-    proj = df.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        F.col(text_col).alias("_t"),
+    proj = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
     )
 
     def kernel(batches):

@@ -24,6 +24,7 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from etl_covid19_spark.operators.parallelism import fan_out
 from pyspark.sql import types as T
 
 from etl_covid19_spark.functions import media
@@ -89,7 +90,7 @@ def extract_media_meta(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, MEDIA_META_SCHEMA)
+    return fan_out(df.select(id_col, bin_col)).mapInPandas(batches, MEDIA_META_SCHEMA)
 
 
 RESIZE_SCHEMA = T.StructType(
@@ -151,7 +152,7 @@ def resize_images(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, RESIZE_SCHEMA)
+    return fan_out(df.select(id_col, bin_col)).mapInPandas(batches, RESIZE_SCHEMA)
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(
@@ -206,7 +207,7 @@ def audio_features(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields]
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+    return fan_out(df.select(id_col, bin_col)).mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 PIXEL_STATS_SCHEMA = T.StructType(
@@ -250,7 +251,7 @@ def image_pixel_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 rows, columns=[f.name for f in PIXEL_STATS_SCHEMA.fields]
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, PIXEL_STATS_SCHEMA)
+    return fan_out(df.select(id_col, bin_col)).mapInPandas(batches, PIXEL_STATS_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str, every_n: int = 30) -> DataFrame:
@@ -292,7 +293,7 @@ def blob_stats_arrow(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 names=["doc_id", "n_bytes", "magic_bytes"],
             )
 
-    out = df.mapInArrow(batches, schema="doc_id long, n_bytes long, magic_bytes binary")
+    out = fan_out(df).mapInArrow(batches, schema="doc_id long, n_bytes long, magic_bytes binary")
     return out.select(
         "doc_id", "n_bytes", F.upper(F.hex("magic_bytes")).alias("magic")
     )
@@ -332,7 +333,7 @@ def image_ahash_bands(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
                 rows.append((int(doc_id), bands))
             yield pd.DataFrame(rows, columns=[id_col, "bands"])
 
-    return df.select(id_col, bin_col).mapInPandas(
+    return fan_out(df.select(id_col, bin_col)).mapInPandas(
         batches, schema=f"{id_col} long, bands array<int>"
     )
 
@@ -371,6 +372,6 @@ def audio_fingerprint_bands(
                 rows.append((int(doc_id), bands))
             yield pd.DataFrame(rows, columns=[id_col, "bands"])
 
-    return df.select(id_col, bin_col).mapInPandas(
+    return fan_out(df.select(id_col, bin_col)).mapInPandas(
         batches, schema=f"{id_col} long, bands array<int>"
     )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from etl_covid19_spark.operators.parallelism import fan_out
 
 from etl_covid19_spark.functions import vectors
 
@@ -400,7 +401,7 @@ def semantic_dedup(
                 }
             )
 
-    assigned = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    assigned = fan_out(emb.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         _assign,
         schema="_sd_id bigint, cluster_id int, cent_cos double, "
         "_sd_v array<float>",
@@ -595,7 +596,7 @@ def ivf_pq_topk(
                 }
             )
 
-    c = emb.select(F.col(id_col), F.col(vec_col)).mapInPandas(
+    c = fan_out(emb.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         _encode, schema="neighbor_id bigint, bucket int, codes array<int>"
     )
     dtab_sql = "array(" + ",".join(
@@ -826,9 +827,11 @@ def hyperplane_buckets_arrow(
             T.StructField("bucket", T.LongType(), True),
         ]
     )
-    proj = emb.select(
-        F.col(id_col).cast("long").alias(id_name),
-        F.col(vec_col).alias(vec_name),
+    proj = fan_out(
+        emb.select(
+            F.col(id_col).cast("long").alias(id_name),
+            F.col(vec_col).alias(vec_name),
+        )
     )
 
     def kernel(batches):
