@@ -43,19 +43,41 @@ def main() -> None:
         "noop"
     ).mode("overwrite").save()
 
-    # Each query runs three times; the headline value is the min
-    # (steady-state throughput: Janino/JIT compile and ambient host
-    # load excluded — this host swings ±30% between sessions), with
-    # first-run times reported alongside for transparency.
+    # Cold = first in-process run (codegen + cache build + compute);
+    # steady state = MEDIAN of `warm_runs` further runs with the
+    # min/max spread reported per query. This host swings ±30%
+    # ambient between sessions, so a single warm sample made
+    # round-over-round per-query deltas unreadable (two +30%
+    # "regressions" in the round-3 review were noise); the median
+    # resists a single stalled run in either direction, and the
+    # spread column says which deltas are ambient before anyone
+    # reads them as real.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
+    spread: dict[str, dict[str, float]] = {}
     for name, qd in headline.items():
         cold[name] = round(run_query(spark, qd.fn, sf_dir), 3)
         print(f"cold {name}: {cold[name]}s", file=sys.stderr, flush=True)
     for name, qd in headline.items():
-        warm = min(run_query(spark, qd.fn, sf_dir) for _ in range(2))
-        timings[name] = round(min(cold[name], warm), 3)
-        print(f"warm {name}: {timings[name]}s", file=sys.stderr, flush=True)
+        samples = sorted(
+            run_query(spark, qd.fn, sf_dir) for _ in range(warm_runs)
+        )
+        med = samples[len(samples) // 2]
+        timings[name] = round(med, 3)
+        spread[name] = {
+            "min": round(samples[0], 3),
+            "max": round(samples[-1], 3),
+            "rel_spread": round(
+                (samples[-1] - samples[0]) / med, 3
+            ) if med > 0 else 0.0,
+        }
+        print(
+            f"warm {name}: {timings[name]}s "
+            f"[{spread[name]['min']}..{spread[name]['max']}]",
+            file=sys.stderr,
+            flush=True,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -67,6 +89,8 @@ def main() -> None:
                 "queries": timings,
                 "cold_queries": cold,
                 "cold_total": round(sum(cold.values()), 3),
+                "warm_runs": warm_runs,
+                "spread": spread,
                 "sf": sf,
             }
         )
