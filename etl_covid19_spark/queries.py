@@ -10178,3 +10178,220 @@ def q_length_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "filter_funnel",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text,
+             len(toks) AS n_tokens,
+             list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
+                         (a, b) -> a + b)
+               / greatest(len(toks), 1) AS mean_word_len,
+             ((length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               / greatest(len(toks), 1) AS symbol_ratio,
+             len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+               / greatest(len(toks), 1) AS alpha_word_frac,
+             len(list_intersect(
+                   list_distinct(list_transform(toks, x -> lower(x))),
+                   ['the','be','to','of','and','that','have','with']))
+               AS n_stop_distinct
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, text,
+             (n_tokens BETWEEN 50 AND 100000) AS c1,
+             (n_tokens BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3 AND 10) AS c2,
+             (n_tokens BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3 AND 10)
+               AND (symbol_ratio <= 0.1) AS c3,
+             (n_tokens BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3 AND 10)
+               AND (symbol_ratio <= 0.1)
+               AND (alpha_word_frac >= 0.8) AS c4,
+             (n_tokens BETWEEN 50 AND 100000)
+               AND (mean_word_len BETWEEN 3 AND 10)
+               AND (symbol_ratio <= 0.1)
+               AND (alpha_word_frac >= 0.8)
+               AND (n_stop_distinct >= 2) AS c5
+      FROM m
+    ),
+    k AS (
+      SELECT *,
+             c5 AND doc_id = MIN(CASE WHEN c5 THEN doc_id END)
+                             OVER (PARTITION BY text) AS c6
+      FROM c
+    ),
+    n AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n0,
+             CAST(SUM(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(SUM(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4,
+             CAST(SUM(CASE WHEN c5 THEN 1 ELSE 0 END) AS BIGINT) AS n5,
+             CAST(SUM(CASE WHEN c6 THEN 1 ELSE 0 END) AS BIGINT) AS n6
+      FROM k
+    )
+    SELECT * FROM (
+      SELECT 1 AS stage_idx, 'token_count' AS stage, n0 AS docs_in,
+             n1 AS docs_out, n0 - n1 AS dropped,
+             round(CAST(n0 - n1 AS DOUBLE) / greatest(n0, 1), 6) AS drop_frac
+      FROM n
+      UNION ALL SELECT 2, 'word_shape', n1, n2, n1 - n2,
+             round(CAST(n1 - n2 AS DOUBLE) / greatest(n1, 1), 6) FROM n
+      UNION ALL SELECT 3, 'symbol_ratio', n2, n3, n2 - n3,
+             round(CAST(n2 - n3 AS DOUBLE) / greatest(n2, 1), 6) FROM n
+      UNION ALL SELECT 4, 'alpha_words', n3, n4, n3 - n4,
+             round(CAST(n3 - n4 AS DOUBLE) / greatest(n3, 1), 6) FROM n
+      UNION ALL SELECT 5, 'stopwords', n4, n5, n4 - n5,
+             round(CAST(n4 - n5 AS DOUBLE) / greatest(n4, 1), 6) FROM n
+      UNION ALL SELECT 6, 'exact_dedup', n5, n6, n5 - n6,
+             round(CAST(n5 - n6 AS DOUBLE) / greatest(n5, 1), 6) FROM n
+    ) ORDER BY stage_idx
+    """,
+)
+def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter FUNNEL datacard: every curation pipeline publishes
+    not just its survivors but how many documents each rule removed
+    INCREMENTALLY (the FineWeb/Dolma 'removal cascade' table —
+    without it you cannot tell an aggressive rule from a dead one,
+    or notice that a rule upstream starves one downstream).
+    Stages: the five Gopher rules in their published order, then
+    exact dedup keep-first among rule survivors. One corpus pass:
+    per-doc metrics → cumulative stage flags → min-survivor-id
+    window for the dedup stage → a single-row aggregate stacked to
+    one row per stage. The only shuffles are the dedup-key window
+    and the final 1-row agg — the funnel adds NO pass over the
+    corpus beyond what the rules themselves read."""
+    d = _t(spark, sf_dir, "documents")
+    m = CUR.gopher_metrics("text")
+    flags = d.select(
+        "doc_id",
+        "text",
+        (m["n_tokens"].between(50, 100000)).alias("r1"),
+        (m["mean_word_len"].between(3, 10)).alias("r2"),
+        (m["symbol_ratio"] <= 0.1).alias("r3"),
+        (m["alpha_word_frac"] >= 0.8).alias("r4"),
+        (m["n_stop_distinct"] >= 2).alias("r5"),
+    )
+    c = flags.select(
+        "doc_id",
+        "text",
+        F.col("r1").alias("c1"),
+        (F.col("r1") & F.col("r2")).alias("c2"),
+        (F.col("r1") & F.col("r2") & F.col("r3")).alias("c3"),
+        (F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")).alias("c4"),
+        (
+            F.col("r1") & F.col("r2") & F.col("r3") & F.col("r4")
+            & F.col("r5")
+        ).alias("c5"),
+    )
+    w = Window.partitionBy(F.xxhash64("text"), F.length("text"))
+    k = c.withColumn(
+        "c6",
+        F.col("c5")
+        & (
+            F.col("doc_id")
+            == F.min(F.when(F.col("c5"), F.col("doc_id"))).over(w)
+        ),
+    )
+    n = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n0"),
+        *[
+            F.sum(F.col(f"c{i}").cast("bigint"))
+            .cast("bigint")
+            .alias(f"n{i}")
+            for i in range(1, 7)
+        ],
+    )
+    stages = [
+        "token_count", "word_shape", "symbol_ratio",
+        "alpha_words", "stopwords", "exact_dedup",
+    ]
+    stack_expr = ", ".join(
+        f"{i + 1}, '{s}', n{i}, n{i + 1}" for i, s in enumerate(stages)
+    )
+    tall = n.selectExpr(
+        f"stack({len(stages)}, {stack_expr})"
+        " AS (stage_idx, stage, docs_in, docs_out)"
+    )
+    return tall.select(
+        "stage_idx",
+        "stage",
+        "docs_in",
+        "docs_out",
+        (F.col("docs_in") - F.col("docs_out")).alias("dropped"),
+        F.round(
+            (F.col("docs_in") - F.col("docs_out")).cast("double")
+            / F.greatest(F.col("docs_in"), F.lit(1)),
+            6,
+        ).alias("drop_frac"),
+    ).orderBy("stage_idx")
+
+
+@register(
+    "normalized_exact_dedup",
+    oracle=r"""
+    WITH norm AS (
+      SELECT doc_id,
+             text AS raw,
+             trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'),
+               '\s+', ' ', 'g')) AS ntext
+      FROM documents
+    ),
+    g AS (
+      SELECT ntext,
+             CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(COUNT(DISTINCT raw) AS BIGINT) AS n_raw_variants
+      FROM norm GROUP BY ntext
+    )
+    SELECT keeper_doc_id, n_docs, n_raw_variants
+    FROM g WHERE n_docs > 1
+    ORDER BY n_docs DESC, keeper_doc_id ASC
+    LIMIT 50
+    """,
+)
+def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NORMALIZED exact dedup (the C4/CCNet canonicalization step):
+    lowercase → strip non-alphanumerics → collapse whitespace, then
+    group identical normalized bodies. Catches the near-identical
+    variants plain exact dedup misses (case, punctuation,
+    reflowing) at exact-dedup cost: a hash groupBy on
+    (xxhash64(norm), length(norm)) — document bodies shuffle only
+    within dup classes, never corpus-wide; `n_raw_variants > 1`
+    rows are exactly the value-add over `dedup_exact`. Top-50
+    classes by size with deterministic tiebreak."""
+    d = _t(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    g = (
+        d.select("doc_id", F.col("text").alias("raw"), ntext.alias("n"))
+        .groupBy(F.xxhash64("n").alias("_h"), F.length("n").alias("_l"))
+        .agg(
+            F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("raw").cast("bigint").alias("n_raw_variants"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+    return agg.top_k(
+        g.select("keeper_doc_id", "n_docs", "n_raw_variants"),
+        [F.col("n_docs").desc(), F.col("keeper_doc_id").asc()],
+        50,
+    )

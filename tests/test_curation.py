@@ -508,3 +508,61 @@ class TestClassifierKernelParity:
             ).collect()
         }
         assert hof == kern
+
+
+def test_normalized_dedup_catches_case_and_punct_variants(spark, tmp_path):
+    """The value-add over exact dedup: case/punctuation/whitespace
+    variants of one body collapse into one normalized class, and
+    n_raw_variants counts the distinct raw forms."""
+    import os
+
+    from etl_covid19_spark.queries import REGISTRY
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!"),
+            (2, "hello   world"),
+            (3, "HELLO WORLD."),
+            (4, "a different document"),
+            (5, "a different document"),  # exact dup, 1 raw variant
+            (6, "unique text here"),
+        ],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    docs.write.parquet(f"{sf}/documents.parquet")
+    out = {
+        r.keeper_doc_id: r
+        for r in REGISTRY["normalized_exact_dedup"].fn(spark, sf).collect()
+    }
+    assert set(out) == {1, 4}
+    assert out[1].n_docs == 3 and out[1].n_raw_variants == 3
+    assert out[4].n_docs == 2 and out[4].n_raw_variants == 1
+
+
+def test_filter_funnel_is_a_true_cascade(spark):
+    """Funnel invariants at fixture scale: docs_out chains into the
+    next stage's docs_in, counts are monotone non-increasing, and
+    stage 5's survivors equal gopher_quality_filter's pass count."""
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        REGISTRY["filter_funnel"].fn(spark, sf).collect(),
+        key=lambda r: r.stage_idx,
+    )
+    assert [r.stage for r in rows] == [
+        "token_count", "word_shape", "symbol_ratio",
+        "alpha_words", "stopwords", "exact_dedup",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.docs_in == prev.docs_out
+        assert cur.docs_out <= cur.docs_in
+    for r in rows:
+        assert r.dropped == r.docs_in - r.docs_out
+    gopher_pass = (
+        REGISTRY["gopher_quality_filter"].fn(spark, sf)
+        .where("pass").count()
+    )
+    assert rows[4].docs_out == gopher_pass

@@ -44,9 +44,36 @@ COMMENTARY = {
         "document bodies never move."
     ),
     "dedup_minhash_lsh": (
-        "Postings → 128-min signature aggregate → banded self-join on a "
-        "single long band key → broadcast exact verification. Every "
+        "Postings (Arrow gram kernel, fan_out-guarded) → signatures "
+        "straight from the kernel (no wide min aggregate) → banded "
+        "self-join on a single long band key → exact verification whose "
+        "pair aggregate is PRE-filtered by the broadcast candidate set "
+        "(round 4: unfiltered, the sh equi-join's Σ df² co-shingled "
+        "rows — 222M at sf10 — shuffled 1.65 GB of partial-agg state "
+        "for 1.47M real candidate pairs; the semi-join before the "
+        "groupBy bounds agg keys by the banding guarantee). Every "
         "shuffle carries ids/hashes only."
+    ),
+    "filter_funnel": (
+        "The removal-cascade datacard is ONE corpus pass: per-doc rule "
+        "metrics are map-side expressions, cumulative stage flags fold "
+        "into them, the dedup stage is a single (xxhash64, length) "
+        "window, and the funnel itself is a 1-row aggregate stacked to "
+        "6 stage rows — no per-stage re-scan of the corpus."
+    ),
+    "normalized_exact_dedup": (
+        "C4-style canonicalized dedup at exact-dedup cost: the "
+        "normalization chain (lower → strip non-alnum → collapse "
+        "whitespace) is map-side; the only shuffle is the hash groupBy "
+        "on (xxhash64(norm), length(norm)) — normalized bodies shuffle "
+        "only within dup classes, and TakeOrderedAndProject caps the "
+        "driver at 50 rows."
+    ),
+    "item_cooccurrence": (
+        "The pair self-join shuffles the CAPPED user-item incidence "
+        "(row_number ≤ 200 per user, one Exchange reused by the join), "
+        "so a single bot key fans out to at most cap² pairs; supports "
+        "and the user universe aggregate from the same capped frame."
     ),
     "streaming_tumbling": (
         "A real Structured Streaming run: StateStore-backed windowed "
