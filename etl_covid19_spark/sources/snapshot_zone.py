@@ -32,8 +32,11 @@ raising `CommitConflictError`. Aborted attempts leave only
 unreferenced data files (invisible to readers, vacuumable).
 Filesystem scope: local/HDFS-style link/rename atomicity (object
 stores need a conditional PUT or a commit service, same as Delta
-on S3); no statistics in the manifest yet (file pruning still
-comes from parquet footers).
+on S3). Manifests carry per-file column [min, max] STATISTICS
+(folded from parquet footers at commit time), so `snapshot_read`
+can prune files against a range predicate WITHOUT opening any
+footer — the manifest-level skipping a real table format does;
+`snapshot_diff` reports file-level deltas between versions.
 
 Reference parity: this subsumes the reference's row-level ``DELETE
 FROM covid19_table WHERE region_name IN (...)``
@@ -166,6 +169,51 @@ def _write_data_files(df: DataFrame, path: str) -> list[str]:
     return files
 
 
+def _file_stats(abs_path: str) -> dict:
+    """Per-column [min, max] for one parquet file, folded across its
+    row groups from the FOOTER statistics (no data read). Numeric
+    and string leaves only — the types a range predicate prunes on;
+    columns without usable stats are simply absent, which readers
+    treat as 'cannot prune' (conservative)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            lo, hi = st.min, st.max
+            if isinstance(lo, bytes):
+                try:
+                    lo, hi = lo.decode(), hi.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(lo, (int, float, str)):
+                continue  # timestamps/decimals: not JSON-portable here
+            name = col.path_in_schema
+            if name in mins:
+                mins[name] = min(mins[name], lo)
+                maxs[name] = max(maxs[name], hi)
+            else:
+                mins[name], maxs[name] = lo, hi
+    return {c: [mins[c], maxs[c]] for c in mins}
+
+
+def _collect_stats(path: str, files: list[str]) -> dict:
+    """Manifest `stats` entries for freshly written files."""
+    return {f: _file_stats(os.path.join(path, f)) for f in files}
+
+
+def _carried_stats(manifest: dict, files: list[str]) -> dict:
+    """Stats of files carried by reference from a parent manifest."""
+    parent_stats = manifest.get("stats", {})
+    return {f: parent_stats[f] for f in files if f in parent_stats}
+
+
 def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
     """Commit df as a new snapshot. ``append`` keeps the parent's
     files; ``overwrite`` replaces the logical table — either way the
@@ -180,15 +228,22 @@ def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
     if mode not in ("append", "overwrite"):
         raise ValueError("mode must be append|overwrite")
     new_files = _write_data_files(df, path)
+    new_stats = _collect_stats(path, new_files)
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         parent = current_version(path)
         base: list[str] = []
+        stats = dict(new_stats)
         if mode == "append" and parent is not None:
-            base = _read_manifest(path, parent)["files"]
+            pm = _read_manifest(path, parent)
+            base = pm["files"]
+            stats.update(_carried_stats(pm, base))
         if _before_commit_hook is not None:
             _before_commit_hook()
         try:
-            return _commit(path, base + new_files, mode, parent)
+            return _commit(
+                path, base + new_files, mode, parent,
+                meta={"stats": stats},
+            )
         except CommitConflictError:
             _backoff(attempt)
     raise CommitConflictError(
@@ -197,18 +252,77 @@ def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
 
 
 def snapshot_read(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    prune: dict | None = None,
 ) -> DataFrame:
     """Read one snapshot (latest by default). Readers never list the
     data directory, so in-flight/crashed writers and unvacuumed old
-    files are invisible by construction."""
+    files are invisible by construction.
+
+    ``prune`` = {column: (lo, hi)} skips every data file whose
+    manifest [min, max] cannot overlap the range (None bound =
+    unbounded side) — manifest-level file skipping, no footer I/O.
+    Pruning is an OPTIMIZATION, not a filter: a kept file may still
+    contain non-matching rows (callers apply the real predicate;
+    files without stats for a pruned column are conservatively
+    kept). Returns an empty frame with the snapshot's schema when
+    everything prunes away."""
     v = current_version(path) if version is None else version
     if v is None:
         raise FileNotFoundError(f"no snapshots at {path}")
-    files = _read_manifest(path, v)["files"]
+    manifest = _read_manifest(path, v)
+    files = manifest["files"]
     if not files:
         raise ValueError(f"snapshot v{v} is empty")
+    if prune:
+        stats = manifest.get("stats", {})
+        files = [
+            f for f in files if _overlaps(stats.get(f, {}), prune)
+        ]
+        if not files:
+            full = spark.read.parquet(
+                os.path.join(path, manifest["files"][0])
+            )
+            return full.limit(0)
     return spark.read.parquet(*[os.path.join(path, f) for f in files])
+
+
+def _overlaps(file_stats: dict, prune: dict) -> bool:
+    """Can this file contain a row satisfying EVERY pruned range?"""
+    for col, (lo, hi) in prune.items():
+        if col not in file_stats:
+            continue  # no stats: cannot exclude
+        fmin, fmax = file_stats[col]
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+    return True
+
+
+def snapshot_diff(path: str, v_from: int, v_to: int) -> dict:
+    """File-level delta between two snapshots: which data files
+    ``v_to`` added and removed relative to ``v_from``, plus the op
+    chain between them — the audit primitive behind incremental
+    consumers ("process only files added since my last read") and
+    change review. Pure manifest arithmetic; no data I/O."""
+    mf, mt = _read_manifest(path, v_from), _read_manifest(path, v_to)
+    from_files, to_files = set(mf["files"]), set(mt["files"])
+    ops = []
+    v = v_to
+    while v is not None and v > v_from:
+        m = _read_manifest(path, v)
+        ops.append({"version": v, "op": m["op"]})
+        v = m["parent"]
+    return {
+        "from_version": v_from,
+        "to_version": v_to,
+        "added": sorted(to_files - from_files),
+        "removed": sorted(from_files - to_files),
+        "ops": list(reversed(ops)),
+    }
 
 
 def snapshot_delete_where(
@@ -262,8 +376,13 @@ def snapshot_delete_where(
             hit.unpersist(blocking=False)
         if _before_commit_hook is not None:
             _before_commit_hook()
+        stats = _carried_stats(manifest, untouched)
+        stats.update(_collect_stats(path, new_files))
         try:
-            _commit(path, untouched + new_files, "delete", parent)
+            _commit(
+                path, untouched + new_files, "delete", parent,
+                meta={"stats": stats},
+            )
             return n_deleted
         except CommitConflictError:
             _backoff(attempt)
@@ -322,8 +441,13 @@ def snapshot_merge_upsert(
         new_files = _write_data_files(merged, path)
         if _before_commit_hook is not None:
             _before_commit_hook()
+        stats = _carried_stats(manifest, untouched)
+        stats.update(_collect_stats(path, new_files))
         try:
-            return _commit(path, untouched + new_files, "merge", parent)
+            return _commit(
+                path, untouched + new_files, "merge", parent,
+                meta={"stats": stats},
+            )
         except CommitConflictError:
             _backoff(attempt)
     raise CommitConflictError(
@@ -368,6 +492,7 @@ def streaming_snapshot_sink(path: str):
         if last is not None and batch_id <= last:
             return  # replay of an already-committed epoch
         new_files = _write_data_files(batch_df, path)
+        new_stats = _collect_stats(path, new_files)
         for attempt in range(_MAX_COMMIT_ATTEMPTS):
             # Re-check the epoch ledger inside the loop: the CAS loser
             # may discover the competing commit WAS this very epoch
@@ -377,18 +502,19 @@ def streaming_snapshot_sink(path: str):
             if last is not None and batch_id <= last:
                 return
             parent = current_version(path)
-            base = (
-                _read_manifest(path, parent)["files"]
-                if parent is not None
-                else []
-            )
+            if parent is not None:
+                pm = _read_manifest(path, parent)
+                base = pm["files"]
+                stats = {**_carried_stats(pm, base), **new_stats}
+            else:
+                base, stats = [], dict(new_stats)
             try:
                 _commit(
                     path,
                     base + new_files,
                     "stream-append",
                     parent,
-                    meta={"epoch": batch_id},
+                    meta={"epoch": batch_id, "stats": stats},
                 )
                 return
             except CommitConflictError:

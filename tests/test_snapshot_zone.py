@@ -252,3 +252,74 @@ def test_merge_recomputes_against_winner_snapshot(spark, tmp_path):
     rows = {r.id: r.val for r in cur.collect()}
     assert cur.count() == 51, "one row per key: racing id=7 superseded"
     assert rows[7] == 777 and rows[1007] == 777
+
+
+def test_manifest_stats_prune_files_without_footer_io(spark, tmp_path):
+    """Manifest-level file skipping: per-file [min, max] recorded at
+    commit time lets a range read skip files entirely from the
+    manifest — and pruning must stay an optimization: pruned read +
+    real filter == full read + real filter."""
+    path = str(tmp_path / "statz")
+    # three disjoint id ranges in three separate commits -> 3+ files
+    for lo in (0, 1000, 2000):
+        sz.snapshot_write(
+            spark.range(lo, lo + 100).selectExpr("id", "id % 7 AS k"),
+            path,
+            mode="append",
+        )
+    m = sz._read_manifest(path, sz.current_version(path))
+    assert set(m["stats"]) == set(m["files"]), "every file has stats"
+    for f, st in m["stats"].items():
+        assert "id" in st and st["id"][0] <= st["id"][1]
+
+    pruned = sz.snapshot_read(spark, path, prune={"id": (1000, 1099)})
+    # only the middle commit's files are read
+    read_files = {os.path.basename(f) for f in pruned.inputFiles()}
+    mid = {
+        os.path.basename(f)
+        for f in m["files"]
+        if m["stats"][f]["id"][0] >= 1000 and m["stats"][f]["id"][1] <= 1099
+    }
+    assert read_files == mid and len(read_files) < len(m["files"])
+    # correctness: same rows as the unpruned read with the filter
+    full = sz.snapshot_read(spark, path).filter("id BETWEEN 1000 AND 1099")
+    assert sorted(r.id for r in pruned.filter(
+        "id BETWEEN 1000 AND 1099").collect()
+    ) == sorted(r.id for r in full.collect())
+
+
+def test_prune_can_skip_everything_and_carries_through_mutations(
+    spark, tmp_path
+):
+    path = str(tmp_path / "statz2")
+    sz.snapshot_write(
+        spark.range(100).selectExpr("id", "id % 4 AS bucket"),
+        path, mode="overwrite",
+    )
+    empty = sz.snapshot_read(spark, path, prune={"id": (10_000, None)})
+    assert empty.count() == 0
+    assert empty.schema == sz.snapshot_read(spark, path).schema
+    # stats survive a delete's carried-by-reference files
+    sz.snapshot_delete_where(spark, path, F.col("bucket") == 3)
+    m = sz._read_manifest(path, sz.current_version(path))
+    assert set(m["stats"]) == set(m["files"])
+
+
+def test_snapshot_diff_reports_file_deltas(spark, tmp_path):
+    path = str(tmp_path / "diffz")
+    sz.snapshot_write(
+        spark.range(100).selectExpr("id", "id % 4 AS bucket"),
+        path, mode="overwrite",
+    )  # v0
+    sz.snapshot_write(
+        spark.range(100, 150).selectExpr("id", "id % 4 AS bucket"),
+        path, mode="append",
+    )  # v1
+    sz.snapshot_delete_where(spark, path, F.col("bucket") == 0)  # v2
+    d = sz.snapshot_diff(path, 0, 2)
+    assert [o["op"] for o in d["ops"]] == ["append", "delete"]
+    m0 = set(sz._read_manifest(path, 0)["files"])
+    m2 = set(sz._read_manifest(path, 2)["files"])
+    assert set(d["added"]) == m2 - m0
+    assert set(d["removed"]) == m0 - m2
+    assert d["removed"], "the delete rewrote at least one v0 file"
