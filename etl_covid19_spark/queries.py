@@ -10395,3 +10395,201 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("n_docs").desc(), F.col("keeper_doc_id").asc()],
         50,
     )
+
+
+@register(
+    "attribution_linear",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_id, ts, event_type, value,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item,
+             COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS seg
+      FROM events
+    ),
+    touches AS (
+      SELECT user_id, seg, item
+      FROM ev WHERE event_type <> 'purchase' AND item IS NOT NULL
+    ),
+    purch AS (
+      SELECT user_id, seg,
+             SUM(CAST(value AS DECIMAL(28,10))) AS seg_value
+      FROM ev WHERE event_type = 'purchase'
+      GROUP BY user_id, seg
+    ),
+    segn AS (
+      SELECT user_id, seg, COUNT(*) AS n_touches
+      FROM touches GROUP BY user_id, seg
+    ),
+    credited AS (
+      SELECT t.item,
+             CAST(p.seg_value AS DOUBLE) / s.n_touches AS credit
+      FROM touches t
+      JOIN segn s ON s.user_id = t.user_id AND s.seg = t.seg
+      JOIN purch p ON p.user_id = t.user_id AND p.seg = t.seg
+    )
+    SELECT item,
+           CAST(COUNT(*) AS BIGINT) AS n_credited_touches,
+           round(CAST(SUM(CAST(credit AS DECIMAL(28,10))) AS DOUBLE), 6)
+             AS attributed_value
+    FROM credited
+    GROUP BY item
+    ORDER BY attributed_value DESC, item ASC
+    LIMIT 20
+    """,
+)
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR (equal-split) multi-touch attribution — the third of
+    the attribution family after first/last touch: each purchase's
+    value divides equally among ALL the user's non-purchase touches
+    since their previous purchase. Segmenting is one running count
+    of preceding purchases over the (user, time) window — a touch
+    and the purchase it precedes share the same segment number, so
+    attribution is an equi-join on (user, segment), never an
+    event-to-event range join. Per-touch credit is a single IEEE
+    division (identical both engines); per-item totals re-enter the
+    proven DECIMAL-accumulate → DOUBLE discipline so the sum is
+    partition-invariant."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        "value",
+        json_kit.json_path("props", "$.k").cast("int").alias("item"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seg = F.count(
+        F.when(F.col("event_type") == "purchase", F.lit(1))
+    ).over(w)
+    e = ev.withColumn("seg", seg)
+    touches = e.where(
+        (F.col("event_type") != "purchase") & F.col("item").isNotNull()
+    ).select("user_id", "seg", "item")
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id", "seg")
+        .agg(
+            F.sum(F.col("value").cast("decimal(28,10)")).alias("seg_value")
+        )
+    )
+    segn = touches.groupBy("user_id", "seg").agg(
+        F.count(F.lit(1)).alias("n_touches")
+    )
+    credited = (
+        touches.join(segn, ["user_id", "seg"])
+        .join(purch, ["user_id", "seg"])
+        .select(
+            "item",
+            (
+                F.col("seg_value").cast("double") / F.col("n_touches")
+            ).alias("credit"),
+        )
+    )
+    out = credited.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_credited_touches"),
+        F.round(
+            F.sum(F.col("credit").cast("decimal(28,10)")).cast("double"),
+            6,
+        ).alias("attributed_value"),
+    )
+    return agg.top_k(
+        out,
+        [F.col("attributed_value").desc(), F.col("item").asc()],
+        20,
+    ).select("item", "n_credited_touches", "attributed_value")
+
+
+@register(
+    "item_item_recs",
+    oracle="""
+    WITH ui0 AS (
+      SELECT DISTINCT user_id,
+             CAST(json_extract_string(props, '$.k') AS INT) AS item
+      FROM events
+    ),
+    ranked AS (
+      SELECT user_id, item,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY item) AS rn
+      FROM ui0
+    ),
+    ui AS (SELECT user_id, item FROM ranked WHERE rn <= 200),
+    cnt AS (SELECT item, COUNT(*) AS n FROM ui GROUP BY item),
+    u AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ui),
+    co AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS n_both
+      FROM ui a JOIN ui b
+        ON a.user_id = b.user_id AND a.item < b.item
+      GROUP BY a.item, b.item
+    ),
+    scored AS (
+      SELECT item_a, item_b, n_both,
+             round(CAST(n_both AS DOUBLE) * n_users
+                   / (ca.n * cb.n), 6) AS lift
+      FROM co
+      JOIN cnt ca ON ca.item = co.item_a
+      JOIN cnt cb ON cb.item = co.item_b
+      CROSS JOIN u
+      WHERE n_both >= 10
+    ),
+    sym AS (
+      SELECT item_a AS src, item_b AS rec, n_both, lift FROM scored
+      UNION ALL
+      SELECT item_b, item_a, n_both, lift FROM scored
+    )
+    SELECT src, rec, n_both, lift, CAST(rnk AS INT) AS rnk FROM (
+      SELECT src, rec, n_both, lift,
+             ROW_NUMBER() OVER (PARTITION BY src
+                                ORDER BY lift DESC, rec ASC) AS rnk
+      FROM sym
+    ) WHERE rnk <= 3
+    ORDER BY src, rnk
+    """,
+)
+def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering RECOMMENDATIONS: each
+    item's top-3 co-items by lift ('users who touched X also
+    touched Y'), built on the SAME capped co-occurrence operator as
+    `item_cooccurrence` (cap² pair-fanout bound) — the pair set is
+    symmetrized (both directions of each a<b pair) and ranked with
+    a per-source window, so no task ever sorts more than one item's
+    candidate list. This is the serving-side artifact the global
+    top-pairs query is the diagnostic for."""
+    from etl_covid19_spark.operators import behavior as BHV
+
+    ev = _t(spark, sf_dir, "events")
+    ui = ev.select(
+        "user_id",
+        json_kit.json_path("props", "$.k").cast("int").alias("item"),
+    )
+    scored = BHV.item_cooccurrence(
+        ui, min_support=10, max_items_per_user=200
+    ).select("item_a", "item_b", "n_both", "lift")
+    sym = scored.select(
+        F.col("item_a").alias("src"),
+        F.col("item_b").alias("rec"),
+        "n_both",
+        "lift",
+    ).unionByName(
+        scored.select(
+            F.col("item_b").alias("src"),
+            F.col("item_a").alias("rec"),
+            "n_both",
+            "lift",
+        )
+    )
+    w = Window.partitionBy("src").orderBy(
+        F.col("lift").desc(), F.col("rec").asc()
+    )
+    return (
+        sym.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= 3)
+        .select("src", "rec", "n_both", "lift", "rnk")
+        .orderBy("src", "rnk")
+    )

@@ -321,3 +321,49 @@ def test_item_cooccurrence_uncapped_matches_exact(spark):
         if n:
             expect[(a, b)] = n
     assert out == expect
+
+
+def test_linear_attribution_splits_value_equally(spark, tmp_path):
+    """Hand-built timeline: purchase credits split equally among the
+    touches since the PREVIOUS purchase only — earlier segments'
+    touches get nothing from later purchases."""
+    import json as _json
+    import os
+
+    from etl_covid19_spark.queries import REGISTRY
+
+    t0 = dt.datetime(2024, 1, 1)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        # user 1: touches on items 10, 20 -> purchase 6.0 (3.0 each);
+        # then touch 30 -> purchase 5.0 (all to 30)
+        (1, 1, t0 + 0 * m, "view", 0.0, _json.dumps({"k": 10})),
+        (1, 2, t0 + 1 * m, "click", 0.0, _json.dumps({"k": 20})),
+        (1, 3, t0 + 2 * m, "purchase", 6.0, _json.dumps({})),
+        (1, 4, t0 + 3 * m, "view", 0.0, _json.dumps({"k": 30})),
+        (1, 5, t0 + 4 * m, "purchase", 5.0, _json.dumps({})),
+        # user 2: purchase with NO preceding touches -> unattributed
+        (2, 6, t0, "purchase", 9.0, _json.dumps({})),
+        # user 2: then one touch on 10 and a purchase 4.0
+        (2, 7, t0 + 1 * m, "view", 0.0, _json.dumps({"k": 10})),
+        (2, 8, t0 + 2 * m, "purchase", 4.0, _json.dumps({})),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_id long, ts timestamp, event_type string,"
+        " value double, props string",
+    )
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    ev.write.parquet(f"{sf}/events.parquet")
+    out = {
+        r.item: r
+        for r in REGISTRY["attribution_linear"].fn(spark, sf).collect()
+    }
+    assert out[10].attributed_value == 3.0 + 4.0  # split + solo
+    assert out[20].attributed_value == 3.0
+    assert out[30].attributed_value == 5.0
+    assert out[10].n_credited_touches == 2
+    # attributed total = 24.0 of purchases minus the 9.0
+    # zero-touch purchase, which credits nobody
+    assert sum(r.attributed_value for r in out.values()) == 15.0
