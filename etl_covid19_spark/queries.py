@@ -10593,3 +10593,150 @@ def q_item_item_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "rec", "n_both", "lift", "rnk")
         .orderBy("src", "rnk")
     )
+
+
+def _hll_portable_parts(p_bits: int = 10):
+    """Shared constants + generated expressions for the PORTABLE
+    HyperLogLog (see q_sketch_distinct_users_portable). Everything
+    is integer or exact-power-of-two double arithmetic, so Spark
+    and DuckDB produce bit-identical estimates:
+
+    - the hash is an affine -> SQUARE -> affine -> square chain mod
+      P (2^31-1): squaring supplies the non-linearity a bare affine
+      map lacks (sequential ids through an affine map alone biased
+      the n>>m regime by +54%, measured; the quadratic chain is
+      within 1σ across n = 5k..200k). Every product stays < 2^62 —
+      ANSI long overflow is a throw, not a wrap;
+    - rho (position of the lowest set bit, 1-based; 32 for w=0) is
+      a generated 31-arm CASE ladder — pure integer comparisons,
+      no log2() float edge cases;
+    - 2^-M terms are 1.0/(1<<M): exact doubles whose sum over ≤2^p
+      buckets spans < 52 mantissa bits, so the SUM is exact under
+      ANY accumulation order — partition-invariant by construction;
+    - the small-range correction m·ln(m/zeros) divides exact
+      integers before one libm ln() call, identical IEEE input on
+      both engines.
+
+    The step expressions are ONE shared string per stage (the
+    arithmetic subset of SQL that Spark and DuckDB parse
+    identically), so the two engines cannot drift."""
+    m = 1 << p_bits
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    a1, b1, a2, b2 = 1103515245, 12345, 1299709, 7919
+    P = 2147483647
+    steps = {
+        "h": f"({a1} * (user_id % {P}) + {b1}) % {P}",
+        "h2": f"(h * h) % {P}",
+        "g": f"({a2} * h2 + {b2}) % {P}",
+        "w": f"(g * g) % {P}",
+        "bucket": f"h2 % {m}",
+    }
+    rho_arms = " ".join(
+        f"WHEN w % {1 << (k + 1)} = {1 << k} THEN {k + 1}"
+        for k in range(31)
+    )
+    rho = f"CASE WHEN w = 0 THEN 32 {rho_arms} END"
+    return m, alpha, steps, rho
+
+
+@register(
+    "sketch_distinct_users_portable",
+    oracle=(lambda: (lambda m, alpha, S, rho: f"""
+    WITH s1 AS (SELECT event_type, {S['h']} AS h FROM events),
+    s2 AS (SELECT event_type, {S['h2']} AS h2 FROM s1),
+    s3 AS (SELECT event_type, h2, {S['g']} AS g FROM s2),
+    s4 AS (SELECT event_type, {S['bucket']} AS bucket,
+                  {S['w']} AS w FROM s3),
+    r AS (SELECT event_type, bucket, {rho} AS rho FROM s4),
+    regs AS (
+      SELECT event_type, bucket, MAX(rho) AS M
+      FROM r GROUP BY event_type, bucket
+    ),
+    s AS (
+      SELECT event_type,
+             SUM(CAST(1.0 AS DOUBLE) / (CAST(1 AS BIGINT) << M))
+               AS s_present,
+             COUNT(*) AS n_present
+      FROM regs GROUP BY event_type
+    ),
+    est AS (
+      SELECT event_type,
+             CAST({alpha!r} AS DOUBLE) * {m} * {m}
+               / (s_present + ({m} - n_present)) AS e_raw,
+             {m} - n_present AS zeros
+      FROM s
+    ),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+      FROM events GROUP BY event_type
+    )
+    SELECT est.event_type,
+           round(CASE WHEN e_raw <= CAST(2.5 AS DOUBLE) * {m} AND zeros > 0
+                      THEN {m} * ln(CAST({m} AS DOUBLE) / zeros)
+                      ELSE e_raw END, 6) AS hll_users,
+           exact_users
+    FROM est JOIN ex ON ex.event_type = est.event_type
+    ORDER BY est.event_type
+    """)(*_hll_portable_parts()))(),
+)
+def q_sketch_distinct_users_portable(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PORTABLE HyperLogLog distinct-user estimate per event type —
+    the engine-agnostic twin of `sketch_distinct_users` (which uses
+    Spark's DataSketches HLL and is therefore estimate-valued /
+    rows-only). This one is built from first principles out of
+    integer hashes, a generated rho CASE ladder, and exact
+    power-of-two sums (`_hll_portable_parts`), so the ESTIMATE
+    ITSELF is deterministic and hash-matches DuckDB running the
+    same arithmetic — an approximate algorithm with an exact
+    differential oracle. Scale shape is the HLL point: the shuffle
+    carries ≤ (types × 2^p) register rows, never the user-id key
+    set; `exact_users` rides along as the self-audit (drop it in
+    production — it is the cost the sketch exists to avoid)."""
+    m, alpha, S, rho = _hll_portable_parts()
+    ev = _t(spark, sf_dir, "events")
+    staged = (
+        ev.selectExpr("event_type", f"{S['h']} AS h")
+        .selectExpr("event_type", f"{S['h2']} AS h2")
+        .selectExpr("event_type", "h2", f"{S['g']} AS g")
+        .selectExpr(
+            "event_type", f"{S['bucket']} AS bucket", f"{S['w']} AS w"
+        )
+    )
+    r = staged.selectExpr("event_type", "bucket", f"{rho} AS rho")
+    regs = r.groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("M")
+    )
+    s = regs.groupBy("event_type").agg(
+        F.sum(
+            F.lit(1.0) / F.expr("shiftleft(CAST(1 AS BIGINT), M)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    est = s.select(
+        "event_type",
+        (
+            F.lit(alpha * m * m)
+            / (F.col("s_present") + (F.lit(m) - F.col("n_present")))
+        ).alias("e_raw"),
+        (F.lit(m) - F.col("n_present")).alias("zeros"),
+    )
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("exact_users")
+    )
+    corrected = F.when(
+        (F.col("e_raw") <= 2.5 * m) & (F.col("zeros") > 0),
+        F.lit(m)
+        * F.log(F.lit(float(m)) / F.col("zeros").cast("double")),
+    ).otherwise(F.col("e_raw"))
+    return (
+        est.join(ex, "event_type")
+        .select(
+            "event_type",
+            F.round(corrected, 6).alias("hll_users"),
+            "exact_users",
+        )
+        .orderBy("event_type")
+    )

@@ -222,3 +222,39 @@ def test_equidepth_approx_agrees_with_exact(spark):
     )
     for a, b in zip(rows, rows[1:]):
         assert a.hi <= b.lo
+
+
+def test_portable_hll_accuracy_across_regimes(spark, tmp_path):
+    """The portable HLL must be ACCURATE, not just deterministic:
+    relative error within ~3x the theoretical 1.04/sqrt(m) in the
+    HLL regime (n >> m), and sane in the linear-counting regime
+    (n << m). Exact cross-engine parity is the differential
+    oracle's job; this pins estimator quality."""
+    import os
+
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    # two regimes in one events table: 'big' has 50k distinct users
+    # (HLL path), 'small' has 200 (linear counting path)
+    big = spark.range(50_000).selectExpr(
+        "id AS user_id", "'big' AS event_type"
+    )
+    small = spark.range(200).selectExpr(
+        "id AS user_id", "'small' AS event_type"
+    )
+    big.unionByName(small).write.parquet(f"{sf}/events.parquet")
+    out = {
+        r.event_type: r
+        for r in REGISTRY["sketch_distinct_users_portable"]
+        .fn(spark, sf)
+        .collect()
+    }
+    m = 1024
+    sigma = 1.04 / (m ** 0.5)  # ~3.25%
+    big_err = abs(out["big"].hll_users - 50_000) / 50_000
+    small_err = abs(out["small"].hll_users - 200) / 200
+    assert big_err < 3 * sigma, f"HLL-regime error {big_err:.3f}"
+    assert small_err < 0.15, f"linear-counting error {small_err:.3f}"
+    assert out["big"].exact_users == 50_000
