@@ -323,3 +323,49 @@ def test_snapshot_diff_reports_file_deltas(spark, tmp_path):
     assert set(d["added"]) == m2 - m0
     assert set(d["removed"]) == m0 - m2
     assert d["removed"], "the delete rewrote at least one v0 file"
+
+
+def test_concurrent_appenders_lose_no_commits(spark, tmp_path):
+    """Live-race stress (no test seam): 6 threads append disjoint id
+    ranges concurrently through the real CAS + rebase path. Every
+    commit must land (6 appends + the base = version 6), every
+    writer's rows must be readable, and the version chain must be a
+    single unbroken parent line."""
+    import threading
+
+    path = str(tmp_path / "stress")
+    sz.snapshot_write(
+        spark.range(10).selectExpr("id", "id AS k"), path,
+        mode="overwrite",
+    )
+    errs = []
+    barrier = threading.Barrier(6)
+
+    def appender(i):
+        try:
+            barrier.wait(timeout=30)
+            df = spark.range(1000 * (i + 1), 1000 * (i + 1) + 50).selectExpr(
+                "id", "id AS k"
+            )
+            sz.snapshot_write(df, path, mode="append")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    threads = [threading.Thread(target=appender, args=(i,)) for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errs, errs
+    assert sz.current_version(path) == 6, "one version per append, none lost"
+    # unbroken parent chain
+    for v in range(1, 7):
+        assert sz._read_manifest(path, v)["parent"] == v - 1
+    got = {r.id for r in sz.snapshot_read(spark, path).select("id").collect()}
+    expect = set(range(10))
+    for i in range(6):
+        expect |= set(range(1000 * (i + 1), 1000 * (i + 1) + 50))
+    assert got == expect, "every writer's rows are present exactly"
+    # stats carried/collected for every live file
+    m = sz._read_manifest(path, 6)
+    assert set(m["stats"]) == set(m["files"])

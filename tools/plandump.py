@@ -69,6 +69,23 @@ COMMENTARY = {
         "only within dup classes, and TakeOrderedAndProject caps the "
         "driver at 50 rows."
     ),
+    "attribution_linear": (
+        "Linear multi-touch attribution with NO event-to-event range "
+        "join: one running purchase-count window segments each user's "
+        "timeline, then touches and purchases meet on an equi-join on "
+        "(user, segment); per-item totals decimal-accumulate."
+    ),
+    "item_item_recs": (
+        "Symmetrized capped co-occurrence pairs ranked per source item "
+        "by a window — no task sorts more than one item's candidate "
+        "list, and the pair fan-out stays bounded by the per-user cap."
+    ),
+    "sketch_distinct_users_portable": (
+        "The HLL shuffle carries at most types × 1024 register rows "
+        "(two hash projections are map-side; the register MAX is one "
+        "hash aggregate) — never the user-id key set. The exact "
+        "count-distinct rides along only as the self-audit."
+    ),
     "item_cooccurrence": (
         "The pair self-join shuffles the CAPPED user-item incidence "
         "(row_number ≤ 200 per user, one Exchange reused by the join), "
