@@ -549,3 +549,47 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         if int(os.path.basename(mp)[1:-5]) not in keep:
             os.remove(mp)
     return deleted
+
+
+def snapshot_added_rows(
+    spark: SparkSession,
+    path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Incremental CONSUMPTION: the rows in data files ADDED after
+    ``since_version`` — the cheap path a downstream job uses to
+    process only what's new since its last run (file-level change
+    data feed). Exact for append-only history; after a delete/merge
+    the added files also contain REWRITTEN survivors (standard
+    file-level CDF caveat — use `snapshot_row_diff` when row-exact
+    deltas across mutations are required). Returns an empty frame
+    with the table schema when nothing was added."""
+    v_to = current_version(path) if to_version is None else to_version
+    if v_to is None:
+        raise FileNotFoundError(f"no snapshots at {path}")
+    added = snapshot_diff(path, since_version, v_to)["added"]
+    if not added:
+        return snapshot_read(spark, path, v_to).limit(0)
+    return spark.read.parquet(*[os.path.join(path, f) for f in added])
+
+
+def snapshot_row_diff(
+    spark: SparkSession,
+    path: str,
+    v_from: int,
+    v_to: int,
+) -> DataFrame:
+    """EXACT row-level delta between two snapshots: every row with a
+    different multiplicity in v_to vs v_from, tagged '+' (insert) or
+    '-' (delete); an update surfaces as one of each. Computed with
+    two exceptAll passes, so duplicate rows diff by multiplicity,
+    not set-membership. Scale shape: a full compare is inherently a
+    shuffle of both snapshots' rows — this is the audit/backfill
+    tool; incremental consumers should prefer `snapshot_added_rows`
+    (file-level, reads only new files)."""
+    a = snapshot_read(spark, path, v_from)
+    b = snapshot_read(spark, path, v_to)
+    added = b.exceptAll(a).withColumn("_change", F.lit("+"))
+    removed = a.exceptAll(b).withColumn("_change", F.lit("-"))
+    return added.unionByName(removed)
