@@ -10740,3 +10740,81 @@ def q_sketch_distinct_users_portable(
         )
         .orderBy("event_type")
     )
+
+
+def _weighted_sample_parts(alpha: float = 0.7, k: int = 200):
+    """Shared expressions for the deterministic weighted sampler
+    (Efraimidis-Spirakis priority sampling): u comes from the same
+    quadratic hash chain as the portable HLL but seeded by doc_id,
+    mapped into (0, 1] by dividing by 2^31 (a power of two — the
+    division is EXACT, so u is bit-identical across engines); the
+    priority is ln(u) · n_source^(1-alpha) (equivalent ordering to
+    the textbook u^(1/w) with per-doc weight w = n^(alpha-1), via
+    one ln/exp pair — the only libm calls, applied to identical
+    IEEE inputs)."""
+    P = 2147483647
+    steps = {
+        "h": f"(1103515245 * (doc_id % {P}) + 12345) % {P}",
+        "h2": f"(h * h) % {P}",
+        "g": f"(1299709 * h2 + 7919) % {P}",
+        "w4": f"(g * g) % {P}",
+        "u": f"CAST(w4 + 1 AS DOUBLE) / 2147483648",
+        "inv_w": f"exp(CAST({1.0 - alpha!r} AS DOUBLE) * ln(CAST(n_src AS DOUBLE)))",
+        "priority": "ln(u) * inv_w",
+    }
+    return steps, k
+
+
+@register(
+    "weighted_corpus_sample",
+    oracle=(lambda: (lambda S, k: f"""
+    WITH cnt AS (
+      SELECT source, COUNT(*) AS n_src FROM documents GROUP BY source
+    ),
+    s1 AS (
+      SELECT d.doc_id, d.source, c.n_src, {S['h']} AS h
+      FROM documents d JOIN cnt c ON c.source = d.source
+    ),
+    s2 AS (SELECT doc_id, source, n_src, {S['h2']} AS h2 FROM s1),
+    s3 AS (SELECT doc_id, source, n_src, {S['g']} AS g FROM s2),
+    s4 AS (SELECT doc_id, source, n_src, {S['w4']} AS w4 FROM s3),
+    s5 AS (SELECT doc_id, source, n_src, {S['u']} AS u FROM s4),
+    s6 AS (SELECT doc_id, source, u, {S['inv_w']} AS inv_w FROM s5),
+    keyed AS (SELECT doc_id, source, {S['priority']} AS priority FROM s6)
+    SELECT doc_id, source FROM keyed
+    ORDER BY priority DESC, doc_id ASC
+    LIMIT {k}
+    """)(*_weighted_sample_parts()))(),
+)
+def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED corpus sampling (Efraimidis-Spirakis
+    2006 priority sampling): draw exactly k documents with
+    per-source inclusion odds ∝ n_source^alpha — the reproducible
+    one-pass alternative to quota allocation (`temperature_mix`):
+    no per-group quotas, no rejection, a re-run or a resumed job
+    selects the IDENTICAL sample because the 'randomness' is the
+    quadratic hash of doc_id. Scale shape: the per-doc priority is
+    map-side (source counts broadcast), and exactly-k selection is
+    TakeOrderedAndProject — each partition keeps k candidates, the
+    driver merges; no global sort. The textbook u^(1/w) ordering is
+    computed as ln(u)·n^(1-alpha) so both engines run one identical
+    ln/exp pair instead of pow()."""
+    S, k = _weighted_sample_parts()
+    d = _t(spark, sf_dir, "documents")
+    cnt = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_src"))
+    staged = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(cnt), "source")
+        .selectExpr("doc_id", "source", "n_src", f"{S['h']} AS h")
+        .selectExpr("doc_id", "source", "n_src", f"{S['h2']} AS h2")
+        .selectExpr("doc_id", "source", "n_src", f"{S['g']} AS g")
+        .selectExpr("doc_id", "source", "n_src", f"{S['w4']} AS w4")
+        .selectExpr("doc_id", "source", "n_src", f"{S['u']} AS u")
+        .selectExpr("doc_id", "source", "u", f"{S['inv_w']} AS inv_w")
+        .selectExpr("doc_id", "source", f"{S['priority']} AS priority")
+    )
+    return agg.top_k(
+        staged,
+        [F.col("priority").desc(), F.col("doc_id").asc()],
+        k,
+    ).select("doc_id", "source")

@@ -258,3 +258,34 @@ def test_portable_hll_accuracy_across_regimes(spark, tmp_path):
     assert big_err < 3 * sigma, f"HLL-regime error {big_err:.3f}"
     assert small_err < 0.15, f"linear-counting error {small_err:.3f}"
     assert out["big"].exact_users == 50_000
+
+
+def test_weighted_sample_upsamples_tail_and_reproduces(spark, tmp_path):
+    """alpha = 0.7 priority sampling must (a) upsample the tail
+    source beyond its proportional share and (b) reproduce the
+    IDENTICAL sample on re-run — the property that makes a resumed
+    100 TB sampling job emit the same dataset."""
+    import os
+
+    from etl_covid19_spark.queries import REGISTRY
+
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    big = spark.range(9000).selectExpr(
+        "id AS doc_id", "'common' AS source"
+    )
+    tail = spark.range(9000, 10_000).selectExpr(
+        "id AS doc_id", "'rare' AS source"
+    )
+    big.unionByName(tail).write.parquet(f"{sf}/documents.parquet")
+    fn = REGISTRY["weighted_corpus_sample"].fn
+    rows = fn(spark, sf).collect()
+    assert len(rows) == 200
+    n_rare = sum(1 for r in rows if r.source == "rare")
+    # proportional would give ~20; temperature-0.7 odds boost the
+    # tail ~1.9x -> expect ~35. Accept a wide deterministic band.
+    assert 25 <= n_rare <= 60, f"tail got {n_rare}/200"
+    again = fn(spark, sf).collect()
+    assert {(r.doc_id, r.source) for r in rows} == {
+        (r.doc_id, r.source) for r in again
+    }
