@@ -10818,3 +10818,92 @@ def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("priority").desc(), F.col("doc_id").asc()],
         k,
     ).select("doc_id", "source")
+
+
+@register(
+    "length_drift_psi",
+    oracle="""
+    WITH b AS (
+      SELECT source,
+             CAST(floor(ln(CAST(greatest(length(text), 1) AS DOUBLE))
+                        / ln(CAST(2 AS DOUBLE))) AS INT) AS bucket
+      FROM documents
+    ),
+    per AS (
+      SELECT source, bucket, COUNT(*) AS n
+      FROM b GROUP BY source, bucket
+    ),
+    stot AS (SELECT source, SUM(n) AS n_s FROM per GROUP BY source),
+    ctot AS (SELECT bucket, SUM(n) AS n_b FROM per GROUP BY bucket),
+    grand AS (SELECT SUM(n) AS n FROM per),
+    grid AS (
+      SELECT st.source, ct.bucket, st.n_s, ct.n_b, g.n,
+             COALESCE(p.n, 0) AS n_sb
+      FROM stot st
+      CROSS JOIN ctot ct
+      CROSS JOIN grand g
+      LEFT JOIN per p ON p.source = st.source AND p.bucket = ct.bucket
+    ),
+    terms AS (
+      SELECT source,
+             (greatest(CAST(n_sb AS DOUBLE) / n_s, CAST(0.000001 AS DOUBLE))
+              - greatest(CAST(n_b AS DOUBLE) / n, CAST(0.000001 AS DOUBLE)))
+             * ln(greatest(CAST(n_sb AS DOUBLE) / n_s,
+                           CAST(0.000001 AS DOUBLE))
+                  / greatest(CAST(n_b AS DOUBLE) / n,
+                             CAST(0.000001 AS DOUBLE))) AS term
+      FROM grid
+    )
+    SELECT source,
+           round(CAST(SUM(CAST(term AS DECIMAL(28,18))) AS DOUBLE), 6)
+             AS psi
+    FROM terms GROUP BY source ORDER BY source
+    """,
+)
+def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source against the whole-corpus
+    length distribution — the industry-standard drift score next to
+    the exact KS test (`length_drift_ks`), and unlike KS it needs NO
+    global order: buckets are fixed log₂-width length bands (a pure
+    map-side expression), so the whole query is two small hash
+    aggregates over (source × ~20 buckets) — the same plan at 100 TB.
+    Shares are clamped at 1e-6 (the standard zero-bin guard) and the
+    term sum is DECIMAL-accumulated for partition invariance.
+    PSI < 0.1 ≈ stable, 0.1-0.25 ≈ moderate shift, > 0.25 ≈ major."""
+    d = _t(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.floor(
+            F.log(F.greatest(F.length("text"), F.lit(1)).cast("double"))
+            / F.log(F.lit(2.0))
+        )
+        .cast("int")
+        .alias("bucket"),
+    )
+    per = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    stot = per.groupBy("source").agg(F.sum("n").alias("n_s"))
+    ctot = per.groupBy("bucket").agg(F.sum("n").alias("n_b"))
+    grand = per.agg(F.sum("n").alias("n_all"))
+    grid = (
+        stot.crossJoin(F.broadcast(ctot))
+        .join(per, ["source", "bucket"], "left")
+        .withColumn("n_sb", F.coalesce(F.col("n"), F.lit(0)))
+        .drop("n")
+    )
+    grid = agg.attach_scalar(grid, grand)
+    eps = F.lit(0.000001)
+    p_s = F.greatest(F.col("n_sb").cast("double") / F.col("n_s"), eps)
+    p_c = F.greatest(F.col("n_b").cast("double") / F.col("n_all"), eps)
+    terms = grid.select(
+        "source", ((p_s - p_c) * F.log(p_s / p_c)).alias("term")
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.round(
+                F.sum(F.col("term").cast("decimal(28,18)")).cast("double"),
+                6,
+            ).alias("psi")
+        )
+        .orderBy("source")
+    )
