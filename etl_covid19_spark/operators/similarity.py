@@ -866,3 +866,222 @@ def hyperplane_buckets_arrow(
             )
 
     return proj.mapInArrow(kernel, out_schema)
+
+
+def blocked_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.45,
+    n_clusters: int = 128,
+    probes: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-dup PAIRS, cluster-blocked — the scale
+    path for mid/low thresholds, where sign-band LSH degenerates:
+    at cos ≥ 0.45 the per-bit collision probability is ~0.65, so
+    bands must be short (4 bits) to keep recall, and short bands
+    mean 2^4 buckets per band — candidate volume n²/16·bands
+    (measured 470 s at sf1 for ~14k qualifying pairs). Blocking by
+    coarse centroid (the SemDeDup Σ cluster² bound, multi-probe for
+    boundary recall) keeps candidates ∝ n²·probes²/k regardless of
+    threshold, and k is a free knob.
+
+    Semantics (deterministic, oracle-reproducible): candidates =
+    pairs sharing ≥1 of their top-`probes` centroids (centroids are
+    the first `n_clusters` vectors by id — the same deterministic
+    medoid stub as `semantic_dedup`; assignment ties break to the
+    HIGHER centroid id); result = candidates with exact fold-cosine
+    ≥ threshold. The per-cluster numpy/BLAS block only PREFILTERS
+    (margin 1e-6, a superset of fold-qualifying pairs — BLAS and
+    fold orderings differ by ~1 ulp); membership is decided by the
+    same Catalyst fold the SQL oracle runs, so the pair set is
+    bit-reproducible. Output: (id_a, id_b, cosine), id_a < id_b."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_covid19_spark.functions import vectors
+    from etl_covid19_spark.operators.parallelism import fan_out
+
+    cents = [
+        (int(r["cid"]), [float(x) for x in r["cv"]])
+        for r in emb.orderBy(id_col)
+        .limit(n_clusters)
+        .select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .collect()
+    ]
+    # centroid columns in cid-DESC order: a STABLE argsort on -cos
+    # then resolves exact ties to the higher cid, matching the SQL
+    # ROW_NUMBER(... ORDER BY cos DESC, cid DESC) tiebreak
+    cents.sort(key=lambda t: -t[0])
+    cent_mat = np.array([cv for _, cv in cents], dtype=np.float64)
+    cent_norm = np.sqrt((cent_mat * cent_mat).sum(axis=1))
+    cent_norm[cent_norm == 0] = 1.0
+    cids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    n_probes = min(probes, len(cents))
+
+    def _assign(batches):
+        for pdf in batches:
+            e = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            enorm = np.sqrt((e * e).sum(axis=1))
+            enorm[enorm == 0] = 1.0
+            cos = (e @ cent_mat.T) / np.outer(enorm, cent_norm)
+            order = np.argsort(-cos, axis=1, kind="stable")
+            ids = pdf[id_col].to_numpy()
+            out_id, out_cid = [], []
+            for p in range(n_probes):
+                out_id.append(ids)
+                out_cid.append(cids[order[:, p]])
+            yield pd.DataFrame(
+                {
+                    "_id": np.concatenate(out_id),
+                    "cluster_id": np.concatenate(out_cid),
+                    "_v": pd.concat(
+                        [pdf[vec_col]] * n_probes, ignore_index=True
+                    ),
+                }
+            )
+
+    assigned = fan_out(emb.select(F.col(id_col), F.col(vec_col))).mapInPandas(
+        _assign, schema="_id bigint, cluster_id bigint, _v array<float>"
+    )
+
+    margin = threshold - 1e-6
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        e = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+        nrm = np.sqrt((e * e).sum(axis=1))
+        nrm[nrm == 0] = 1.0
+        u = e / nrm[:, None]
+        sim = u @ u.T
+        ids = pdf["_id"].to_numpy()
+        ii, jj = np.where(sim >= margin)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {"id_a": ids[ii][keep], "id_b": ids[jj][keep]}
+        )
+
+    cands = (
+        assigned.groupBy("cluster_id")
+        .applyInPandas(_block, schema="id_a bigint, id_b bigint")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", vectors.cosine("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def hyperplane_near_dup_pairs(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    band_bits: int = 12,
+    n_bands: int = 24,
+    dim: int = 64,
+) -> DataFrame:
+    """TIGHT-threshold embedding near-dup pairs via hyperplane-sign
+    LSH banding — the subquadratic scale path the low-threshold demo
+    (`dedup.embedding_near_dup`) cannot be: at cos ≥ 0.9 the
+    per-plane agreement probability is ~0.857, so 12-plane bands ×
+    24 give recall ≈ 0.983 while a RANDOM pair collides in a band
+    with probability 2⁻¹² — candidates ≈ 0.6% of all pairs,
+    shrinking further as the threshold tightens (band_bits is the
+    knob, and with planes rather than raw components it is not
+    capped by the embedding dimension).
+
+    Bit-exact bucketing: plane dots replay the Catalyst fold's
+    left-to-right IEEE order inside the Arrow kernel (same contract
+    as the ANN bucketing kernel), so the generated SQL oracle
+    reproduces every band key; final membership is the exact
+    fold-cosine ≥ threshold. Output: (id_a, id_b, cosine)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    from etl_covid19_spark.functions import vectors
+    from etl_covid19_spark.operators.parallelism import fan_out
+
+    planes = make_planes(dim, band_bits * n_bands)
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType(), True),
+            T.StructField(
+                "band_keys", T.ArrayType(T.LongType(), True), True
+            ),
+        ]
+    )
+    proj = fan_out(
+        emb.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(vec_col).alias("_v"),
+        )
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        pl = np.array(planes, dtype=np.float64)
+        for b in batches:
+            ids, vecs = b.column(0), b.column(1)
+            if isinstance(vecs, pa.ChunkedArray):
+                vecs = vecs.combine_chunks()
+            n = len(vecs)
+            flat = vecs.values
+            offs = np.frombuffer(vecs.buffers()[1], dtype=np.int32)[
+                vecs.offset : vecs.offset + n + 1
+            ]
+            assert np.all(np.diff(offs) == dim), "ragged embedding"
+            vals = np.frombuffer(flat.buffers()[1], dtype=np.float32)[
+                flat.offset + offs[0] : flat.offset + offs[-1]
+            ]
+            m = vals.reshape(n, dim).astype(np.float64)
+            keys = np.zeros((n, n_bands), dtype=np.int64)
+            for band in range(n_bands):
+                packed = np.zeros(n, dtype=np.int64)
+                for j in range(band_bits):
+                    p_i = band * band_bits + j
+                    acc = np.zeros(n, dtype=np.float64)
+                    for d in range(dim):  # left-to-right fold order
+                        acc = acc + m[:, d] * pl[p_i, d]
+                    packed += np.where(
+                        acc > 0, 1 << (band_bits - 1 - j), 0
+                    )
+                keys[:, band] = band * (1 << band_bits) + packed
+            yield pa.record_batch(
+                [
+                    pa.array(
+                        ids.to_numpy(zero_copy_only=False), pa.int64()
+                    ),
+                    pa.array(list(keys), pa.list_(pa.int64())),
+                ],
+                names=["doc", "band_keys"],
+            )
+
+    banded = proj.mapInArrow(kernel, out_schema).select(
+        "doc", F.explode("band_keys").alias("band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            on=(F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", vectors.cosine("va", "vb"))
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

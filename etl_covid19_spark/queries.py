@@ -10907,3 +10907,97 @@ def q_length_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def _near_dup_hyperplane_oracle(
+    threshold: float = 0.9,
+    band_bits: int = 12,
+    n_bands: int = 24,
+    dim: int = 64,
+) -> str:
+    """GENERATED oracle for the tight-threshold hyperplane-banded
+    near-dup: every plane dot is the SAME left-to-right fold the
+    Arrow kernel replays (bit-exact band keys — the proven
+    negative_sampling/ann pattern), band keys are CASE packs, and
+    verification is the exact fold cosine."""
+    from etl_covid19_spark.operators.similarity import make_planes
+
+    planes = make_planes(dim, band_bits * n_bands)
+
+    def dot_plane(plane: list[float]) -> str:
+        lits = ", ".join(repr(x) for x in plane)
+        return (
+            "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(list_zip(v, [{lits}]), "
+            "p -> struct_extract(p, 1) * struct_extract(p, 2))), "
+            "(x, y) -> x + y)"
+        )
+
+    band_keys = []
+    for band in range(n_bands):
+        bits = " + ".join(
+            f"(CASE WHEN {dot_plane(planes[band * band_bits + j])} > 0 "
+            f"THEN {1 << (band_bits - 1 - j)} ELSE 0 END)"
+            for j in range(band_bits)
+        )
+        band_keys.append(f"({band * (1 << band_bits)} + {bits})")
+    key_list = ", ".join(band_keys)
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    b AS (SELECT vec_id, unnest([{key_list}]) AS band_key FROM e),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.band_key = c.band_key AND a.vec_id < c.vec_id
+    ),
+    scored AS (
+      SELECT id_a, id_b,
+             CASE WHEN sqrt(list_reduce(list_transform(x.v, q -> q * q),
+                                        (q, w) -> q + w))
+                     * sqrt(list_reduce(list_transform(y.v, q -> q * q),
+                                        (q, w) -> q + w)) = 0
+                  THEN 0.0
+                  ELSE list_reduce(list_transform(list_zip(x.v, y.v),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (q, w) -> q + w)
+                       / (sqrt(list_reduce(list_transform(x.v, q -> q * q),
+                                           (q, w) -> q + w))
+                          * sqrt(list_reduce(list_transform(y.v, q -> q * q),
+                                             (q, w) -> q + w)))
+             END AS cosine
+      FROM cand JOIN e x ON x.vec_id = id_a JOIN e y ON y.vec_id = id_b
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= {threshold}
+    """
+
+
+@register(
+    "embedding_near_dup_tight",
+    oracle=_near_dup_hyperplane_oracle(),
+)
+def q_embedding_near_dup_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIGHT-threshold (cos ≥ 0.9) embedding near-dup — the
+    production semantics and the subquadratic scale path. The
+    registry sweep showed the low-threshold demo
+    (`embedding_near_dup`, cos ≥ 0.45) degenerating at sf1: with
+    p_bit ≈ 0.65, 4-bit bands mark ~64% of ALL pairs as candidates
+    (and this corpus's max pair cosine is 0.60, so mid-threshold
+    similarity here is inherently ~quadratic — SCALE.md "isotropic
+    mid-threshold" note). At the REAL near-dup threshold the same
+    LSH family is sharp: 12-plane bands × 24 → recall ≈ 0.983 at
+    the 0.9 boundary with a 2⁻¹² random-pair band collision rate
+    (~0.6% of pairs as candidates, tightening as the threshold
+    rises). On this synthetic corpus the result is EMPTY (max
+    cosine 0.60) and the oracle verifies that emptiness exactly;
+    recall and candidate-bound behavior are pinned on constructed
+    clustered data in tests/test_dedup_similarity.py."""
+    from etl_covid19_spark.operators.similarity import (
+        hyperplane_near_dup_pairs,
+    )
+
+    return hyperplane_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.9, band_bits=12, n_bands=24,
+    )
