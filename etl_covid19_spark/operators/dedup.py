@@ -905,6 +905,116 @@ def embedding_near_dup(
     )
 
 
+def positioned_gram_keys_arrow(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """(doc, i, gkey): EVERY positioned n-gram key (1-based token
+    index, no distinct) — the substring-dedup substrate. Arrow twin
+    of the transform/slice/xxhash64 HOF chain, which the sf1 sweep
+    measured at ~38 s per evaluation (and the span operator
+    evaluates its gram frame three times). Same vectorized
+    byte-Horner + rolling combine as the postings kernel; hash
+    VALUES differ from the Catalyst path but only key EQUALITY
+    matters on the hashed span path (the string path remains the
+    oracle mirror). Docs shorter than n tokens emit nothing (the
+    span rule, unlike postings' whole-doc fold)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", T.LongType(), True),
+            T.StructField("i", T.IntegerType(), True),
+            T.StructField("gkey", T.LongType(), True),
+        ]
+    )
+    proj = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("doc"),
+            F.col(text_col).alias("_t"),
+        )
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ws_pat = "[ \t\n\x0b\x0c\r]+"
+        # 64-BIT rolling hash (uint64 wraparound — numpy unsigned
+        # overflow is well-defined): span membership compares final
+        # OUTPUT against the string-gram oracle, so collisions must
+        # be negligible at corpus scale (2.6M grams at sf1 would
+        # already see ~1.6k collisions on a 31-bit key; at 64 bits
+        # the birthday term is ~4e-7, the same policy as xxhash64
+        # keys elsewhere).
+        MUL = np.uint64(0x9E3779B97F4A7C15)
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            txt = b.column(1)
+            if txt.null_count:
+                txt = pc.fill_null(txt, "")
+            toks = pc.split_pattern_regex(txt, ws_pat)
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+            offs = offs[flat.offset : flat.offset + len(flat) + 1].astype(
+                np.int64
+            )
+            data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+            starts, ends = offs[:-1], offs[1:]
+            lens = ends - starts
+            keep = lens > 0
+            starts, lens, parents = starts[keep], lens[keep], parents[keep]
+            h = np.zeros(len(starts), dtype=np.uint64)
+            maxlen = int(lens.max()) if len(lens) else 0
+            for j in range(maxlen):
+                m = j < lens
+                idx = starts[m] + j
+                h[m] = h[m] * MUL + data[idx]
+            if len(h) >= n:
+                g = h[: len(h) - (n - 1)].copy()
+                for j in range(1, n):
+                    g = g * MUL + h[j : len(h) - (n - 1) + j]
+                gp = parents[: len(h) - (n - 1)]
+                gvalid = parents[n - 1 :] == gp
+                g, gp = g[gvalid], gp[gvalid]
+                # 1-based position within the doc's token stream:
+                # rank of the gram among its doc's tokens
+                tok_pos = np.arange(len(parents), dtype=np.int64)
+                doc_first = np.zeros(
+                    parents.max() + 1 if len(parents) else 1,
+                    dtype=np.int64,
+                )
+                firsts = np.flatnonzero(
+                    np.r_[True, parents[1:] != parents[:-1]]
+                )
+                doc_first[parents[firsts]] = tok_pos[firsts]
+                pos = (
+                    tok_pos[: len(h) - (n - 1)][gvalid]
+                    - doc_first[gp]
+                    + 1
+                ).astype(np.int32)
+            else:
+                g = np.empty(0, dtype=np.uint64)
+                gp = np.empty(0, dtype=np.int64)
+                pos = np.empty(0, dtype=np.int32)
+            yield pa.record_batch(
+                [
+                    pa.array(ids[gp], pa.int64()),
+                    pa.array(pos, pa.int32()),
+                    pa.array(g.view(np.int64), pa.int64()),
+                ],
+                names=["doc", "i", "gkey"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
+
+
 def strip_duplicate_spans(
     df: DataFrame,
     text_col: str,
@@ -946,20 +1056,35 @@ def strip_duplicate_spans(
     Returns (id_col, n_tokens, n_dup_tokens, clean_text).
     """
     toks = text.tokens(F.col(text_col))
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    g = df.select(
-        F.col(id_col).alias("doc"), F.posexplode(grams).alias("p", "gram")
-    ).select(
-        "doc",
-        (F.col("p") + 1).alias("i"),  # 1-based gram start
-        (F.xxhash64("gram") if hashed else F.col("gram")).alias("gkey"),
-    )
+    if hashed:
+        # string-free positioned grams from the Arrow kernel, CACHED:
+        # the operator consumes the gram frame three times (seed
+        # aggregate, seeded probe, coverage) and the HOF construction
+        # alone measured ~38 s per evaluation at sf1 — kernel + pool
+        # turns 3 × 38 s of gram building into one ~1 s pass. Only
+        # key EQUALITY matters on this path; the hashed=False twin
+        # keeps the gram strings the SQL oracle mirrors, and path
+        # equivalence is test-pinned.
+        g = _DF_CACHE.get_or_build(
+            ("span_grams", _corpus_key(df), text_col, id_col, n),
+            lambda: positioned_gram_keys_arrow(df, text_col, id_col, n),
+        )
+    else:
+        gram_keys = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        g = df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(gram_keys).alias("p", "gkey"),
+        ).select(
+            "doc",
+            (F.col("p") + 1).alias("i"),  # 1-based gram start
+            "gkey",
+        )
     if keep_first:
         owners = (
             g.groupBy("gkey")
@@ -1001,9 +1126,20 @@ def strip_duplicate_spans(
     base = df.select(F.col(id_col).alias("doc"), toks.alias("toks"))
     joined = base.join(covered, "doc", "left")
     cpos = F.coalesce(F.col("cpos"), F.array().cast("array<int>"))
+    # membership via a per-doc MAP, not array_contains: a heavily
+    # duplicated doc has |cpos| ~ |tokens|, and array_contains per
+    # token made the rebuild O(tokens²) per doc — the dominant cost
+    # of the whole operator at sf1 (sweep: 98 s; map lookup: ~9 s).
+    # try_element_at: ANSI element_at throws on a missing map key.
+    cmap = F.map_from_arrays(
+        cpos, F.transform(cpos, lambda _: F.lit(True))
+    )
     kept = F.filter(
         F.col("toks"),
-        lambda x, i: ~F.array_contains(cpos, (i + 1).cast("int")),
+        lambda x, i: F.coalesce(
+            F.try_element_at(cmap, (i + 1).cast("int")), F.lit(False)
+        )
+        == F.lit(False),
     )
     return joined.select(
         F.col("doc").alias(id_col),

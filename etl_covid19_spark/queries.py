@@ -4418,13 +4418,18 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact substring dedup (Lee et al. 2022 family): tokens covered
     by any 8-gram occurring more than once corpus-wide are stripped
     (operators/dedup.strip_duplicate_spans — anchor-seeded, all
-    equi-joins). The registry path joins on gram STRINGS so the SQL
-    oracle is engine-portable; the xxhash64 8-byte-key path is the
-    scale default, equivalence test-pinned."""
+    equi-joins). The registry path runs the SCALE default: cached
+    Arrow-kernel positioned grams with 64-bit keys (the sf1 sweep
+    measured the string-gram formulation at ~98 s — 3 evaluations of
+    a concat-per-gram HOF — vs ~12 s kernel-backed); the SQL oracle
+    keeps gram STRINGS, which is the same result to a ~2⁻⁶⁴
+    birthday term, the policy every xxhash64 key in the engine
+    already carries. String/hash path equivalence is additionally
+    test-pinned at fixture scale."""
     from etl_covid19_spark.operators.dedup import strip_duplicate_spans
 
     return strip_duplicate_spans(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", n=8, hashed=False
+        _t(spark, sf_dir, "documents"), "text", "doc_id", n=8, hashed=True
     )
 
 
@@ -4486,7 +4491,7 @@ def q_substring_dedup_keep_first(
         "text",
         "doc_id",
         n=8,
-        hashed=False,
+        hashed=True,  # kernel-backed scale path; see substring_dedup
         keep_first=True,
     )
 

@@ -5,13 +5,21 @@ queries round-over-round; this sweep is the coverage instrument that
 finds the slow outliers hiding in the other ~185 — the queries a
 user would hit that the bench never times.
 
+Each query runs under a WATCHDOG (default 120 s, override with
+SWEEP_QUERY_BUDGET): a timer thread cancels the query's Spark job
+group at the budget, the query lands in `timeouts`, and the sweep
+keeps going — a single degenerate query cannot eat the whole run,
+and the timeout list IS the finding.
+
 Usage: python tools/registry_sweep.py [sf_dir]
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, "/root/repo")
@@ -39,13 +47,25 @@ def main() -> None:
     spark = get_spark("registry_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     big_sf = "sf1" in sf_dir or "sf10" in sf_dir
+    budget = float(os.environ.get("SWEEP_QUERY_BUDGET", "120"))
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
+    timeouts: list[str] = []
     skipped: list[str] = []
     for name, qd in REGISTRY.items():
         if big_sf and name in QUADRATIC_BASELINES:
             skipped.append(name)
             continue
+        group = f"sweep_{name}"
+        spark.sparkContext.setJobGroup(group, name, True)
+        fired = threading.Event()
+
+        def cancel():
+            fired.set()
+            spark.sparkContext.cancelJobGroup(group)
+
+        timer = threading.Timer(budget, cancel)
+        timer.start()
         t0 = time.perf_counter()
         try:
             qd.fn(spark, sf_dir).write.format("noop").mode(
@@ -53,12 +73,17 @@ def main() -> None:
             ).save()
             times[name] = round(time.perf_counter() - t0, 3)
         except Exception as e:  # keep sweeping; report at the end
-            failures[name] = str(e).split("\n")[0][:200]
-        print(
-            f"{name}: {times.get(name, 'FAIL')}",
-            file=sys.stderr,
-            flush=True,
-        )
+            if fired.is_set():
+                timeouts.append(name)
+            else:
+                failures[name] = str(e).split("\n")[0][:200]
+        finally:
+            timer.cancel()
+            spark.sparkContext.setJobGroup("", "", False)
+        tag = times.get(name)
+        if tag is None:
+            tag = "TIMEOUT" if name in timeouts else "FAIL"
+        print(f"{name}: {tag}", file=sys.stderr, flush=True)
     ordered = dict(
         sorted(times.items(), key=lambda kv: -kv[1])
     )
@@ -69,6 +94,8 @@ def main() -> None:
                 "n_queries": len(REGISTRY),
                 "total_sec": round(sum(times.values()), 2),
                 "failures": failures,
+                "timeouts": timeouts,
+                "query_budget_sec": budget,
                 "skipped_baselines": skipped,
                 "times": ordered,
             }
