@@ -80,6 +80,26 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # Detail (cold runs, spread) goes to a side file and a PRECEDING
+    # stdout line; the FINAL stdout line is the compact headline the
+    # driver tail-captures. Round 4's enriched single line outgrew
+    # that capture (BENCH_r04.json parsed: null) — keep the last
+    # line small forever.
+    detail = {
+        "cold_queries": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "warm_runs": warm_runs,
+        "spread": spread,
+        "sf": sf,
+    }
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json"
+    )
+    try:
+        Path(detail_path).write_text(json.dumps(detail, indent=1))
+    except OSError:
+        pass
+    print(json.dumps(detail))
     print(
         json.dumps(
             {
@@ -87,10 +107,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "cold_queries": cold,
-                "cold_total": round(sum(cold.values()), 3),
-                "warm_runs": warm_runs,
-                "spread": spread,
                 "sf": sf,
             }
         )

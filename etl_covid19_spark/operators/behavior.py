@@ -318,9 +318,18 @@ def item_cooccurrence(
     user universe are computed from the SAME capped incidence, so
     lift/jaccard stay internally consistent. Pass None to disable
     (exact, unbounded — small curated catalogs only)."""
-    ui = user_items.select(
-        F.col(user).alias("user_id"), F.col(item).alias("item")
-    ).distinct()
+    # NULL items are dropped BEFORE ranking: they could never survive
+    # the a.item < b.item pair join, but if they occupied cap slots
+    # the engine and an ANSI oracle would disagree on which real
+    # items survive the cap (Spark sorts NULLS FIRST, DuckDB NULLS
+    # LAST), silently changing the kept item set for capped users.
+    ui = (
+        user_items.select(
+            F.col(user).alias("user_id"), F.col(item).alias("item")
+        )
+        .where(F.col("item").isNotNull())
+        .distinct()
+    )
     if max_items_per_user is None:
         capped = ui
         trunc = ui.agg(F.lit(0).cast("bigint").alias("truncated_users"))

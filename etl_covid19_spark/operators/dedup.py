@@ -524,7 +524,12 @@ def simhash_arrow(
     2³¹−1 — bytes are used for the vectorized fast path and any
     token containing a non-ASCII byte is recomputed per-codepoint
     exactly (fixture corpora are ASCII; the fallback keeps unicode
-    parity, fuzz-tested alongside the postings backends)."""
+    parity). NULL text yields a NULL fingerprint, matching the
+    Catalyst aggregate-over-NULL-array semantics, so null docs drop
+    out of downstream banding instead of pairing with empty docs.
+    Parity incl. NULL/unicode rows is pinned by
+    tests/test_dedup_similarity.py::
+    test_simhash_arrow_value_parity_null_unicode."""
     import numpy as np
 
     from pyspark.sql import types as T
@@ -555,7 +560,16 @@ def simhash_arrow(
             ids = b.column(0).to_numpy(zero_copy_only=False)
             n_docs = len(ids)
             txt = b.column(1)
+            # NULL text → NULL fingerprint, matching the Catalyst
+            # expression (aggregate over a NULL token array is NULL,
+            # so the doc drops out of downstream banding). Without
+            # the mask, fill_null("") would fingerprint null docs as
+            # 0 and pair them with genuinely empty docs.
+            null_mask = np.zeros(n_docs, dtype=bool)
             if txt.null_count:
+                null_mask = pc.is_null(txt).to_numpy(
+                    zero_copy_only=False
+                )
                 txt = pc.fill_null(txt, "")
             toks = pc.split_pattern_regex(txt, ws_pat)
             flat = pc.list_flatten(toks)
@@ -599,8 +613,13 @@ def simhash_arrow(
                 )  # (tokens, bits) in {-1, +1}
                 np.add.at(votes, parents, sign)
             fp = ((votes > 0).astype(np.int64) << shifts).sum(axis=1)
+            fp_arr = (
+                pa.array(fp, pa.int64(), mask=null_mask)
+                if null_mask.any()
+                else pa.array(fp, pa.int64())
+            )
             yield pa.record_batch(
-                [pa.array(ids, pa.int64()), pa.array(fp, pa.int64())],
+                [pa.array(ids, pa.int64()), fp_arr],
                 names=["doc_id", "simhash"],
             )
 

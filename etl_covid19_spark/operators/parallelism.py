@@ -34,13 +34,21 @@ from pyspark.sql import DataFrame
 _MIN_BYTES_PER_TASK = 2 << 20
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    approx_bytes: int | None = None,
+) -> DataFrame:
     """Round-robin repartition ``df`` up to the session's default
     parallelism iff (a) it currently has fewer partitions AND (b)
     the input is big enough that each new partition gets at least
     `_MIN_BYTES_PER_TASK`; otherwise return it untouched (no
     shuffle). Local-file input sizes come from the scan's file list;
-    non-local or in-memory inputs conservatively assume big. Row-
+    non-local inputs conservatively assume big. In-memory frames
+    (``createDataFrame``) have no file list, so callers that know
+    the frame is tiny pass ``approx_bytes`` and get the same
+    2 MB-per-task floor instead of an unconditional fan-out whose
+    task-scheduling overhead the floor was measured to avoid. Row-
     content downstream only — round-robin changes row order, so
     callers must be order-independent (every kernel here is)."""
     target = (
@@ -49,6 +57,8 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
         else df.sparkSession.sparkContext.defaultParallelism
     )
     files = df.inputFiles()
+    if not files and approx_bytes is not None:
+        target = max(1, min(target, approx_bytes // _MIN_BYTES_PER_TASK))
     if files:
         total = 0
         for f in files:

@@ -289,47 +289,146 @@ def knn_graph(
     the input primitive for graph clustering, kNN-based dedup
     thresholds, and diversity sampling over a corpus.
 
-    Dataflow reuses the sign-band candidate machinery
-    (dedup._sign_band_keys): explode band keys → self-equi-join on
-    the 8-byte key (ids only; both directions, so the graph is
-    row-per-source) → distinct pairs → vectors joined back → exact
-    cosine → per-source window top-k. No all-pairs scan: candidate
-    volume is Σ bucket², bounded by band sizing, and the rank window
-    partitions by source id, so no task ever sorts more than one
-    vector's candidate list. Ties break on (cosine desc, neighbor id
-    asc) — deterministic, so the SQL oracle reproduces the graph
-    exactly."""
+    SEMANTICS (unchanged since round 3, same SQL oracle): a pair is
+    a candidate iff it shares ≥1 sign-bit band key
+    (dedup._sign_band_keys); each source keeps its top-k candidates
+    by exact cosine, ties on (cosine desc, neighbor id asc).
+
+    EXECUTION is per-BUCKET, not per-pair: the round-4 sweep showed
+    the pair-materializing form timing out at sf1 — on
+    near-isotropic embeddings 4-bit bands mark ~64 % of all pairs
+    as candidates, and joining 64-float vectors onto that pair set
+    shuffles candidate_pairs × 2 × 512 B (≈ 260 GB at sf1-extreme).
+    Instead the banded frame (vector rides ONCE per band key, Σ =
+    n_bands·|corpus| rows) groups by band key and a per-bucket
+    kernel emits each in-bucket source's local top-(k+16):
+    preselect by BLAS matmul on unit-normalized copies, then
+    recompute the kept pairs' cosine with the SEQUENTIAL per-dim
+    fold so emitted values are bit-identical to the Catalyst/ANSI
+    `aggregate` order. Bucket-local-top-k ⊇ global-top-k for every
+    shared bucket (fewer competitors in a subset), so the final
+    merge — dedup (src, dst), one window over ≤ n_bands·(k+16)
+    rows per source — reproduces exact-over-candidates top-k; the
+    16-slot margin absorbs BLAS-vs-fold last-ulp reordering, and
+    in-bucket rows are sorted by neighbor id so equal-cosine ties
+    cut deterministically (stable argsort = the oracle's dst-asc
+    tie-break; identical vectors produce identical BLAS rows, so
+    ties are exact there too).
+
+    Scale shape: shuffle is n_bands·|corpus| vector rows + the
+    merged per-bucket winners (|corpus|·n_bands·(k+16) narrow
+    rows); per-bucket compute is Σ bucket² dot products in BLAS.
+    On ISOTROPIC corpora that Σ bucket² is inherently ~n² work
+    (SCALE.md "isotropic mid-threshold" — no blocking scheme can
+    bound top-k candidates there); on clustered real-model
+    embeddings band buckets shrink and the same plan is
+    subquadratic. Recall vs the exact graph is pinned ≥ 0.85 in
+    tests/test_dedup_similarity.py."""
+    import numpy as np
+    import pandas as pd
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     from etl_covid19_spark.operators.dedup import _sign_band_keys
+
+    id_type = emb.schema[id_col].dataType
+    margin = 16
 
     bands = _sign_band_keys(vec_col, band_bits, n_bands)
     banded = emb.select(
         F.col(id_col).alias("doc"),
+        F.col(vec_col).cast("array<double>").alias("v"),
         F.explode(F.array(*bands)).alias("band_key"),
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            on=(F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") != F.col("b.doc")),
+    out_schema = T.StructType(
+        [
+            T.StructField("src", id_type, True),
+            T.StructField("dst", id_type, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {"src": [], "dst": [], "cosine": []}
+            ).astype({"src": "int64", "dst": "int64", "cosine": "float64"})
+        # row order = dst ascending → stable argsort == (score desc,
+        # dst asc), the oracle's tie-break
+        pdf = pdf.sort_values("doc", kind="mergesort")
+        ids = pdf["doc"].to_numpy()
+        has_vec = pdf["v"].notna().to_numpy()
+        dim = 0
+        for val in pdf["v"]:
+            if val is not None:
+                dim = len(val)
+                break
+        if has_vec.all():
+            X = np.vstack(pdf["v"].to_numpy()).astype(
+                np.float64, copy=False
+            )
+        else:
+            X = np.zeros((n, dim), dtype=np.float64)
+            for i, val in enumerate(pdf["v"]):
+                if val is not None and len(val) == dim:
+                    X[i] = val
+        # exact norms: the same left-to-right fold as vectors.norm
+        nacc = np.zeros(n)
+        for j in range(dim):
+            nacc += X[:, j] * X[:, j]
+        nrm = np.sqrt(nacc)
+        safe = np.where(nrm > 0, nrm, 1.0)
+        Xn = X / safe[:, None]
+        m = min(n - 1, k + margin)
+        src_parts: list[np.ndarray] = []
+        dst_parts: list[np.ndarray] = []
+        chunk = 2048
+        for c0 in range(0, n, chunk):
+            c1 = min(n, c0 + chunk)
+            S = Xn[c0:c1] @ Xn.T
+            # NULL-vector rows: exact cosine is NULL, which sorts
+            # after every real value (DESC NULLS LAST both engines)
+            if not has_vec.all():
+                S[:, ~has_vec] = -np.inf
+                S[~has_vec[c0:c1], :] = -np.inf
+            S[np.arange(c0, c1) - c0, np.arange(c0, c1)] = np.nan
+            order = np.argsort(-S, axis=1, kind="stable")[:, :m]
+            # argsort pushes the NaN self-slot last; it can only
+            # surface when m == n-1... never: self is excluded by
+            # taking m <= n-1 of the n-1 non-self (NaN sorts after
+            # -inf under -S ascending)
+            src_parts.append(np.repeat(np.arange(c0, c1), m))
+            dst_parts.append(order.reshape(-1))
+        si = np.concatenate(src_parts)
+        di = np.concatenate(dst_parts)
+        keep = si != di
+        si, di = si[keep], di[keep]
+        # exact fold-order cosine for the kept pairs only
+        A, B = X[si], X[di]
+        dot = np.zeros(len(si))
+        for j in range(dim):
+            dot += A[:, j] * B[:, j]
+        denom = nrm[si] * nrm[di]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0, 0.0, dot / denom)
+        out = pd.DataFrame(
+            {"src": ids[si], "dst": ids[di], "cosine": cos}
         )
-        .select(F.col("a.doc").alias("src"), F.col("b.doc").alias("dst"))
-        .dropDuplicates(["src", "dst"])
+        null_pair = ~(has_vec[si] & has_vec[di])
+        if null_pair.any():
+            out.loc[null_pair, "cosine"] = None
+        return out
+
+    per_bucket = banded.groupBy("band_key").applyInPandas(
+        bucket_topk, out_schema
     )
-    va = emb.select(F.col(id_col).alias("src"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("dst"), F.col(vec_col).alias("vb"))
-    scored = (
-        cands.join(va, "src")
-        .join(vb, "dst")
-        .withColumn("cosine", vectors.cosine("va", "vb"))
-    )
+    merged = per_bucket.dropDuplicates(["src", "dst"])
     w = Window.partitionBy("src").orderBy(
         F.col("cosine").desc(), F.col("dst").asc()
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        merged.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("src", "dst", "cosine", "rank")
     )

@@ -4252,9 +4252,13 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate kNN graph over the embedding corpus: each vector's
     top-5 cosine neighbors among its sign-band LSH candidates
     (operators/similarity.knn_graph — the all-points primitive behind
-    graph clustering and diversity sampling). Candidate generation is
-    the banded equi-join, ranking is a per-source window — no
-    all-pairs scan, no global sort."""
+    graph clustering and diversity sampling). Executed per band
+    BUCKET (grouped Arrow kernel: BLAS preselect + exact fold-order
+    cosine on survivors) so candidate pairs never materialize as a
+    vector-carrying join — the round-4 sweep's sf1 timeout was that
+    pair join shuffling 64-float payloads onto ~64% of all pairs.
+    Final merge is one narrow window per source; same semantics and
+    oracle as the pair-form since round 3."""
     from etl_covid19_spark.operators.similarity import knn_graph
 
     return knn_graph(
@@ -9523,6 +9527,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id,
              CAST(json_extract_string(props, '$.k') AS INT) AS item
       FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
     ),
     ranked AS (
       SELECT user_id, item,
@@ -10518,6 +10523,7 @@ def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT user_id,
              CAST(json_extract_string(props, '$.k') AS INT) AS item
       FROM events
+      WHERE json_extract_string(props, '$.k') IS NOT NULL
     ),
     ranked AS (
       SELECT user_id, item,

@@ -408,7 +408,24 @@ def snapshot_merge_upsert(
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         parent = current_version(path)
         if parent is None:
-            return snapshot_write(updates, path, mode="overwrite")
+            # First commit: merging into an empty table inserts the
+            # update set — but a competing writer can land v0 between
+            # the version read above and the CAS, so commit with
+            # parent=None through the SAME recompute loop. Delegating
+            # to snapshot_write(mode="overwrite") here would REBASE on
+            # conflict and silently replace the winner's rows, which
+            # is overwrite semantics, not merge semantics.
+            new_files = _write_data_files(updates, path)
+            if _before_commit_hook is not None:
+                _before_commit_hook()
+            try:
+                return _commit(
+                    path, new_files, "merge", None,
+                    meta={"stats": _collect_stats(path, new_files)},
+                )
+            except CommitConflictError:
+                _backoff(attempt)
+                continue
         cur = snapshot_read(spark, path, parent).withColumn(
             _FILE, F.input_file_name()
         )

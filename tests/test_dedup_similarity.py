@@ -805,3 +805,28 @@ def test_blocked_near_dup_finds_planted_pairs_in_clustered_space(spark):
     recall = len(got & exact) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f}"
     assert got <= exact | set(), "no false positives (exact verify)"
+
+
+def test_simhash_arrow_value_parity_null_unicode(spark):
+    """simhash_arrow is VALUE-exact with the Catalyst expression on
+    the full row set, including NULL text (→ NULL fingerprint, so
+    the doc drops out of banding — round-4 advisory: the kernel used
+    to fingerprint NULL as 0, pairing null docs with empty docs),
+    empty/whitespace-only docs, and non-ASCII tokens (per-codepoint
+    recompute path)."""
+    rows = [
+        (0, BASE),
+        (1, "café au lait — naïve 模型 emoji 🚀 test"),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, "Ω≈ç√∫ microßcope mixed ascii"),
+        (6, "plain ascii text here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cat = {r.doc_id: r.simhash for r in
+           dedup.simhash(df, "text", "doc_id").collect()}
+    arw = {r.doc_id: r.simhash for r in
+           dedup.simhash_arrow(df, "text", "doc_id").collect()}
+    assert cat == arw
+    assert cat[2] is None

@@ -402,3 +402,37 @@ def test_incremental_added_rows_and_row_diff(spark, tmp_path):
     # documented caveat: superset of the row-exact inserts
     feed = {r.id for r in sz.snapshot_added_rows(spark, path, 1).collect()}
     assert {5, 500} <= feed
+
+
+def test_merge_first_commit_race_preserves_winner_rows(spark, tmp_path):
+    """Merge into an EMPTY table racing a writer that lands v0: the
+    merge must recompute against the winner's snapshot (upsert
+    semantics), not rebase-overwrite it — the winner's non-matching
+    rows survive, its matching row is superseded (round-4 advisory:
+    the old parent-None path delegated to an overwrite write whose
+    rebase silently dropped the winner's commit)."""
+    import etl_covid19_spark.sources.snapshot_zone as sz
+
+    path = str(tmp_path / "mergerace0")
+    updates = spark.createDataFrame(
+        [(7, 777), (8, 888)], "id long, val long"
+    )
+    racing = spark.createDataFrame(
+        [(7, -1), (100, 100)], "id long, val long"
+    )
+    state = {"fired": 0}
+
+    def competing_commit():
+        if state["fired"] == 0:
+            state["fired"] += 1
+            sz.snapshot_write(racing, path, mode="overwrite")
+
+    sz._before_commit_hook = competing_commit
+    try:
+        sz.snapshot_merge_upsert(spark, path, updates, keys=["id"])
+    finally:
+        sz._before_commit_hook = None
+
+    assert state["fired"] == 1
+    rows = {r.id: r.val for r in sz.snapshot_read(spark, path).collect()}
+    assert rows == {7: 777, 8: 888, 100: 100}
