@@ -166,7 +166,14 @@ def encode_stats(
     """Per-document BPE tokenization stats: token count after
     applying the merge table, characters-per-token compression.
     Map-only over the corpus (the merge folds are per-word; no
-    shuffle at all)."""
+    shuffle at all).
+
+    This is the Catalyst REFERENCE form: ``len(merges)`` chained
+    interpreted (CodegenFallback) aggregate folds per word — exact
+    but measured at sf1 as a 120 s+ sweep timeout. Production path
+    is `encode_stats_arrow` (identical output, parity-tested); this
+    form stays as its engine-side cross-check and the shape the
+    generated SQL oracle mirrors."""
     words = text.tokens(text_col)
     per_word = F.transform(
         words, lambda w: F.size(apply_merges(_symbols(w), merges))
@@ -179,6 +186,131 @@ def encode_stats(
         F.length(F.col(text_col)).cast("bigint").alias("n_chars"),
         n_tokens.cast("bigint").alias("n_bpe_tokens"),
     ).withColumn(
+        "chars_per_token",
+        F.round(
+            F.col("n_chars")
+            / F.greatest(F.col("n_bpe_tokens"), F.lit(1)),
+            6,
+        ),
+    )
+
+
+def encode_stats_arrow(
+    df: DataFrame, text_col: str, merges: list[tuple]
+) -> DataFrame:
+    """Arrow-kernel twin of `encode_stats` — the round-4 sweep found
+    the 20 chained CodegenFallback merge folds timing out at sf1;
+    this kernel applies the SAME greedy left-to-right merge replay
+    per UNIQUE word (dictionary-encode the token stream in C, encode
+    each distinct word once in Python with a per-worker memo that
+    persists across batches, scatter counts back with bincount) —
+    work drops from |word instances|·|merges| interpreted folds to
+    |vocab|·|merges| Python loops plus vectorized tokenize/count.
+
+    Exact-integer output, so parity with the Catalyst form is
+    equality, not ulp-tolerance: NULL text → NULL stats (length and
+    aggregate of a NULL array are NULL), symbols are CODEPOINTS
+    (F.split(word, '') semantics == Python list(str)), tokens are
+    the same ``\\s+``-split non-empties, and chars_per_token is
+    computed Catalyst-side from the kernel's integers so rounding
+    matches the reference and the SQL oracle bit-for-bit. Pinned by
+    tests/test_bpe.py parity incl. NULL/unicode rows."""
+    import numpy as np
+
+    merge_rules = [(m[1], m[2], m[1] + m[2]) for m in merges]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("n_chars", T.LongType(), True),
+            T.StructField("n_bpe_tokens", T.LongType(), True),
+        ]
+    )
+    proj = df.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(text_col).alias("_t"),
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        memo: dict[str, int] = {}
+
+        def encode_len(word: str) -> int:
+            n = memo.get(word)
+            if n is not None:
+                return n
+            syms = list(word)
+            syms.append(END_OF_WORD)
+            for left, right, merged in merge_rules:
+                if len(syms) < 2:
+                    break
+                out: list[str] = []
+                ap = out.append
+                for s in syms:
+                    if out and s == right and out[-1] == left:
+                        out[-1] = merged
+                    else:
+                        ap(s)
+                syms = out
+            memo[word] = len(syms)
+            return memo[word]
+
+        ws_pat = "[ \t\n\x0b\x0c\r]+"
+        for b in batches:
+            ids = b.column(0).to_numpy(zero_copy_only=False)
+            n_docs = len(ids)
+            txt = b.column(1)
+            null_mask = np.zeros(n_docs, dtype=bool)
+            if txt.null_count:
+                null_mask = pc.is_null(txt).to_numpy(
+                    zero_copy_only=False
+                )
+                txt = pc.fill_null(txt, "")
+            n_chars = pc.utf8_length(txt).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            toks = pc.split_pattern_regex(txt, ws_pat)
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            keep = pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False
+            ) > 0
+            dict_arr = flat.dictionary_encode()
+            codes = dict_arr.indices.to_numpy(zero_copy_only=False)
+            vocab = dict_arr.dictionary.to_pylist()
+            per_word = np.fromiter(
+                (encode_len(w) for w in vocab),
+                dtype=np.int64,
+                count=len(vocab),
+            )
+            contrib = np.where(keep, per_word[codes], 0)
+            n_tok = np.bincount(
+                parents, weights=contrib, minlength=n_docs
+            ).astype(np.int64)
+            chars_arr = (
+                pa.array(n_chars, pa.int64(), mask=null_mask)
+                if null_mask.any()
+                else pa.array(n_chars, pa.int64())
+            )
+            tok_arr = (
+                pa.array(n_tok, pa.int64(), mask=null_mask)
+                if null_mask.any()
+                else pa.array(n_tok, pa.int64())
+            )
+            yield pa.record_batch(
+                [pa.array(ids, pa.int64()), chars_arr, tok_arr],
+                names=["doc_id", "n_chars", "n_bpe_tokens"],
+            )
+
+    from etl_covid19_spark.operators.parallelism import fan_out
+
+    stats = fan_out(proj).mapInArrow(kernel, out_schema)
+    return stats.withColumn(
         "chars_per_token",
         F.round(
             F.col("n_chars")

@@ -8997,7 +8997,7 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Python reference."""
     from etl_covid19_spark.operators.bpe import (
         bpe_merge_table,
-        encode_stats,
+        encode_stats_arrow,
     )
 
     d = _t(spark, sf_dir, "documents")
@@ -9007,7 +9007,7 @@ def q_bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, d, "text", n_merges=20, min_count=2
         ).collect()
     ]
-    return encode_stats(d, "text", merges).orderBy("doc_id")
+    return encode_stats_arrow(d, "text", merges).orderBy("doc_id")
 
 
 def _negative_sampling_oracle(n_queries: int = 8, k: int = 5) -> str:

@@ -157,3 +157,41 @@ def test_bpe_encode_registry_entry(spark):
         assert r["n_bpe_tokens"] >= 1
         # merges only ever shrink the character tokenization
         assert r["n_bpe_tokens"] <= r["n_chars"] + 200
+
+
+def test_bpe_encode_arrow_parity_null_unicode(spark):
+    """encode_stats_arrow (the production kernel) equals the
+    Catalyst reference encode_stats row-for-row, including NULL
+    text (NULL stats), empty/whitespace-only docs, unicode
+    codepoint symbols, and merged-symbol chains."""
+    from etl_covid19_spark.operators.bpe import (
+        bpe_merge_table,
+        encode_stats,
+        encode_stats_arrow,
+    )
+
+    rows = [
+        (0, "low lower lowest low low lower newer newest new"),
+        (1, "café naïve café 模型 模型 rocket 🚀 rocket"),
+        (2, None),
+        (3, ""),
+        (4, "   "),
+        (5, "aaaa aaaa aa a aaaaaaaa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = [
+        tuple(r)
+        for r in bpe_merge_table(
+            spark, docs, "text", n_merges=8, min_count=2
+        ).collect()
+    ]
+    ref = {
+        r.doc_id: (r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+        for r in encode_stats(docs, "text", merges).collect()
+    }
+    arw = {
+        r.doc_id: (r.n_chars, r.n_bpe_tokens, r.chars_per_token)
+        for r in encode_stats_arrow(docs, "text", merges).collect()
+    }
+    assert ref == arw
+    assert arw[2] == (None, None, None)
