@@ -699,37 +699,114 @@ def simhash_clusters(
     on fingerprints), minus the quadratic pair materialization."""
     fps = simhash_arrow(df, text_col, id_col)
     distinct = fps.select("simhash").distinct()
-    chunks = F.explode(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(c).alias("chunk"),
-                    F.shiftright(F.col("simhash"), c * 15)
-                    .bitwiseAND(F.lit(0x7FFF))
-                    .alias("key"),
-                )
-                for c in range(2)
-            ]
-        )
-    )
-    blocked = distinct.select("simhash", chunks.alias("ck"))
-    a, b = blocked.alias("a"), blocked.alias("b")
-    fp_edges = (
-        a.join(
-            b,
-            on=(F.col("a.ck") == F.col("b.ck"))
-            & (F.col("a.simhash") < F.col("b.simhash")),
-        )
-        .select(
-            F.col("a.simhash").alias("doc_a"),
-            F.col("b.simhash").alias("doc_b"),
-        )
-        .where(
-            F.bit_count(
-                F.col("doc_a").bitwiseXOR(F.col("doc_b"))
+    blocked = distinct.select(
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    (
+                        F.lit(c).cast("long") * (1 << 15)
+                        + F.shiftright(F.col("simhash"), c * 15)
+                        .bitwiseAND(F.lit(0x7FFF))
+                        .cast("long")
+                    )
+                    for c in range(2)
+                ]
             )
-            <= max_hamming
+        ).alias("bk"),
+    )
+    # Bucket-LOCAL clustering kernel instead of the pair equi-join:
+    # the hamming ball at max_hamming=8 makes near-salad fingerprint
+    # graphs DENSE (sf1: 3.1M qualifying pairs over 27k distinct
+    # fps), and min-label propagation over that edge list was the
+    # measured 15 s of this operator. Within one 15-bit-half bucket
+    # (≤ ~700 fps) the full hamming matrix is a trivial numpy
+    # popcount, so the kernel clusters each bucket locally and
+    # emits a spanning STAR (fp → bucket-local component min) —
+    # connectivity-preserving by construction (a local star spans
+    # exactly the in-bucket qualifying pairs; the global graph is
+    # the union over buckets), so the components — and the SQL
+    # oracle — are unchanged while the iterative step runs on
+    # ≤ |fps| edges instead of millions. Executed as ONE mapInArrow
+    # over bk-hash-partitioned rows (buckets grouped via sorted
+    # boundaries in numpy) — a first cut with per-bucket
+    # applyInPandas spent 9 s on 32k tiny pandas groups.
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    _POP = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1)
+    big = np.int64(2**62)
+
+    def star_kernel(batches):
+        import pyarrow as pa
+
+        tabs = list(batches)
+        if not tabs:
+            return
+        tbl = pa.Table.from_batches(tabs)
+        if tbl.num_rows == 0:
+            return
+        v_all = tbl["simhash"].to_numpy(zero_copy_only=False)
+        bk = tbl["bk"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v_all, bk))
+        v_all, bk = v_all[order], bk[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            v = v_all[s:e]  # sorted ascending within the bucket
+            labels = v.copy()
+            # adjacency in row chunks: the (chunk, m, 8) popcount
+            # temp stays bounded however skewed a bucket gets
+            adj = np.empty((m, m), dtype=bool)
+            step = max(1, (1 << 22) // m)
+            for c0 in range(0, m, step):
+                x = np.bitwise_xor(v[c0 : c0 + step, None], v[None, :])
+                ham = _POP[
+                    x.view(np.uint8).reshape(x.shape[0], m, 8)
+                ].sum(axis=2)
+                adj[c0 : c0 + step] = ham <= max_hamming
+            while True:
+                cand = np.where(adj, labels[None, :], big).min(axis=1)
+                new = np.minimum(labels, cand)
+                if (new == labels).all():
+                    break
+                labels = new
+            keep = labels != v
+            if keep.any():
+                out_a.append(labels[keep])
+                out_b.append(v[keep])
+        if out_a:
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_a), pa.int64()),
+                    pa.array(np.concatenate(out_b), pa.int64()),
+                ],
+                names=["doc_a", "doc_b"],
+            )
+
+    fp_edges = (
+        blocked.repartition("bk")
+        .mapInArrow(
+            star_kernel,
+            T.StructType(
+                [
+                    T.StructField("doc_a", T.LongType(), False),
+                    T.StructField("doc_b", T.LongType(), False),
+                ]
+            ),
         )
+        # NO hamming filter here: a star edge (local-min → member)
+        # spans a transitive in-bucket path, so its own hamming may
+        # exceed max_hamming — the pairwise threshold was already
+        # applied inside the kernel's adjacency matrix
         .dropDuplicates(["doc_a", "doc_b"])
     )
     comp = connected_components(fp_edges)  # (doc_id=fp, cluster_id=fp-label)
@@ -787,30 +864,49 @@ def connected_components(
     )
     changed = 0
     for _ in range(max_iter):
+        # one round = neighbor-min + POINTER DOUBLING (follow the
+        # candidate label through the current label map): rounds
+        # needed drop from O(diameter) to O(log diameter). The old
+        # label rides along so convergence is read off the SAME
+        # materialization — round-4 profiling showed per-round
+        # fixed cost (Spark actions over tiny frames), not edge
+        # volume, dominating this operator: eager-checkpoint +
+        # separate changed-join was 2 jobs/round, this is 1.
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
-                ).alias("label"),
-            )
+        half = labels.join(
+            neighbor_min, labels.node == neighbor_min.src, "left"
+        ).select(
+            "node",
+            F.col("label").alias("_old"),
+            F.least(
+                F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+            ).alias("_mid"),
         )
-        # cut lineage: without this the plan doubles every round
-        updated = updated.localCheckpoint(eager=True)
+        lk = labels.select(
+            F.col("node").alias("_mnode"), F.col("label").alias("_mlab")
+        )
+        updated = half.join(
+            lk, half._mid == lk._mnode, "left"
+        ).select(
+            "node",
+            "_old",
+            F.least(
+                F.col("_mid"), F.coalesce(F.col("_mlab"), F.col("_mid"))
+            ).alias("label"),
+        )
+        # lazy checkpoint: the changed-count below is the action
+        # that materializes it, cutting lineage in the same job
+        updated = updated.localCheckpoint(eager=False)
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), on="node")
-            .where(F.col("u.label") != F.col("l.label"))
+            updated.where(F.col("label") != F.col("_old"))
             .limit(1)
             .count()
         )
-        labels = updated
+        labels = updated.select("node", "label")
         if changed == 0:
             break
     edges.unpersist()
