@@ -43,9 +43,19 @@ def pagerank(
 
     Returns (vertex, rank) with ranks summing to 1.0.
     """
+    # Materialize the edge list ONCE before iterating: `edges` is
+    # referenced by every round's join AND by each rank checkpoint's
+    # composite plan, so an expensive upstream producer (the kNN
+    # graph kernel for pagerank_similarity — ~12 s per evaluation at
+    # sf1) would otherwise be re-computed at every eager action; the
+    # round-5 sweep measured exactly that (75.9 s for 10 rounds over
+    # a 100k-edge graph).
+    e = edges.select(
+        F.col(src).alias("vertex"), F.col(dst).alias("_dst")
+    ).localCheckpoint(eager=True)
     verts = (
-        edges.select(F.col(src).alias("vertex"))
-        .union(edges.select(F.col(dst).alias("vertex")))
+        e.select("vertex")
+        .union(e.select(F.col("_dst").alias("vertex")))
         .distinct()
     )
     n = verts.count()  # scalar: needed for the teleport constant
@@ -53,7 +63,7 @@ def pagerank(
         # empty graph (e.g. a kNN build that yielded no edges): an
         # empty (vertex, rank) frame, not a ZeroDivisionError below
         return verts.withColumn("rank", F.lit(0.0)).select("vertex", "rank")
-    out_deg = edges.groupBy(F.col(src).alias("vertex")).agg(
+    out_deg = e.groupBy("vertex").agg(
         F.count(F.lit(1)).alias("out_deg")
     )
     # rank state: (vertex, rank, out_deg); out_deg NULL = dangling
@@ -61,7 +71,6 @@ def pagerank(
         "rank", F.lit(1.0 / n)
     )
     ranks = ranks.localCheckpoint()
-    e = edges.select(F.col(src).alias("vertex"), F.col(dst).alias("_dst"))
     for i in range(n_iter):
         contrib = (
             e.join(ranks.where(F.col("out_deg").isNotNull()), "vertex")

@@ -11043,6 +11043,7 @@ def _near_dup_hyperplane_oracle(
 @register(
     "embedding_near_dup_tight",
     oracle=_near_dup_hyperplane_oracle(),
+    headline=True,
 )
 def q_embedding_near_dup_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIGHT-threshold (cos ≥ 0.9) embedding near-dup — the

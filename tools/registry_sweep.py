@@ -48,6 +48,13 @@ QUADRATIC_BASELINES = {
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
+    # optional slice "start:end" over the registry (run long sweeps
+    # in chunks, merge the JSON lines with tools/merge_sweeps.py)
+    lo, hi = 0, len(REGISTRY)
+    if len(sys.argv) > 2:
+        s, _, e = sys.argv[2].partition(":")
+        lo = int(s) if s else 0
+        hi = int(e) if e else len(REGISTRY)
     spark = get_spark("registry_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     big_sf = "sf1" in sf_dir or "sf10" in sf_dir
@@ -56,7 +63,7 @@ def main() -> None:
     failures: dict[str, str] = {}
     timeouts: list[str] = []
     skipped: list[str] = []
-    for name, qd in REGISTRY.items():
+    for name, qd in list(REGISTRY.items())[lo:hi]:
         if big_sf and name in QUADRATIC_BASELINES:
             skipped.append(name)
             continue
