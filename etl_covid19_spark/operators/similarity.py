@@ -1066,10 +1066,13 @@ def blocked_near_dup_pairs(
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+    # exact verify through the fold-order Arrow cosine (identical
+    # IEEE sequence to vectors.cosine / the SQL oracle's reduce) —
+    # the interpreted HOF fold per candidate pair was the dominant
+    # remaining cost at sf1 once banding was kernelized
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", vectors.cosine("va", "vb"))
+        cosine_pairs_fold_arrow(joined, "va", "vb")
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
@@ -1140,18 +1143,28 @@ def hyperplane_near_dup_pairs(
                 flat.offset + offs[0] : flat.offset + offs[-1]
             ]
             m = vals.reshape(n, dim).astype(np.float64)
-            keys = np.zeros((n, n_bands), dtype=np.int64)
-            for band in range(n_bands):
-                packed = np.zeros(n, dtype=np.int64)
-                for j in range(band_bits):
-                    p_i = band * band_bits + j
-                    acc = np.zeros(n, dtype=np.float64)
-                    for d in range(dim):  # left-to-right fold order
-                        acc = acc + m[:, d] * pl[p_i, d]
-                    packed += np.where(
-                        acc > 0, 1 << (band_bits - 1 - j), 0
-                    )
-                keys[:, band] = band * (1 << band_bits) + packed
+            # ALL plane dots at once, still in left-to-right fold
+            # order per (row, plane): one (n, planes) accumulator
+            # advanced dim-by-dim — each plane's partial sum sees
+            # the identical IEEE op sequence as the scalar fold,
+            # with dim outer iterations instead of the original
+            # bands*bits*dim small-op loop (288x fewer numpy calls)
+            n_planes = n_bands * band_bits
+            acc = np.zeros((n, n_planes), dtype=np.float64)
+            for d in range(dim):
+                acc += m[:, d : d + 1] * pl[None, :, d]
+            bits = (acc > 0).reshape(n, n_bands, band_bits)
+            weights = (
+                np.int64(1) << np.arange(band_bits - 1, -1, -1)
+            ).astype(np.int64)
+            packed = (bits * weights[None, None, :]).sum(
+                axis=2, dtype=np.int64
+            )
+            keys = (
+                np.arange(n_bands, dtype=np.int64)[None, :]
+                * (1 << band_bits)
+                + packed
+            )
             yield pa.record_batch(
                 [
                     pa.array(
@@ -1177,10 +1190,82 @@ def hyperplane_near_dup_pairs(
     )
     va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cands.join(va, "id_a").join(vb, "id_b")
+    # exact verify through the fold-order Arrow cosine (identical
+    # IEEE sequence to vectors.cosine / the SQL oracle's reduce) —
+    # the interpreted HOF fold per candidate pair was the dominant
+    # remaining cost at sf1 once banding was kernelized
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
-        .withColumn("cosine", vectors.cosine("va", "vb"))
+        cosine_pairs_fold_arrow(joined, "va", "vb")
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def cosine_pairs_fold_arrow(
+    pairs: DataFrame, va_col: str, vb_col: str
+) -> DataFrame:
+    """Append an exact fold-order `cosine` column to a pair frame
+    carrying two embedding columns, via one `mapInArrow` kernel.
+
+    BIT-EXACT with `vectors.cosine` (and therefore with the ANSI
+    `list_reduce` oracles): the dot and both norms accumulate
+    dim-by-dim, left-to-right — `acc += x_d * y_d` over a whole
+    batch column advances every row's partial sum through the
+    identical IEEE op sequence as the scalar fold; zero-norm pairs
+    yield 0.0 (the HOF's when-guard). Use this wherever candidate
+    verification would otherwise run the CodegenFallback HOF per
+    pair — the Catalyst expression stays as the parity cross-check
+    (tests pin value equality on random vectors incl. zero-norm)."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    keep = [c for c in pairs.columns if c not in (va_col, vb_col)]
+    out_schema = T.StructType(
+        [pairs.schema[c] for c in keep]
+        + [T.StructField("cosine", T.DoubleType(), True)]
+    )
+    n_keep = len(keep)
+    proj = pairs.select(
+        *keep,
+        F.col(va_col).cast("array<double>").alias(va_col),
+        F.col(vb_col).cast("array<double>").alias(vb_col),
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        def mat(col, n_rows):
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten()  # honors list offsets on sliced batches
+            if n_rows == 0 or len(flat) == 0:
+                return np.zeros((n_rows, 0))
+            width = len(flat) // n_rows
+            return np.asarray(flat, dtype=np.float64).reshape(
+                n_rows, width
+            )
+
+        for b in batches:
+            n = len(b)
+            A = mat(b.column(n_keep), n)
+            B = mat(b.column(n_keep + 1), n)
+            dim = A.shape[1]
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for d in range(dim):
+                dot += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dot / denom)
+            yield pa.record_batch(
+                [b.column(i) for i in range(n_keep)]
+                + [pa.array(cos, pa.float64())],
+                names=keep + ["cosine"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)

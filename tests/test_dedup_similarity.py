@@ -830,3 +830,38 @@ def test_simhash_arrow_value_parity_null_unicode(spark):
            dedup.simhash_arrow(df, "text", "doc_id").collect()}
     assert cat == arw
     assert cat[2] is None
+
+
+def test_cosine_pairs_fold_arrow_bit_exact(spark):
+    """The Arrow pair-cosine kernel equals the Catalyst fold
+    bit-for-bit on random vectors, including zero-norm inputs
+    (cosine 0.0 by the when-guard)."""
+    import random
+
+    from etl_covid19_spark.functions import vectors as V
+    from etl_covid19_spark.operators.similarity import (
+        cosine_pairs_fold_arrow,
+    )
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(200):
+        va = [rng.uniform(-1, 1) for _ in range(17)]
+        vb = [rng.uniform(-1, 1) for _ in range(17)]
+        if i % 17 == 0:
+            va = [0.0] * 17
+        rows.append((i, va, vb))
+    df = spark.createDataFrame(
+        rows, "pid long, va array<float>, vb array<float>"
+    )
+    hof = {
+        r.pid: r.c
+        for r in df.select(
+            "pid", V.cosine("va", "vb").alias("c")
+        ).collect()
+    }
+    arw = {
+        r.pid: r.cosine
+        for r in cosine_pairs_fold_arrow(df, "va", "vb").collect()
+    }
+    assert hof == arw  # exact equality, not approx
