@@ -1175,29 +1175,118 @@ def hyperplane_near_dup_pairs(
                 names=["doc", "band_keys"],
             )
 
-    banded = proj.mapInArrow(kernel, out_schema).select(
-        "doc", F.explode("band_keys").alias("band_key")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    cands = (
-        a.join(
-            b,
-            on=(F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    # Per-BUCKET verification (the knn_graph execution shape): the
+    # candidate pair set on an isotropic corpus floors at ~2⁻¹²·n²
+    # (116M pairs at sf10's 200k vectors), so joining two 64-float
+    # vectors onto every candidate shuffles ~120 GB and never
+    # finishes; instead the vector rides ONCE per band key
+    # (n_bands·n rows) and each bucket verifies its own pairs in
+    # numpy — BLAS prefilter at threshold−1e-6 (a superset: BLAS
+    # and fold orders differ ~1e-15), fold-exact cosine recompute
+    # on survivors, global dedup on the identical exact values.
+    # Same semantics and oracle: share ≥1 band AND exact fold
+    # cosine ≥ threshold.
+    banded = (
+        proj.mapInArrow(kernel, out_schema)
+        .join(
+            emb.select(
+                F.col(id_col).cast("long").alias("doc"),
+                F.col(vec_col).cast("array<double>").alias("_v"),
+            ),
+            "doc",
         )
-        .select(F.col("a.doc").alias("id_a"), F.col("b.doc").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select("doc", "_v", F.explode("band_keys").alias("band_key"))
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    joined = cands.join(va, "id_a").join(vb, "id_b")
-    # exact verify through the fold-order Arrow cosine (identical
-    # IEEE sequence to vectors.cosine / the SQL oracle's reduce) —
-    # the interpreted HOF fold per candidate pair was the dominant
-    # remaining cost at sf1 once banding was kernelized
+    margin = threshold - 1e-6
+    pair_schema = T.StructType(
+        [
+            T.StructField("id_a", T.LongType(), False),
+            T.StructField("id_b", T.LongType(), False),
+            T.StructField("cosine", T.DoubleType(), False),
+        ]
+    )
+
+    def verify_kernel(batches):
+        import pyarrow as pa
+
+        tabs = list(batches)
+        if not tabs:
+            return
+        tbl = pa.Table.from_batches(tabs)
+        if tbl.num_rows == 0:
+            return
+        ids_all = tbl["doc"].to_numpy(zero_copy_only=False)
+        keys_all = tbl["band_key"].to_numpy(zero_copy_only=False)
+        vecs = tbl["_v"].combine_chunks()
+        flat = vecs.flatten()
+        V = np.asarray(flat, dtype=np.float64).reshape(
+            len(ids_all), -1
+        )
+        order = np.lexsort((ids_all, keys_all))
+        ids_all, keys_all, V = ids_all[order], keys_all[order], V[order]
+        starts = np.flatnonzero(
+            np.r_[True, keys_all[1:] != keys_all[:-1]]
+        )
+        ends = np.r_[starts[1:], len(keys_all)]
+        oa: list[np.ndarray] = []
+        ob: list[np.ndarray] = []
+        oc: list[np.ndarray] = []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2:
+                continue
+            ids = ids_all[s:e]
+            X = V[s:e]
+            nrm = np.sqrt((X * X).sum(axis=1))
+            safe = np.where(nrm > 0, nrm, 1.0)
+            Xn = X / safe[:, None]
+            # row-chunked prefilter: a pathologically skewed bucket
+            # (near-constant sign pattern) cannot allocate an m×m
+            # matrix bigger than chunk×m
+            ii_parts, jj_parts = [], []
+            chunk = 4096
+            for c0 in range(0, m, chunk):
+                S = Xn[c0 : c0 + chunk] @ Xn.T
+                ci, cj = np.where(S >= margin)
+                ci = ci + c0
+                k2 = ci < cj
+                ii_parts.append(ci[k2])
+                jj_parts.append(cj[k2])
+            ii = np.concatenate(ii_parts)
+            jj = np.concatenate(jj_parts)
+            if not len(ii):
+                continue
+            A, B = X[ii], X[jj]
+            dim = X.shape[1]
+            dot = np.zeros(len(ii))
+            na = np.zeros(len(ii))
+            nb = np.zeros(len(ii))
+            for d in range(dim):
+                dot += A[:, d] * B[:, d]
+                na += A[:, d] * A[:, d]
+                nb += B[:, d] * B[:, d]
+            denom = np.sqrt(na) * np.sqrt(nb)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dot / denom)
+            ok = cos >= threshold
+            if ok.any():
+                oa.append(ids[ii[ok]])
+                ob.append(ids[jj[ok]])
+                oc.append(cos[ok])
+        if oa:
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(oa), pa.int64()),
+                    pa.array(np.concatenate(ob), pa.int64()),
+                    pa.array(np.concatenate(oc), pa.float64()),
+                ],
+                names=["id_a", "id_b", "cosine"],
+            )
+
     return (
-        cosine_pairs_fold_arrow(joined, "va", "vb")
-        .where(F.col("cosine") >= threshold)
+        banded.repartition("band_key")
+        .mapInArrow(verify_kernel, pair_schema)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cosine")
     )
 
