@@ -300,23 +300,35 @@ def knn_graph(
     as candidates, and joining 64-float vectors onto that pair set
     shuffles candidate_pairs × 2 × 512 B (≈ 260 GB at sf1-extreme).
     Instead the banded frame (vector rides ONCE per band key, Σ =
-    n_bands·|corpus| rows) groups by band key and a per-bucket
-    kernel emits each in-bucket source's local top-(k+16):
-    preselect by BLAS matmul on unit-normalized copies, then
-    recompute the kept pairs' cosine with the SEQUENTIAL per-dim
-    fold so emitted values are bit-identical to the Catalyst/ANSI
-    `aggregate` order. Bucket-local-top-k ⊇ global-top-k for every
-    shared bucket (fewer competitors in a subset), so the final
-    merge — dedup (src, dst), one window over ≤ n_bands·(k+16)
-    rows per source — reproduces exact-over-candidates top-k; the
-    16-slot margin absorbs BLAS-vs-fold last-ulp reordering, and
-    in-bucket rows are sorted by neighbor id so equal-cosine ties
-    cut deterministically (stable argsort = the oracle's dst-asc
-    tie-break; identical vectors produce identical BLAS rows, so
-    ties are exact there too).
+    n_bands·|corpus| rows) groups by band key; a per-bucket Arrow
+    kernel preselects by float32 BLAS matmul on unit-normalized
+    copies with a provable epsilon THRESHOLD (below), then
+    recomputes the kept pairs' cosine with the SEQUENTIAL per-dim
+    float64 fold so emitted values are bit-identical to the
+    Catalyst/ANSI `aggregate` order. The kernel only has to emit a
+    SUPERSET of each source's exact in-bucket top-k — the global
+    merge (dedup (src, dst) + one window ordered (cosine desc, dst
+    asc)) does the real ranking over exact values, and
+    bucket-local-top-k ⊇ global-top-k for every shared bucket
+    (fewer competitors in a subset).
+
+    Two sf10-measured plan choices (231 s → ~35 s at 200k vectors):
+
+    * The banded frame is a UNION of n_bands narrow projections,
+      not one explode: GenerateExec re-copies the vector payload
+      per emitted row (measured 28-56 s alone at sf10), while 16
+      columnar projections materialize in ~4 s. Vectors ship in
+      their STORAGE precision (float32 parquet) and are upcast to
+      float64 inside the kernel — upcasting is exact, so the fold
+      result is bit-identical to casting in Catalyst. At cluster
+      scale the union re-scans the corpus n_bands times; persist
+      the compact (id, vec) frame first if scan IO dominates —
+      semantics are unchanged either way.
+    * applyInArrow + zero-copy flatten/reshape: no per-row Python
+      list boxing on the 1 GB-scale grouped input.
 
     Scale shape: shuffle is n_bands·|corpus| vector rows + the
-    merged per-bucket winners (|corpus|·n_bands·(k+16) narrow
+    merged per-bucket winners (≈ |corpus|·n_bands·(k+ties) narrow
     rows); per-bucket compute is Σ bucket² dot products in BLAS.
     On ISOTROPIC corpora that Σ bucket² is inherently ~n² work
     (SCALE.md "isotropic mid-threshold" — no blocking scheme can
@@ -325,7 +337,7 @@ def knn_graph(
     subquadratic. Recall vs the exact graph is pinned ≥ 0.85 in
     tests/test_dedup_similarity.py."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
     from pyspark.sql import Window
     from pyspark.sql import types as T
 
@@ -335,11 +347,17 @@ def knn_graph(
     margin = 16
 
     bands = _sign_band_keys(vec_col, band_bits, n_bands)
-    banded = emb.select(
-        F.col(id_col).alias("doc"),
-        F.col(vec_col).cast("array<double>").alias("v"),
-        F.explode(F.array(*bands)).alias("band_key"),
-    )
+    band_slices = [
+        emb.select(
+            F.col(id_col).alias("doc"),
+            F.col(vec_col).alias("v"),
+            b.cast("long").alias("band_key"),
+        )
+        for b in bands
+    ]
+    banded = band_slices[0]
+    for sl in band_slices[1:]:
+        banded = banded.unionAll(sl)
     out_schema = T.StructType(
         [
             T.StructField("src", id_type, True),
@@ -348,31 +366,44 @@ def knn_graph(
         ]
     )
 
-    def bucket_topk(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
+    def bucket_topk(tbl: pa.Table) -> pa.Table:
+        n = len(tbl)
+        id_pa_type = tbl.schema.field("doc").type
         if n < 2:
-            return pd.DataFrame(
-                {"src": [], "dst": [], "cosine": []}
-            ).astype({"src": "int64", "dst": "int64", "cosine": "float64"})
+            return pa.table(
+                {
+                    "src": pa.array([], id_pa_type),
+                    "dst": pa.array([], id_pa_type),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         # row order = dst ascending → stable argsort == (score desc,
-        # dst asc), the oracle's tie-break
-        pdf = pdf.sort_values("doc", kind="mergesort")
-        ids = pdf["doc"].to_numpy()
-        has_vec = pdf["v"].notna().to_numpy()
-        dim = 0
-        for val in pdf["v"]:
-            if val is not None:
-                dim = len(val)
-                break
-        if has_vec.all():
-            X = np.vstack(pdf["v"].to_numpy()).astype(
-                np.float64, copy=False
+        # dst asc), the oracle's tie-break in the fallback path
+        tbl = tbl.sort_by("doc")
+        ids = tbl.column("doc").to_numpy(zero_copy_only=False)
+        varr = tbl.column("v").combine_chunks()
+        has_vec = varr.is_valid().to_numpy(zero_copy_only=False)
+        flat = varr.flatten()
+        widths = np.diff(varr.offsets.to_numpy())
+        dim = int(widths.max(initial=0))
+        if (
+            has_vec.all()
+            and flat.null_count == 0
+            and (widths == dim).all()
+        ):
+            # zero-copy flatten → reshape; upcasting the storage
+            # floats to float64 is EXACT, so downstream folds are
+            # bit-identical to a Catalyst array<double> cast
+            X = (
+                flat.to_numpy(zero_copy_only=True)
+                .reshape(n, dim)
+                .astype(np.float64, copy=False)
             )
         else:
             X = np.zeros((n, dim), dtype=np.float64)
-            for i, val in enumerate(pdf["v"]):
+            for i, val in enumerate(varr.to_pylist()):
                 if val is not None and len(val) == dim:
-                    X[i] = val
+                    X[i] = [0.0 if e is None else e for e in val]
         # exact norms: the same left-to-right fold as vectors.norm
         nacc = np.zeros(n)
         for j in range(dim):
@@ -383,23 +414,86 @@ def knn_graph(
         m = min(n - 1, k + margin)
         src_parts: list[np.ndarray] = []
         dst_parts: list[np.ndarray] = []
-        chunk = 2048
-        for c0 in range(0, n, chunk):
-            c1 = min(n, c0 + chunk)
-            S = Xn[c0:c1] @ Xn.T
-            # NULL-vector rows: exact cosine is NULL, which sorts
-            # after every real value (DESC NULLS LAST both engines)
-            if not has_vec.all():
-                S[:, ~has_vec] = -np.inf
-                S[~has_vec[c0:c1], :] = -np.inf
-            S[np.arange(c0, c1) - c0, np.arange(c0, c1)] = np.nan
-            order = np.argsort(-S, axis=1, kind="stable")[:, :m]
-            # argsort pushes the NaN self-slot last; it can only
-            # surface when m == n-1... never: self is excluded by
-            # taking m <= n-1 of the n-1 non-self (NaN sorts after
-            # -inf under -S ascending)
-            src_parts.append(np.repeat(np.arange(c0, c1), m))
-            dst_parts.append(order.reshape(-1))
+        chunk = 256
+        if has_vec.all() and n > 4 * (m + 1):
+            # THRESHOLD selection in float32: the kernel only has to
+            # EMIT a superset of each source's exact top-k — the
+            # global window does the real (cosine desc, dst asc)
+            # ranking over exact fold values — so no in-kernel sort
+            # or argpartition is needed at all. Keep every dst whose
+            # float32 score is within eps of the row's float32 k-th
+            # largest. Guarantee: the sgemm over 64 unit-norm float32
+            # terms deviates from the exact float64 fold by at most
+            # ~dim·2^-24 ≈ 4e-6 (plus the 2^-24 cast), so with
+            # |S32−S| ≤ eps/2 every exact-top-k dst satisfies
+            # S32[dst] ≥ kth32 − eps (the k-th largest itself moves
+            # by ≤ eps/2). eps = 1e-4 is a 25× margin over the bound
+            # and on a ~N(0, 1/dim) cosine spread admits only a few
+            # extra near-tied dsts per row — emitted rows drop from
+            # (k+margin) to ≈ k+ties, shrinking the merge shuffle
+            # too. Exact ties at the boundary are all kept (≥, not
+            # >), preserving the oracle's tie semantics.
+            X32 = Xn.astype(np.float32)
+            eps = np.float32(1e-4)
+            for c0 in range(0, n, chunk):
+                c1 = min(n, c0 + chunk)
+                S32 = X32[c0:c1] @ X32.T
+                S32[
+                    np.arange(c0, c1) - c0, np.arange(c0, c1)
+                ] = -np.inf
+                # The per-row cut comes from a column-STRIDED
+                # subsample: full-row np.partition is scalar
+                # introselect (~16 ns/element — it dominated this
+                # kernel), but partitioning every 8th column costs
+                # an 8th of that, and the subset's k-th largest is
+                # PROVABLY ≤ the full row's k-th largest (a subset
+                # can only have a lower k-th max), so the ≥-t
+                # survivor set always contains the true top-k and
+                # always has ≥ k members (the subset's own k
+                # survivors). Expected survivors ≈ stride·k — the
+                # exact refinement below trims them back to k+ties.
+                stride = 8 if n >= 4096 else 1
+                sub = S32[:, ::stride]
+                scol = sub.shape[1]
+                t = np.partition(sub, scol - k, axis=1)[
+                    :, scol - k
+                ]
+                mask = S32 >= t[:, None]
+                cnt = mask.sum(axis=1)
+                r, cdx = np.nonzero(mask)
+                vals = S32[mask]
+                # exact k-th largest AMONG the ≥-t survivors (a
+                # superset of the true top-k), then keep survivors
+                # within eps of it — same guarantee as partitioning
+                # the full row, at survivor-set cost
+                order = np.lexsort((vals, r))
+                starts = np.concatenate(
+                    ([0], np.cumsum(cnt))
+                )
+                kth = vals[order[starts[1:] - k]]
+                keep = vals >= kth[r] - eps
+                src_parts.append(r[keep] + c0)
+                dst_parts.append(cdx[keep])
+        else:
+            for c0 in range(0, n, chunk):
+                c1 = min(n, c0 + chunk)
+                S = Xn[c0:c1] @ Xn.T
+                # NULL-vector rows: exact cosine is NULL, which
+                # sorts after every real value (DESC NULLS LAST
+                # both engines)
+                if not has_vec.all():
+                    S[:, ~has_vec] = -np.inf
+                    S[~has_vec[c0:c1], :] = -np.inf
+                S[
+                    np.arange(c0, c1) - c0, np.arange(c0, c1)
+                ] = np.nan
+                order = np.argsort(-S, axis=1, kind="stable")[:, :m]
+                # argsort pushes the NaN self-slot last; it can only
+                # surface when m == n-1... never: self is excluded
+                # by taking m <= n-1 of the n-1 non-self (NaN sorts
+                # after -inf under -S ascending)
+                src_parts.append(np.repeat(np.arange(c0, c1), m))
+                dst_parts.append(order.reshape(-1))
         si = np.concatenate(src_parts)
         di = np.concatenate(dst_parts)
         keep = si != di
@@ -412,15 +506,20 @@ def knn_graph(
         denom = nrm[si] * nrm[di]
         with np.errstate(divide="ignore", invalid="ignore"):
             cos = np.where(denom == 0, 0.0, dot / denom)
-        out = pd.DataFrame(
-            {"src": ids[si], "dst": ids[di], "cosine": cos}
-        )
         null_pair = ~(has_vec[si] & has_vec[di])
-        if null_pair.any():
-            out.loc[null_pair, "cosine"] = None
-        return out
+        return pa.table(
+            {
+                "src": pa.array(ids[si], id_pa_type),
+                "dst": pa.array(ids[di], id_pa_type),
+                "cosine": pa.array(
+                    cos,
+                    pa.float64(),
+                    mask=null_pair if null_pair.any() else None,
+                ),
+            }
+        )
 
-    per_bucket = banded.groupBy("band_key").applyInPandas(
+    per_bucket = banded.groupBy("band_key").applyInArrow(
         bucket_topk, out_schema
     )
     merged = per_bucket.dropDuplicates(["src", "dst"])
