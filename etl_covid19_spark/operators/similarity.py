@@ -610,15 +610,46 @@ def semantic_dedup(
         nrm = np.sqrt((e * e).sum(axis=1))
         nrm[nrm == 0] = 1.0
         u = e / nrm[:, None]
-        sim = u @ u.T
         cc = pdf["cent_cos"].to_numpy()
         ids = pdf["_sd_id"].to_numpy()
-        close = sim > threshold
-        np.fill_diagonal(close, False)
-        dominates = (cc[:, None] > cc[None, :]) | (
-            (cc[:, None] == cc[None, :]) & (ids[:, None] < ids[None, :])
-        )
-        dropped = (close & dominates).any(axis=0)
+        m = len(ids)
+        # A vector is dropped iff some DOMINATING same-cluster vector
+        # (higher cent_cos, tie: lower id) is within `threshold`.
+        # Sorting by (cent_cos desc, id asc) makes dominance = "any
+        # row strictly BEFORE me", so the full m×m sim/close/
+        # dominates materialization (5 GB per 25k cluster at sf10 —
+        # the measured cost of this operator) collapses to a chunked
+        # lower-triangular scan: float32 BLAS against prior rows
+        # only, with pairs inside an eps band of the threshold
+        # recomputed in float64 (float32 error ≤ ~4e-6 ≪ eps=1e-4,
+        # so only band pairs can differ from the float64 decision).
+        order = np.lexsort((ids, -cc))
+        us = u[order]
+        u32 = us.astype(np.float32)
+        thr32 = np.float32(threshold)
+        eps = np.float32(1e-4)
+        dropped_s = np.zeros(m, dtype=bool)
+        chunk = 256
+        for c0 in range(1, m, chunk):
+            c1 = min(m, c0 + chunk)
+            S32 = u32[c0:c1] @ u32[:c1].T
+            # only strictly-prior columns count: mask j >= i
+            jj = np.arange(c1)[None, :]
+            ii = np.arange(c0, c1)[:, None]
+            S32[jj >= ii] = -np.inf
+            dropped_s[c0:c1] |= (S32 > thr32 + eps).any(axis=1)
+            band = (S32 > thr32 - eps) & (S32 <= thr32 + eps)
+            band[dropped_s[c0:c1], :] = False
+            if band.any():
+                r, c = np.nonzero(band)
+                dots = np.einsum(
+                    "ij,ij->i", us[c0 + r], us[c]
+                )
+                hit = dots > threshold
+                if hit.any():
+                    dropped_s[c0 + r[hit]] = True
+        dropped = np.zeros(m, dtype=bool)
+        dropped[order] = dropped_s
         return pd.DataFrame(
             {
                 "_sd_id": ids,
