@@ -204,8 +204,15 @@ def top_ngram_stats(col: Column | str, n: int) -> Column:
     )
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
 def quality_counts_arrow(
-    df, keep_cols: list[str], text_col: str, with_lang: bool = False
+    df,
+    keep_cols: list[str],
+    text_col: str,
+    with_lang: bool = False,
+    with_gopher: bool = False,
 ):
     """Arrow-kernel twin of the per-document quality metric stack
     (tokens / mean_token_length / punct_ratio / stopword_ratio /
@@ -242,6 +249,17 @@ def quality_counts_arrow(
         fields += [
             T.StructField(nm, T.IntegerType(), True) for nm in lang_names
         ]
+    gopher_names = ["n_hash", "n_ellipsis", "n_alpha_tok", "n_gstop"]
+    if with_gopher:
+        # the Gopher §A1.1 rule counts (symbol/alpha/stop-presence)
+        # in the same pass — all exact integers, finished Spark-side
+        # by `gopher_from_counts` expression-for-expression
+        fields += [
+            T.StructField("n_hash", T.LongType(), True),
+            T.StructField("n_ellipsis", T.LongType(), True),
+            T.StructField("n_alpha_tok", T.IntegerType(), True),
+            T.StructField("n_gstop", T.IntegerType(), True),
+        ]
     out_schema = T.StructType(fields)
     proj = fan_out(df.select(*keep_cols, text_col))
     n_keep = len(keep_cols)
@@ -262,6 +280,7 @@ def quality_counts_arrow(
         punct_pat = "[^A-Za-z0-9 \t\n\x0b\x0c\r]"
         stops = pa.array(stop_set, pa.string())
         lang_arrs = [pa.array(s, pa.string()) for s in lang_sets]
+        gstops = pa.array(list(GOPHER_STOPWORDS), pa.string())
 
         for b in batches:
             txt = b.column(n_keep)
@@ -316,6 +335,41 @@ def quality_counts_arrow(
                             pa.int32(),
                         )
                     )
+            gopher_cols = []
+            if with_gopher:
+                n_hash = pc.count_substring(txt, "#").to_numpy(
+                    zero_copy_only=False
+                )
+                n_hash = np.nan_to_num(n_hash).astype(np.int64)
+                # non-overlapping count == the replace-based count
+                n_ell = pc.count_substring(txt, "...").to_numpy(
+                    zero_copy_only=False
+                )
+                n_ell = np.nan_to_num(n_ell).astype(np.int64)
+                alpha = pc.match_substring_regex(
+                    vals, "[A-Za-z]"
+                ).to_numpy(zero_copy_only=False)
+                alpha = np.nan_to_num(alpha).astype(bool)
+                n_alpha = np.bincount(
+                    docv, weights=alpha[lo:hi][valid], minlength=n
+                ).astype(np.int32)
+                gidx = pc.index_in(
+                    low_vals, value_set=gstops
+                ).to_numpy(zero_copy_only=False)
+                gv = gidx[lo:hi][valid]
+                ghit = ~np.isnan(gv)
+                n_g = len(gstops)
+                present = np.bincount(
+                    (docv[ghit] * n_g + gv[ghit].astype(np.int64)),
+                    minlength=n * n_g,
+                ).reshape(n, n_g) > 0
+                n_gstop = present.sum(axis=1).astype(np.int32)
+                gopher_cols = [
+                    pa.array(n_hash, pa.int64()),
+                    pa.array(n_ell, pa.int64()),
+                    pa.array(n_alpha, pa.int32()),
+                    pa.array(n_gstop, pa.int32()),
+                ]
 
             yield pa.RecordBatch.from_arrays(
                 [b.column(i) for i in range(n_keep)]
@@ -326,7 +380,8 @@ def quality_counts_arrow(
                     pa.array(n_stop.astype(np.int32), pa.int32()),
                     pa.array(n_chars, pa.int64()),
                 ]
-                + lang_cols,
+                + lang_cols
+                + gopher_cols,
                 names=keep_cols
                 + [
                     "n_tokens",
@@ -335,7 +390,8 @@ def quality_counts_arrow(
                     "n_stop",
                     "n_chars",
                 ]
-                + (lang_names if with_lang else []),
+                + (lang_names if with_lang else [])
+                + (gopher_names if with_gopher else []),
             )
 
     return proj.mapInArrow(kernel, out_schema)
@@ -371,6 +427,37 @@ def quality_from_counts() -> dict[str, Column]:
         "punct_ratio": punct_ratio_,
         "stopword_ratio": stopword_ratio_,
         "quality": quality,
+    }
+
+
+def gopher_from_counts() -> dict[str, Column]:
+    """Spark-side finisher over `quality_counts_arrow(...,
+    with_gopher=True)` output: the `curation.gopher_metrics`
+    formulas expression-for-expression with the exact counts
+    substituted (n_ellipsis·3/3 reproduces the replace-length
+    arithmetic bit-for-bit — 3k/3 is exact in IEEE), so the twin
+    shares the HOF oracle."""
+    n = F.col("n_tokens")
+    nsafe = F.greatest(n, F.lit(1))
+    mean_wl = F.col("total_tok_len") / nsafe
+    n_ell = (F.lit(3) * F.col("n_ellipsis")) / 3
+    symbol_ratio = (F.col("n_hash") + n_ell) / nsafe
+    alpha_frac = F.col("n_alpha_tok") / nsafe
+    n_stop = F.col("n_gstop")
+    passed = (
+        n.between(50, 100000)
+        & mean_wl.between(3, 10)
+        & (symbol_ratio <= 0.1)
+        & (alpha_frac >= 0.8)
+        & (n_stop >= 2)
+    )
+    return {
+        "n_tokens": n,
+        "mean_word_len": mean_wl,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_frac": alpha_frac,
+        "n_stop_distinct": n_stop,
+        "pass": passed,
     }
 
 

@@ -1332,20 +1332,20 @@ _LANG_ID_ORACLE = """
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic language-ID: stopword-marker hit counts per
     language, deterministic priority argmax (en>es>fr>de>zh on
-    ties)."""
+    ties). Marker counts come from the Arrow counting kernel
+    (`quality_counts_arrow(with_lang=True)` — exact integers, so
+    the kernel shares the HOF oracle; `text.lang_scores` stays the
+    engine-pure cross-check): the five `size(filter(tokens(...)))`
+    HOFs re-tokenized the corpus per language and cost 45 s at
+    sf10's 500k docs vs kernel cost."""
     d = _t(spark, sf_dir, "documents")
-    s = text.lang_scores("text")
-    predicted = (
-        F.when(s["en"] >= F.greatest(s["es"], s["fr"], s["de"], s["zh"]), "en")
-        .when(s["es"] >= F.greatest(s["fr"], s["de"], s["zh"]), "es")
-        .when(s["fr"] >= F.greatest(s["de"], s["zh"]), "fr")
-        .when(s["de"] >= s["zh"], "de")
-        .otherwise("zh")
+    staged = text.quality_counts_arrow(
+        d, ["doc_id", "lang"], "text", with_lang=True
     )
-    return d.select(
+    return staged.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
-        predicted.alias("predicted_lang"),
+        text.predicted_lang_from_counts().alias("predicted_lang"),
     )
 
 
@@ -4072,10 +4072,17 @@ def q_source_reputation_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one small aggregate plus a broadcast hash join, never a
     corpus-sized shuffle. The average accumulates in DECIMAL so the
     source verdict is order-independent (FP-sum nondeterminism would
-    flip sources sitting on the threshold)."""
+    flip sources sitting on the threshold). Per-doc q comes from
+    the Arrow counting kernel + `quality_from_counts` replay (the
+    `text_quality_arrow` swap — bit-exact vs the HOF scorer, which
+    cost 33 s at sf10's 500k docs)."""
     d = _t(spark, sf_dir, "documents")
-    scored = d.select(
-        "doc_id", "source", text.quality_score("text").alias("q")
+    scored = text.quality_counts_arrow(
+        d, ["doc_id", "source"], "text"
+    ).select(
+        "doc_id",
+        "source",
+        text.quality_from_counts()["quality"].alias("q"),
     )
     src = (
         scored.groupBy("source")
@@ -7561,12 +7568,20 @@ def q_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol-to-word ratio, alphabetic-word fraction, and stop-word
     presence, each surfaced as its metric plus a composite pass
     flag. (The repetition rules of the same appendix live in
-    `repetition_signals`.) All rules are map-side Catalyst
-    expressions — the canonical rule-based pre-filter runs as a
-    zero-shuffle scan at any corpus size."""
+    `repetition_signals`.) Still a zero-shuffle map scan at any
+    corpus size — the rule COUNTS come out of the Arrow counting
+    kernel (`text.quality_counts_arrow(with_gopher=True)`, the same
+    HOF-vs-kernel swap as `text_quality_arrow`: exact integers from
+    the kernel, every division/round replayed Spark-side by
+    `text.gopher_from_counts`), which took the sf10 scan from 38 s
+    of interpreted HOFs to kernel cost; `curation.gopher_metrics`
+    stays the engine-pure cross-check."""
     d = _t(spark, sf_dir, "documents")
-    m = CUR.gopher_metrics("text")
-    return d.select(
+    staged = text.quality_counts_arrow(
+        d, ["doc_id"], "text", with_gopher=True
+    )
+    m = text.gopher_from_counts()
+    return staged.select(
         "doc_id",
         m["n_tokens"].cast("bigint").alias("n_tokens"),
         F.round(m["mean_word_len"], 6).alias("mean_word_len"),
