@@ -167,6 +167,75 @@ def classifier_score(
     return F.expr(score_sql(col, weights, bias, k))
 
 
+def _bucket_token_arrays(txt, k: int):
+    """Per-batch hashed-unigram feature buckets shared by the
+    classifier and DSIR kernels: an Arrow string column → (bucket
+    per valid token in STREAM order, doc index per valid token,
+    batch rows). bucket = (first-codepoint·1000 + codepoint-length)
+    % k over Java-`\\s` whitespace tokens of the 0x20-trimmed text —
+    verbatim the `token_buckets` Catalyst feature (probe-verified
+    UTF-8 decode incl. astral planes)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
+    if txt.null_count:
+        txt = pc.fill_null(txt, "")
+    toks = pc.split_pattern_regex(pc.utf8_trim(txt, " "), ws_pat)
+    offs = np.asarray(toks.offsets, dtype=np.int64)
+    vals = toks.values  # token strings, absolute-indexed by offs
+    nv = len(vals)
+    large = pa.types.is_large_string(vals.type)
+    vo_dtype = np.int64 if large else np.int32
+    bufs = vals.buffers()
+    vo = np.frombuffer(bufs[1], vo_dtype)[
+        vals.offset : vals.offset + nv + 1
+    ].astype(np.int64)
+    data = (
+        np.frombuffer(bufs[2], np.uint8)
+        if bufs[2] is not None
+        else np.zeros(0, np.uint8)
+    )
+    starts, ends = vo[:-1], vo[1:]
+    nonempty = ends > starts
+    b0 = np.zeros(nv, np.int64)
+    b0[nonempty] = data[starts[nonempty]]
+    # first code point: vectorized UTF-8 decode of byte 0..3
+    cp = b0.copy()
+    if (b0 >= 0x80).any():
+        guard = len(data) - 1
+        b1 = data[np.minimum(starts + 1, guard)].astype(np.int64)
+        b2 = data[np.minimum(starts + 2, guard)].astype(np.int64)
+        b3 = data[np.minimum(starts + 3, guard)].astype(np.int64)
+        m2 = (b0 >= 0xC0) & (b0 < 0xE0)
+        m3 = (b0 >= 0xE0) & (b0 < 0xF0)
+        m4 = b0 >= 0xF0
+        cp[m2] = ((b0[m2] & 0x1F) << 6) | (b1[m2] & 0x3F)
+        cp[m3] = (
+            ((b0[m3] & 0x0F) << 12)
+            | ((b1[m3] & 0x3F) << 6)
+            | (b2[m3] & 0x3F)
+        )
+        cp[m4] = (
+            ((b0[m4] & 0x07) << 18)
+            | ((b1[m4] & 0x3F) << 12)
+            | ((b2[m4] & 0x3F) << 6)
+            | (b3[m4] & 0x3F)
+        )
+    tlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+    tlen = np.nan_to_num(tlen).astype(np.int64)
+    bucket = (cp * 1000 + tlen) % k
+
+    n = len(toks)
+    lo, hi = offs[0], offs[-1]
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+    valid = nonempty[lo:hi]
+    seq = bucket[lo:hi][valid]
+    docv = doc_idx[valid]
+    return seq, docv, n
+
+
 def classifier_scores_arrow(
     df: DataFrame,
     text_col: str,
@@ -218,65 +287,9 @@ def classifier_scores_arrow(
     def kernel(batches):
         import numpy as np
         import pyarrow as pa
-        import pyarrow.compute as pc
-
-        ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
 
         for b in batches:
-            txt = b.column(n_keep)
-            if txt.null_count:
-                txt = pc.fill_null(txt, "")
-            toks = pc.split_pattern_regex(pc.utf8_trim(txt, " "), ws_pat)
-            offs = np.asarray(toks.offsets, dtype=np.int64)
-            vals = toks.values  # token strings, absolute-indexed by offs
-            nv = len(vals)
-            large = pa.types.is_large_string(vals.type)
-            vo_dtype = np.int64 if large else np.int32
-            bufs = vals.buffers()
-            vo = np.frombuffer(bufs[1], vo_dtype)[
-                vals.offset : vals.offset + nv + 1
-            ].astype(np.int64)
-            data = (
-                np.frombuffer(bufs[2], np.uint8)
-                if bufs[2] is not None
-                else np.zeros(0, np.uint8)
-            )
-            starts, ends = vo[:-1], vo[1:]
-            nonempty = ends > starts
-            b0 = np.zeros(nv, np.int64)
-            b0[nonempty] = data[starts[nonempty]]
-            # first code point: vectorized UTF-8 decode of byte 0..3
-            cp = b0.copy()
-            if (b0 >= 0x80).any():
-                guard = len(data) - 1
-                b1 = data[np.minimum(starts + 1, guard)].astype(np.int64)
-                b2 = data[np.minimum(starts + 2, guard)].astype(np.int64)
-                b3 = data[np.minimum(starts + 3, guard)].astype(np.int64)
-                m2 = (b0 >= 0xC0) & (b0 < 0xE0)
-                m3 = (b0 >= 0xE0) & (b0 < 0xF0)
-                m4 = b0 >= 0xF0
-                cp[m2] = ((b0[m2] & 0x1F) << 6) | (b1[m2] & 0x3F)
-                cp[m3] = (
-                    ((b0[m3] & 0x0F) << 12)
-                    | ((b1[m3] & 0x3F) << 6)
-                    | (b2[m3] & 0x3F)
-                )
-                cp[m4] = (
-                    ((b0[m4] & 0x07) << 18)
-                    | ((b1[m4] & 0x3F) << 12)
-                    | ((b2[m4] & 0x3F) << 6)
-                    | (b3[m4] & 0x3F)
-                )
-            tlen = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
-            tlen = np.nan_to_num(tlen).astype(np.int64)
-            bucket = (cp * 1000 + tlen) % k
-
-            n = len(toks)
-            lo, hi = offs[0], offs[-1]
-            doc_idx = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
-            valid = nonempty[lo:hi]
-            seq = bucket[lo:hi][valid]
-            docv = doc_idx[valid]
+            seq, docv, n = _bucket_token_arrays(b.column(n_keep), k)
             n_uni = np.bincount(docv, minlength=n)
             s_uni = np.bincount(docv, weights=w[seq], minlength=n)
             if len(seq) > 1:
@@ -377,16 +390,73 @@ def dsir_importance(
     the 2k counts are collected as bounded model parameters and the
     per-doc score is a zero-shuffle map-side fold over a k-entry
     literal weight array — at 100 TB the scoring pass is
-    embarrassingly parallel and touches each document once."""
+    embarrassingly parallel and touches each document once.
+
+    Both passes run as Arrow kernels over `_bucket_token_arrays`
+    (the classifier's probe-verified feature buckets) — the HOF
+    explode + fold form cost 41 s at sf10's 500k docs and stays
+    available via `token_buckets` as the engine-pure cross-check.
+    Bit-exactness of the score: the Catalyst fold is a sequential
+    left sum of weight lookups in token-stream order, so the kernel
+    accumulates per-doc sums position-block by position-block
+    (every doc has at most one token at position j — plain
+    vectorized adds in the same IEEE order; np.add.reduceat would
+    NOT match: numpy reduce is pairwise for long segments)."""
     import math
 
-    b = token_buckets(text_col, k)
-    feats = docs.select(
-        F.explode(b).alias("f"), target.cast("long").alias("_is_t")
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    cnt_schema = T.StructType(
+        [
+            T.StructField("f", T.IntegerType(), True),
+            T.StructField("cr", T.LongType(), True),
+            T.StructField("ct", T.LongType(), True),
+        ]
     )
-    rows = feats.groupBy("f").agg(
-        F.count(F.lit(1)).alias("cr"), F.sum("_is_t").alias("ct")
-    ).collect()
+    proj1 = fan_out(
+        docs.select(
+            target.cast("long").alias("_is_t"),
+            F.col(text_col).alias("_t"),
+        )
+    )
+
+    def count_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cr_acc = np.zeros(k, np.int64)
+        ct_acc = np.zeros(k, np.int64)
+        seen = False
+        for b in batches:
+            seq, docv, _n = _bucket_token_arrays(b.column(1), k)
+            if not len(seq):
+                seen = True
+                continue
+            ist = b.column(0).to_numpy(zero_copy_only=False)
+            ist = np.nan_to_num(ist).astype(np.int64)
+            cr_acc += np.bincount(seq, minlength=k)
+            ct_acc += np.bincount(
+                seq, weights=ist[docv].astype(np.float64), minlength=k
+            ).astype(np.int64)
+            seen = True
+        if seen:
+            yield pa.record_batch(
+                [
+                    pa.array(np.arange(k, dtype=np.int32), pa.int32()),
+                    pa.array(cr_acc, pa.int64()),
+                    pa.array(ct_acc, pa.int64()),
+                ],
+                names=["f", "cr", "ct"],
+            )
+
+    rows = (
+        proj1.mapInArrow(count_kernel, cnt_schema)
+        .groupBy("f")
+        .agg(F.sum("cr").alias("cr"), F.sum("ct").alias("ct"))
+        .collect()
+    )
     cr = {int(r["f"]): int(r["cr"]) for r in rows}
     ct = {int(r["f"]): int(r["ct"]) for r in rows}
     nr, nt = sum(cr.values()), sum(ct.values())
@@ -395,17 +465,63 @@ def dsir_importance(
         - math.log((cr.get(i, 0) + alpha) / (nr + alpha * k))
         for i in range(k)
     ]
-    warr = F.array(*[F.lit(x) for x in lam])
-    score = F.aggregate(
-        b,
-        F.lit(0.0),
-        lambda acc, f: acc + F.element_at(warr, f.cast("int") + 1),
+    w = np.asarray(lam, dtype=np.float64)
+
+    fields = (
+        [docs.schema[id_col]]
+        + [docs.schema[c] for c in keep_cols]
+        + [
+            T.StructField("n_features", T.IntegerType(), True),
+            T.StructField("_wsum", T.DoubleType(), True),
+        ]
     )
-    return docs.select(
+    score_schema = T.StructType(fields)
+    n_keep = 1 + len(keep_cols)
+    proj2 = fan_out(
+        docs.select(id_col, *keep_cols, F.col(text_col).alias("_t"))
+    )
+
+    def score_kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            seq, docv, n = _bucket_token_arrays(b.column(n_keep), k)
+            nf = np.bincount(docv, minlength=n)
+            wsum = np.zeros(n)
+            if len(seq):
+                run_starts = np.flatnonzero(
+                    np.r_[True, docv[1:] != docv[:-1]]
+                )
+                run_len = np.diff(np.r_[run_starts, len(docv)])
+                pos = np.arange(len(docv)) - np.repeat(
+                    run_starts, run_len
+                )
+                order = np.lexsort((docv, pos))
+                seqo = seq[order]
+                docvo = docv[order]
+                poso = pos[order]
+                bs = np.flatnonzero(
+                    np.r_[True, poso[1:] != poso[:-1]]
+                )
+                be = np.r_[bs[1:], len(poso)]
+                for s, e in zip(bs, be):
+                    wsum[docvo[s:e]] += w[seqo[s:e]]
+            yield pa.RecordBatch.from_arrays(
+                [b.column(i) for i in range(n_keep)]
+                + [
+                    pa.array(nf.astype(np.int32), pa.int32()),
+                    pa.array(wsum, pa.float64()),
+                ],
+                names=[id_col, *keep_cols, "n_features", "_wsum"],
+            )
+
+    staged = proj2.mapInArrow(score_kernel, score_schema)
+    return staged.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
-        F.size(b).alias("n_features"),
-        F.round(score, 6).alias("log_importance"),
+        "n_features",
+        F.round(F.col("_wsum"), 6).alias("log_importance"),
     )
 
 
@@ -537,21 +653,27 @@ def unigram_perplexity(
     (bounded model parameters). At web scale the vocab table is
     millions of rows — small enough for AQE to broadcast the join,
     which is why no broadcast is forced here."""
+    from etl_covid19_spark.operators import dedup
     from etl_covid19_spark.operators.df_cache import SHARED_CACHE, corpus_key
 
-    # Shares the pooled (doc, pos, token) frame with
-    # `bigram_perplexity` (same key) — ONE tokenization pass serves
-    # both models and any composition that scores with either.
-    key = ("lm_positions", corpus_key(docs), text_col, id_col)
-    pos_frame = SHARED_CACHE.get_or_build(
+    # Pooled PRE-AGGREGATED (doc, token-hash, n) counts straight out
+    # of the Arrow token kernel: the HOF tokenize + corpus-size
+    # posexplode + (doc, token) groupBy was the measured 60 s of
+    # this query at sf10; the kernel emits the 12M-row count table
+    # directly (64-bit hashed token identity — no consumer sees
+    # token values). The (doc, pos, token) positions pool remains
+    # the shared frame for ORDER-sensitive consumers (bigram LM,
+    # phrase search, PMI).
+    key = ("lm_tok_counts", corpus_key(docs), text_col, id_col)
+    doc_tok = SHARED_CACHE.get_or_build(
         key,
-        lambda: docs.select(
-            F.col(id_col).alias("_doc"),
-            F.posexplode(text.tokens(text_col)).alias("pos", "token"),
+        lambda: dedup.token_count_postings_arrow(
+            docs, text_col, id_col
+        ).select(
+            F.col("doc_id").alias("_doc"),
+            F.col("tok").alias("token"),
+            "n",
         ),
-    )
-    doc_tok = pos_frame.groupBy("_doc", "token").agg(
-        F.count(F.lit(1)).alias("n")
     )
     vocab = doc_tok.groupBy("token").agg(F.sum("n").alias("cnt"))
     stats = vocab.agg(

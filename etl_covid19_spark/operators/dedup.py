@@ -1619,6 +1619,116 @@ def shingle_postings_arrow(
     return proj.mapInArrow(kernel, out_schema)
 
 
+def token_count_postings_arrow(df, text_col: str, id_col: str):
+    """(doc_id, tok, n): per-document token OCCURRENCE counts with
+    tokens as 64-bit byte-polynomial hashes — the Arrow twin of
+    `posexplode(tokens(text))` + `groupBy(doc, token).count()` for
+    consumers that only need token EQUALITY (the unigram-LM family:
+    per-doc counts, vocabulary counts, importance ratios). The HOF
+    tokenize + corpus-size explode was the measured 60 s of
+    `unigram_lm_perplexity` at sf10; the kernel emits the 12M-row
+    pre-aggregated count table directly. Hashing is contract-safe
+    by the same argument as the positioned-gram kernel (no consumer
+    or oracle sees token VALUES, only equality) — but unlike the
+    pair-set consumers this family's emitted NUMBERS depend on
+    exact count identity, so the hash is the 64-bit wraparound
+    polynomial (collision term ~2⁻⁶⁴ — the engine's standing
+    xxhash64 policy), not the mod-P 2³¹ gram hash, which would
+    expect ~10⁴ colliding token pairs on a 12M-token vocabulary."""
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("tok", T.LongType(), True),
+            T.StructField("n", T.LongType(), True),
+        ]
+    )
+    proj = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            ids, h, parents, n_docs = _token_hash_arrays(
+                b, mod64=True
+            )
+            if not len(h):
+                continue
+            order = np.lexsort((h, parents))
+            hs, ps = h[order], parents[order]
+            first = np.ones(len(hs), dtype=bool)
+            first[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+            starts = np.flatnonzero(first)
+            runs = np.diff(np.r_[starts, len(hs)])
+            yield pa.record_batch(
+                [
+                    pa.array(ids[ps[first]], pa.int64()),
+                    pa.array(hs[first], pa.int64()),
+                    pa.array(runs.astype(np.int64), pa.int64()),
+                ],
+                names=["doc_id", "tok", "n"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
+
+
+def _token_hash_arrays(b, mod64: bool = False):
+    """Per-batch tokenize + token-hash shared by the gram and
+    token-count kernels: batch (doc_id, text) → (ids, token hashes
+    h in stream order, doc index per token, n_docs). Whitespace
+    tokens (Java-`\\s` ASCII class), rolling (·131+byte) polynomial
+    per token — mod P (the gram-fold convention) by default, or
+    64-bit wraparound (`mod64`) for consumers whose emitted numbers
+    depend on exact token-count identity."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    P = np.int64(_P)
+    ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
+
+    ids = b.column(0).to_numpy(zero_copy_only=False)
+    n_docs = len(ids)
+    txt = b.column(1)
+    if txt.null_count:
+        txt = pc.fill_null(txt, "")
+    toks = pc.split_pattern_regex(txt, ws_pat)
+    flat = pc.list_flatten(toks)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    offs = np.frombuffer(flat.buffers()[1], dtype=np.int32)
+    offs = offs[flat.offset : flat.offset + len(flat) + 1].astype(np.int64)
+    data = np.frombuffer(flat.buffers()[2], dtype=np.uint8)
+    starts, ends = offs[:-1], offs[1:]
+    lens = ends - starts
+    keep = lens > 0
+    starts, lens, parents = starts[keep], lens[keep], parents[keep]
+    maxlen = int(lens.max()) if len(lens) else 0
+    if mod64:
+        h64 = np.zeros(len(starts), dtype=np.uint64)
+        for j in range(maxlen):
+            m = j < lens
+            idx = starts[m] + j
+            h64[m] = h64[m] * np.uint64(131) + data[idx].astype(
+                np.uint64
+            )
+        return ids, h64.view(np.int64), parents, n_docs
+    h = np.zeros(len(starts), dtype=np.int64)
+    for j in range(maxlen):
+        m = j < lens
+        idx = starts[m] + j
+        h[m] = (h[m] * 131 + data[idx]) % P
+    return ids, h, parents, n_docs
+
+
 def _gram_arrays(b, n: int):
     """Per-batch vectorized shingle computation shared by the Arrow
     postings and signature kernels: batch (doc_id, text) → (ids,

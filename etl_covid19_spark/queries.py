@@ -8298,13 +8298,19 @@ def q_curation_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     systematic per-language disagreement means a filter is biased
     against that slice (the practical failure mode of quality
     filtering). One scan feeds all three signal branches; the rates
-    aggregate exact integer counts."""
+    aggregate exact integer counts. All three signals ride their
+    Arrow kernels (classifier buckets, gopher counting kernel,
+    hashed token-count perplexity) — the HOF composition cost 50 s
+    at sf10; the engine-pure forms remain the per-signal
+    cross-checks."""
     d = _t(spark, sf_dir, "documents")
-    clf = CUR.with_classifier_score(d, "text").select(
+    clf = CUR.classifier_scores_arrow(d, "text", ["doc_id", "lang"]).select(
         "doc_id", "lang", (F.col("_score_raw") >= 0.5).alias("clf_keep")
     )
-    gph = d.select(
-        "doc_id", CUR.gopher_metrics("text")["pass"].alias("gopher_pass")
+    gph = text.quality_counts_arrow(
+        d, ["doc_id"], "text", with_gopher=True
+    ).select(
+        "doc_id", text.gopher_from_counts()["pass"].alias("gopher_pass")
     )
     ppl = CUR.unigram_perplexity(d, "text", "doc_id").select(
         "doc_id", (F.col("perplexity") <= 30.5).alias("ppl_band")
@@ -8366,9 +8372,13 @@ def q_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     (aggregates.frequent_items): bounded per-partition candidate
     state + exact verify, so the full-vocabulary shuffle of a naive
     token groupBy never happens. The output is provably exact — the
-    sketch only generates the candidate superset."""
+    sketch only generates the candidate superset. The token stream
+    feeds from the Arrow tokenizer (`text.tokens_stream_arrow`,
+    identical strings) — the sketch evaluates its input three times
+    (candidates / total / recount) and the HOF explode cost 42 s per
+    pass-set at sf10."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(text.tokens("text")).alias("tok"))
+    toks = text.tokens_stream_arrow(d, "text", "tok")
     return agg.frequent_items(toks, "tok", k=30, capacity=240)
 
 
