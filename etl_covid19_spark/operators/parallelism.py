@@ -51,6 +51,10 @@ def fan_out(
     task-scheduling overhead the floor was measured to avoid. Row-
     content downstream only — round-robin changes row order, so
     callers must be order-independent (every kernel here is)."""
+    if df.isStreaming:
+        # micro-batch parallelism is the source's concern;
+        # inputFiles()/rdd are illegal on streaming frames
+        return df
     target = (
         min_partitions
         if min_partitions is not None

@@ -195,11 +195,7 @@ def _ivf_search(
             ]
         )
 
-    c = emb.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cv"),
-        F.array_max(scores(vec_col)).getField("cid").alias("bucket"),
-    )
+    c = _assign_buckets_arrow(emb, cents, vec_col, id_col)
     probed = F.slice(F.reverse(F.array_sort(scores(vec_col))), 1, n_probe)
     q = F.broadcast(
         queries.select(
@@ -208,11 +204,13 @@ def _ivf_search(
             F.explode(probed).alias("_pr"),
         ).select("query_id", "qv", F.col("_pr.cid").alias("bucket"))
     )
-    scored = (
-        q.join(c, on="bucket")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", vectors.cosine("qv", "cv"))
+    pairs = q.join(c, on="bucket").where(
+        F.col("query_id") != F.col("neighbor_id")
     )
+    # exact fold-order cosine per candidate pair — the interpreted
+    # HOF cosine over |queries|·bucket_size pairs was the measured
+    # bulk of sf10 IVF cost; values are bit-identical
+    scored = cosine_pairs_fold_arrow(pairs, "qv", "cv")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -221,6 +219,104 @@ def _ivf_search(
         .where(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cosine")
     )
+
+
+def _assign_buckets_arrow(
+    emb: DataFrame, cents, vec_col: str, id_col: str
+) -> DataFrame:
+    """Corpus-side IVF bucket assignment as an Arrow kernel:
+    (neighbor_id, cv, bucket) with bucket = argmax centroid cosine,
+    ties to the HIGHER cid — exactly `array_max(scores(vec))
+    .getField("cid")`, which is the interpreted-HOF form this
+    replaces (measured ~40 s of sf10 IVF: n_centroids fold cosines
+    per corpus row, all CodegenFallback).
+
+    Decision-exactness: BLAS float64 cosines differ from the
+    Catalyst fold by ~1e-15, which can only flip the argmax when
+    two centroids sit within that of each other — so rows whose
+    top-2 margin is < 1e-9 are recomputed with the sequential
+    per-dim fold (bit-identical to `vectors.cosine`, zero-norm →
+    0.0) before the tie-aware argmax. Centroid cids arrive in
+    ascending order from both trainers, so "last max index" is the
+    higher-cid tie-break on either path."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    cid_list = [cid for cid, _ in cents]
+    assert cid_list == sorted(cid_list)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    n_c, dim_c = C.shape
+    # centroid norms via the same sequential dim fold as the HOF
+    cn_acc = np.zeros(n_c)
+    for d in range(dim_c):
+        cn_acc += C[:, d] * C[:, d]
+    cnorm = np.sqrt(cn_acc)
+    cids = np.array(cid_list, dtype=np.int64)
+
+    id_type = emb.schema[id_col].dataType
+    vec_type = emb.schema[vec_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("neighbor_id", id_type, True),
+            T.StructField("cv", vec_type, True),
+            T.StructField("bucket", T.IntegerType(), True),
+        ]
+    )
+    proj = fan_out(
+        emb.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("cv"),
+        )
+    )
+
+    def kernel(batches):
+        for b in batches:
+            n = len(b)
+            col = b.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten()
+            X = (
+                np.asarray(flat, dtype=np.float64).reshape(n, -1)
+                if n and len(flat)
+                else np.zeros((n, dim_c))
+            )
+            xn_acc = np.zeros(n)
+            for d in range(X.shape[1]):
+                xn_acc += X[:, d] * X[:, d]
+            xnorm = np.sqrt(xn_acc)
+            denom = np.outer(xnorm, cnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, (X @ C.T) / denom)
+            # top-2 margin guard: recompute near-ties fold-exactly
+            part = np.partition(cos, n_c - 2, axis=1)
+            margin = part[:, n_c - 1] - part[:, n_c - 2]
+            flagged = np.flatnonzero(margin < 1e-9)
+            if flagged.size:
+                Xf = X[flagged]
+                dot = np.zeros((len(flagged), n_c))
+                na = np.zeros(len(flagged))
+                for d in range(X.shape[1]):
+                    dot += Xf[:, d, None] * C[None, :, d]
+                    na += Xf[:, d] * Xf[:, d]
+                dn = np.outer(np.sqrt(na), cnorm)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos[flagged] = np.where(dn == 0, 0.0, dot / dn)
+            # argmax with ties to the LAST (highest-cid) index
+            rev = cos[:, ::-1]
+            idx = n_c - 1 - np.argmax(rev, axis=1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    b.column(1),
+                    pa.array(cids[idx].astype(np.int32), pa.int32()),
+                ],
+                names=["neighbor_id", "cv", "bucket"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
 
 
 def lsh_bucket_ann(

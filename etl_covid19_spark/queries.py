@@ -7645,8 +7645,8 @@ def q_streaming_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_covid19_spark.sources.catalog import documents_stream
 
-    scored = CUR.with_classifier_score(
-        documents_stream(spark, sf_dir), "text"
+    scored = CUR.classifier_scores_arrow(
+        documents_stream(spark, sf_dir), "text", ["doc_id"]
     ).select(
         "doc_id",
         F.round("_score_raw", 6).alias("score"),
