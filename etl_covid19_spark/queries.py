@@ -4887,8 +4887,9 @@ def q_dedup_cluster_representatives(
     (ties → smallest id). Clusters come from the same LSH pair graph
     as `dedup_clusters`; the per-cluster argmax is a window over the
     component (components are near-dup groups — bounded, so the
-    window partition never skews)."""
-    from etl_covid19_spark.functions.text import quality_score
+    window partition never skews). Member quality rides the Arrow
+    counting kernel (`quality_from_counts` replay — the HOF scorer
+    was ~half this query's sf10 cost)."""
     from etl_covid19_spark.operators.dedup import (
         connected_components,
         minhash_lsh_pairs,
@@ -4899,7 +4900,9 @@ def q_dedup_cluster_representatives(
         docs, "text", "doc_id", n=3, num_hashes=96, bands=24, threshold=0.8
     )
     clusters = connected_components(pairs)
-    q = docs.select("doc_id", quality_score("text").alias("quality"))
+    q = text.quality_counts_arrow(docs, ["doc_id"], "text").select(
+        "doc_id", text.quality_from_counts()["quality"].alias("quality")
+    )
     ranked = clusters.join(q, "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("quality").desc(), F.col("doc_id").asc()
@@ -10362,10 +10365,19 @@ def q_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     window for the dedup stage → a single-row aggregate stacked to
     one row per stage. The only shuffles are the dedup-key window
     and the final 1-row agg — the funnel adds NO pass over the
-    corpus beyond what the rules themselves read."""
+    corpus beyond what the rules themselves read. Rule metrics ride
+    the Arrow counting kernel (`gopher_from_counts` replay — the
+    HOF rule stack was the measured bulk of this query's sf10
+    cost)."""
     d = _t(spark, sf_dir, "documents")
-    m = CUR.gopher_metrics("text")
-    flags = d.select(
+    staged = text.quality_counts_arrow(
+        d.select("doc_id", "text", F.col("text").alias("_scan")),
+        ["doc_id", "text"],
+        "_scan",
+        with_gopher=True,
+    )
+    m = text.gopher_from_counts()
+    flags = staged.select(
         "doc_id",
         "text",
         (m["n_tokens"].between(50, 100000)).alias("r1"),
