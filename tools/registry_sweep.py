@@ -45,6 +45,15 @@ QUADRATIC_BASELINES = {
     "dedup_containment",
 }
 
+# Quadratic-OUTPUT baselines: completable at sf1, but the answer
+# itself grows ~|dups|² (sf1: 23.4M pairs from 50k docs) — at sf10
+# materializing it exceeds any budget by design. The linear
+# cluster-assignment twin (dedup_simhash_clustered) is the swept
+# scale path.
+SF10_QUADRATIC_OUTPUT = {
+    "dedup_simhash",
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
@@ -58,13 +67,16 @@ def main() -> None:
     spark = get_spark("registry_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     big_sf = "sf1" in sf_dir or "sf10" in sf_dir
+    skips = set(QUADRATIC_BASELINES)
+    if "sf10" in sf_dir:
+        skips |= SF10_QUADRATIC_OUTPUT
     budget = float(os.environ.get("SWEEP_QUERY_BUDGET", "120"))
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     timeouts: list[str] = []
     skipped: list[str] = []
     for name, qd in list(REGISTRY.items())[lo:hi]:
-        if big_sf and name in QUADRATIC_BASELINES:
+        if big_sf and name in skips:
             skipped.append(name)
             continue
         group = f"sweep_{name}"
