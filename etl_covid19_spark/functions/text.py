@@ -463,6 +463,73 @@ def tokens_stream_arrow(df, text_col: str, out_col: str = "tok"):
     return fan_out(df.select(text_col)).mapInArrow(kernel, out_schema)
 
 
+def token_positions_arrow(df, text_col: str, id_col: str):
+    """(_doc, pos, token): Arrow twin of
+    ``select(id, posexplode(tokens(text)))`` — the builder of the
+    pooled positions frame every order-sensitive token consumer
+    shares (bigram LM, phrase search, PMI, vocab ranks). Identical
+    rows: token strings from the same RE2 split, positions assigned
+    AFTER empty tokens drop (posexplode indexes the filtered
+    array). The HOF posexplode was ~15-25 s of every cold
+    pool build at sf10's 30M tokens."""
+    from pyspark.sql import types as T
+
+    from etl_covid19_spark.operators.parallelism import fan_out
+
+    id_field = df.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField("_doc", id_field.dataType, True),
+            T.StructField("pos", T.IntegerType(), True),
+            T.StructField("token", T.StringType(), True),
+        ]
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        ws_pat = "[ \t\n\x0b\x0c\r]+"  # Java \s, ASCII-only
+        for b in batches:
+            ids_arr = b.column(0)
+            txt = b.column(1)
+            if txt.null_count:
+                txt = pc.fill_null(txt, "")
+            toks = pc.split_pattern_regex(pc.utf8_trim(txt, " "), ws_pat)
+            flat = pc.list_flatten(toks)
+            if isinstance(flat, pa.ChunkedArray):
+                flat = flat.combine_chunks()
+            parents = pc.list_parent_indices(toks).to_numpy(
+                zero_copy_only=False
+            )
+            lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+            keep = np.nan_to_num(lens).astype(np.int64) > 0
+            flat = flat.filter(pa.array(keep))
+            parents = parents[keep]
+            if not len(parents):
+                continue
+            run_starts = np.flatnonzero(
+                np.r_[True, parents[1:] != parents[:-1]]
+            )
+            run_len = np.diff(np.r_[run_starts, len(parents)])
+            pos = np.arange(len(parents)) - np.repeat(
+                run_starts, run_len
+            )
+            yield pa.record_batch(
+                [
+                    ids_arr.take(pa.array(parents, pa.int64())),
+                    pa.array(pos.astype(np.int32), pa.int32()),
+                    flat,
+                ],
+                names=["_doc", "pos", "token"],
+            )
+
+    return fan_out(df.select(id_col, text_col)).mapInArrow(
+        kernel, out_schema
+    )
+
+
 def gopher_from_counts() -> dict[str, Column]:
     """Spark-side finisher over `quality_counts_arrow(...,
     with_gopher=True)` output: the `curation.gopher_metrics`

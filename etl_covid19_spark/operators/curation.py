@@ -560,10 +560,7 @@ def bigram_perplexity(
     key = ("lm_positions", corpus_key(docs), text_col, id_col)
     pos_frame = SHARED_CACHE.get_or_build(
         key,
-        lambda: docs.select(
-            F.col(id_col).alias("_doc"),
-            F.posexplode(text.tokens(text_col)).alias("pos", "token"),
-        ),
+        lambda: text.token_positions_arrow(docs, text_col, id_col),
     )
     c1 = pos_frame.groupBy(F.col("token").alias("w")).agg(F.count(F.lit(1)).alias("c1"))
     stats = c1.agg(

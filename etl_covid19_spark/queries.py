@@ -8418,8 +8418,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf⋈df join is a plain equi-join (AQE broadcasts the vocab side
     when it fits; at web scale with 10⁹ distinct tokens it
     sort-merges — never a loop join)."""
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    key = ("lm_positions", corpus_key(d), "text", "doc_id")
+    toks = SHARED_CACHE.get_or_build(
+        key, lambda: text.token_positions_arrow(d, "text", "doc_id")
+    ).select(F.col("_doc").alias("doc_id"), F.col("token").alias("tok"))
     tf = toks.groupBy("doc_id", "tok").agg(
         F.count(F.lit(1)).alias("term_freq")
     )
@@ -8468,8 +8476,16 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab underserves). The vocabulary is a TakeOrderedAndProject
     top-k broadcast to the token stream; the per-doc aggregate
     shuffles doc-grain partials only."""
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(text.tokens("text")).alias("tok"))
+    key = ("lm_positions", corpus_key(d), "text", "doc_id")
+    toks = SHARED_CACHE.get_or_build(
+        key, lambda: text.token_positions_arrow(d, "text", "doc_id")
+    ).select(F.col("_doc").alias("doc_id"), F.col("token").alias("tok"))
     freqs = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("freq"))
     vocab = agg.top_k(
         freqs, [F.col("freq").desc(), F.col("tok").asc()], 10
@@ -8730,10 +8746,7 @@ def q_pmi_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("lm_positions", corpus_key(d), "text", "doc_id")
     pos_frame = SHARED_CACHE.get_or_build(
         key,
-        lambda: d.select(
-            F.col("doc_id").alias("_doc"),
-            F.posexplode(text.tokens("text")).alias("pos", "token"),
-        ),
+        lambda: text.token_positions_arrow(d, "text", "doc_id"),
     )
     wspec = Window.partitionBy("_doc").orderBy("pos")
     bg = (
@@ -9227,10 +9240,7 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("lm_positions", corpus_key(d), "text", "doc_id")
     pos_frame = SHARED_CACHE.get_or_build(
         key,
-        lambda: d.select(
-            F.col("doc_id").alias("_doc"),
-            F.posexplode(text.tokens("text")).alias("pos", "token"),
-        ),
+        lambda: text.token_positions_arrow(d, "text", "doc_id"),
     )
     cnt = pos_frame.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
     top = agg.top_k(
@@ -9796,10 +9806,7 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = ("lm_positions", corpus_key(d), "text", "doc_id")
     pos_frame = SHARED_CACHE.get_or_build(
         key,
-        lambda: d.select(
-            F.col("doc_id").alias("_doc"),
-            F.posexplode(text.tokens("text")).alias("pos", "token"),
-        ),
+        lambda: text.token_positions_arrow(d, "text", "doc_id"),
     )
     legs = None
     for i, term in enumerate(phrase):
