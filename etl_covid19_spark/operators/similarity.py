@@ -998,33 +998,102 @@ def embedding_quantize_int8(
     clamped) so the DuckDB oracle reproduces it bit-for-bit;
     constant dimensions (mx == mn) quantize to 0.
 
+    Both passes run as Arrow kernels — bit-exactness is free here
+    because every operation is ELEMENTWISE double math (no
+    accumulation order to preserve): per-dim min/max are
+    order-invariant, and numpy replays (x−mn)·lv/(mx−mn), floor,
+    clamp through the identical IEEE ops. The transform-HOF form
+    (64 interpreted element_at fetches per row) measured 34 s at
+    sf10's 200k vectors; the kernels run it in scan time.
+
     Returns (id_col, q_embedding array<int>).
     """
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    def _mat(col, n_rows):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat = col.flatten()
+        if n_rows == 0 or len(flat) == 0:
+            return np.zeros((n_rows, 0))
+        return np.asarray(flat, dtype=np.float64).reshape(n_rows, -1)
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("d", T.IntegerType(), True),
+            T.StructField("mn", T.DoubleType(), True),
+            T.StructField("mx", T.DoubleType(), True),
+        ]
+    )
+
+    def stats_kernel(batches):
+        for b in batches:
+            X = _mat(b.column(0), len(b))
+            if not X.size:
+                continue
+            yield pa.record_batch(
+                [
+                    pa.array(
+                        np.arange(X.shape[1], dtype=np.int32),
+                        pa.int32(),
+                    ),
+                    pa.array(X.min(axis=0), pa.float64()),
+                    pa.array(X.max(axis=0), pa.float64()),
+                ],
+                names=["d", "mn", "mx"],
+            )
+
     stats_rows = (
-        df.select(F.posexplode(F.col(vec_col)).alias("d", "x"))
+        fan_out(df.select(F.col(vec_col).cast("array<double>")))
+        .mapInArrow(stats_kernel, stats_schema)
         .groupBy("d")
-        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .agg(F.min("mn").alias("mn"), F.max("mx").alias("mx"))
         .collect()
     )
     stats = {r.d: (float(r.mn), float(r.mx)) for r in stats_rows}
     dim = len(stats)
-    mn_arr = F.array(*[F.lit(stats[i][0]) for i in range(dim)])
-    mx_arr = F.array(*[F.lit(stats[i][1]) for i in range(dim)])
-    lv = F.lit(float(levels))
+    mn_v = np.array([stats[i][0] for i in range(dim)])
+    mx_v = np.array([stats[i][1] for i in range(dim)])
+    lv = float(levels)
 
-    def _q(x, i):
-        mn = F.element_at(mn_arr, i + 1)
-        mx = F.element_at(mx_arr, i + 1)
-        scaled = (x.cast("double") - mn) * lv / (mx - mn)
-        return (
-            F.when(mx == mn, F.lit(0))
-            .otherwise(F.least(F.floor(scaled), F.lit(levels)))
-            .cast("int")
-        )
+    id_type = df.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField(id_col, id_type, True),
+            T.StructField(
+                "q_embedding", T.ArrayType(T.IntegerType(), True), True
+            ),
+        ]
+    )
 
-    return df.select(
-        F.col(id_col),
-        F.transform(F.col(vec_col), _q).alias("q_embedding"),
+    def q_kernel(batches):
+        const = mx_v == mn_v
+        span = np.where(const, 1.0, mx_v - mn_v)
+        for b in batches:
+            n = len(b)
+            X = _mat(b.column(1), n)
+            scaled = (X - mn_v) * lv / span
+            q = np.minimum(np.floor(scaled), lv)
+            q = np.where(const, 0.0, q).astype(np.int32)
+            offsets = pa.array(
+                np.arange(0, (n + 1) * dim, dim, dtype=np.int32),
+                pa.int32(),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0),
+                    pa.ListArray.from_arrays(
+                        offsets, pa.array(q.reshape(-1), pa.int32())
+                    ),
+                ],
+                names=[id_col, "q_embedding"],
+            )
+
+    return fan_out(df.select(id_col, vec_col)).mapInArrow(
+        q_kernel, out_schema
     )
 
 

@@ -54,6 +54,18 @@ SF10_QUADRATIC_OUTPUT = {
     "dedup_simhash",
 }
 
+# Timed but slow BY DESIGN: engine-pure Catalyst-HOF cross-check
+# twins kept for oracle/parity purposes (their Arrow twins are the
+# default paths), plus deliberately-pedagogical surface demos
+# (cogrouped as-of join, per-row Python UDTF). Annotated in the
+# sweep JSON so a reader doesn't mistake them for regressions.
+SLOW_BY_DESIGN = {
+    "quality_classifier": "HOF cross-check twin of quality_classifier_arrow",
+    "text_quality": "HOF cross-check twin of text_quality_arrow",
+    "asof_join_cogrouped": "cogrouped applyInPandas teaching variant; production as-of join is asof_join_events",
+    "udtf_sentence_spans": "Python-UDTF surface demo; per-row eval is the taught trade-off",
+}
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
@@ -120,6 +132,11 @@ def main() -> None:
                 "timeouts": timeouts,
                 "query_budget_sec": budget,
                 "skipped_baselines": skipped,
+                "slow_by_design": {
+                    n: r
+                    for n, r in SLOW_BY_DESIGN.items()
+                    if n in times
+                },
                 "times": ordered,
             }
         )
