@@ -64,6 +64,7 @@ SLOW_BY_DESIGN = {
     "text_quality": "HOF cross-check twin of text_quality_arrow",
     "asof_join_cogrouped": "cogrouped applyInPandas teaching variant; production as-of join is asof_join_events",
     "udtf_sentence_spans": "Python-UDTF surface demo; per-row eval is the taught trade-off",
+    "sessionize_pandas": "applyInPandas sessionization variant complementing native session_windows",
 }
 
 
