@@ -29,7 +29,10 @@ class BoundedDFCache:
         # guards the dict AND the build: concurrent query threads
         # (a multi-tenant driver) must not double-persist the same
         # frame or evict one mid-insert
-        self._lock = threading.Lock()
+        # re-entrant: a build() may itself pool a sub-frame (e.g.
+        # triangle_count's undirected-edge pool builds on the pooled
+        # knn_graph) — a plain Lock would self-deadlock there
+        self._lock = threading.RLock()
 
     def get_or_build(self, key: tuple, build) -> DataFrame:
         with self._lock:

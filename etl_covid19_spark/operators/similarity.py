@@ -615,18 +615,40 @@ def knn_graph(
             }
         )
 
-    per_bucket = banded.groupBy("band_key").applyInArrow(
-        bucket_topk, out_schema
+    def build() -> DataFrame:
+        per_bucket = banded.groupBy("band_key").applyInArrow(
+            bucket_topk, out_schema
+        )
+        merged = per_bucket.dropDuplicates(["src", "dst"])
+        w = Window.partitionBy("src").orderBy(
+            F.col("cosine").desc(), F.col("dst").asc()
+        )
+        return (
+            merged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("src", "dst", "cosine", "rank")
+        )
+
+    # POOLED: the graph is the input primitive for PageRank,
+    # triangle counting, and diversity sampling — each consumer
+    # re-deriving it re-pays the Σ bucket² kernel (the single
+    # largest cost of the similarity family at sf10). Same bounded
+    # LRU + file-snapshot invalidation as the token pools.
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
     )
-    merged = per_bucket.dropDuplicates(["src", "dst"])
-    w = Window.partitionBy("src").orderBy(
-        F.col("cosine").desc(), F.col("dst").asc()
+
+    key = (
+        "knn_graph",
+        corpus_key(emb),
+        vec_col,
+        id_col,
+        k,
+        band_bits,
+        n_bands,
     )
-    return (
-        merged.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("src", "dst", "cosine", "rank")
-    )
+    return SHARED_CACHE.get_or_build(key, build)
 
 
 def semantic_dedup(
