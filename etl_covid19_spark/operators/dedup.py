@@ -1679,6 +1679,93 @@ def token_count_postings_arrow(df, text_col: str, id_col: str):
     return proj.mapInArrow(kernel, out_schema)
 
 
+def shingle_postings_arrow64(
+    df, text_col: str, id_col: str, n: int = 3
+):
+    """64-bit-keyed Arrow shingle postings — same tokens, grams and
+    per-doc distinct as `shingle_postings_arrow`, but token hash and
+    gram fold run in uint64 WRAPAROUND instead of mod P. For
+    consumers whose OUTPUT depends on shingle-identity decisions
+    (the contamination df cap: a mod-P vocabulary of ~3·10⁵ distinct
+    grams already expects ~45 colliding pairs, each of which merges
+    two shingles' document frequencies and can flip a ≤ max_df
+    threshold); pair-set consumers keep the mod-P pool, where a
+    collision only adds a candidate that exact verification
+    removes."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), True),
+            T.StructField("sh", T.LongType(), True),
+        ]
+    )
+    proj = fan_out(
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
+    )
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        B = np.uint64(131)
+        for b in batches:
+            ids, h64, parents, n_docs = _token_hash_arrays(
+                b, mod64=True
+            )
+            h = h64.view(np.uint64)
+            if len(h) >= n:
+                g = h[: len(h) - (n - 1)].copy()
+                for j in range(1, n):
+                    g = g * B + h[j : len(h) - (n - 1) + j]
+                gp = parents[: len(h) - (n - 1)]
+                gvalid = parents[n - 1 :] == gp
+                g, gp = g[gvalid], gp[gvalid]
+            else:
+                g = np.empty(0, dtype=np.uint64)
+                gp = np.empty(0, dtype=np.int64)
+            # docs with < n tokens (incl. zero) fold to ONE whole-
+            # stream shingle — same rule as _gram_arrays and the
+            # oracle's ELSE [array_to_string(toks, ' ')] branch
+            tok_counts = np.bincount(parents, minlength=n_docs)
+            short = np.flatnonzero(tok_counts < n)
+            if len(short):
+                acc = {int(d): np.uint64(0) for d in short}
+                smask = np.isin(parents, short)
+                for hv, pv in zip(h[smask], parents[smask]):
+                    acc[int(pv)] = acc[int(pv)] * B + hv
+                g = np.concatenate(
+                    [
+                        g,
+                        np.array(
+                            [acc[int(d)] for d in short],
+                            dtype=np.uint64,
+                        ),
+                    ]
+                )
+                gp = np.concatenate([gp, short.astype(np.int64)])
+            if not len(g):
+                continue
+            order = np.lexsort((g, gp))
+            g, gp = g[order], gp[order]
+            first = np.ones(len(g), dtype=bool)
+            first[1:] = (gp[1:] != gp[:-1]) | (g[1:] != g[:-1])
+            g, gp = g[first], gp[first]
+            yield pa.record_batch(
+                [
+                    pa.array(ids[gp], pa.int64()),
+                    pa.array(g.view(np.int64), pa.int64()),
+                ],
+                names=["doc_id", "sh"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
+
+
 def _token_hash_arrays(b, mod64: bool = False):
     """Per-batch tokenize + token-hash shared by the gram and
     token-count kernels: batch (doc_id, text) → (ids, token hashes

@@ -3610,6 +3610,97 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_check_capped",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3
+               THEN list_transform(range(1, len(toks)-1),
+                                   i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM t
+    ),
+    p AS (SELECT doc_id, unnest(grams) AS sh FROM g),
+    eval_p AS (SELECT doc_id, sh FROM p WHERE doc_id % 50 = 0),
+    train_p AS (SELECT doc_id, sh FROM p WHERE doc_id % 50 <> 0),
+    keep AS (
+      SELECT sh FROM train_p GROUP BY sh HAVING COUNT(*) <= 100
+    )
+    SELECT e.doc_id AS eval_doc_id,
+           COUNT(DISTINCT t.doc_id) AS n_contaminating_docs,
+           COUNT(DISTINCT t.sh) AS n_shared_shingles
+    FROM eval_p e
+    JOIN keep k ON e.sh = k.sh
+    JOIN train_p t ON e.sh = t.sh
+    GROUP BY e.doc_id
+    """,
+)
+def q_contamination_check_capped(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Train-df-capped contamination check — the scale twin of
+    `contamination_check` (same convention as the capped Jaccard /
+    containment twins). The exact form's eval×train postings join
+    expands to Σ_sh df_eval·df_train rows, and BOTH factors grow
+    with the corpus: measured 6 s at sf1 → 100+ s at sf10, i.e.
+    superlinear by construction — at decontamination scale the
+    standard practice is to ignore ultra-common n-grams anyway
+    (they carry no contamination signal, only expansion). Shingles
+    with train doc-frequency > 100 are excluded from matching; the
+    join volume is then ≤ |eval shingles|·cap.
+
+    Shingle keys are 64-BIT wraparound hashes
+    (`dedup.shingle_postings_arrow64`), not the pair-set pool's
+    mod-P keys: the df THRESHOLD makes shingle identity
+    output-visible, and mod-P expects ~45 colliding gram pairs on
+    even an sf0.01 vocabulary — each collision merges two shingles'
+    dfs and can flip a cap decision the string-keyed oracle would
+    not."""
+    from etl_covid19_spark.operators.dedup import (
+        shingle_postings_arrow64,
+    )
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
+    max_df = 100
+    d = _t(spark, sf_dir, "documents")
+    grams = SHARED_CACHE.get_or_build(
+        ("shingle_postings64", corpus_key(d), "text", "doc_id", 3),
+        lambda: shingle_postings_arrow64(d, "text", "doc_id", 3),
+    )
+    eval_p = grams.where(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("eval_doc_id"), "sh"
+    )
+    train_all = grams.where(F.col("doc_id") % 50 != 0)
+    # rare = the matching vocabulary: eval shingles whose TRAIN df
+    # is within the cap — both factors bounded, so it broadcasts
+    eval_sh = eval_p.select("sh").distinct()
+    rare = (
+        train_all.join(F.broadcast(eval_sh), "sh", "left_semi")
+        .groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") <= max_df)
+        .select("sh")
+    )
+    train_p = train_all.join(F.broadcast(rare), "sh", "left_semi")
+    joined = eval_p.join(F.broadcast(rare), "sh", "left_semi").join(
+        train_p, "sh"
+    )
+    return joined.groupBy("eval_doc_id").agg(
+        F.count_distinct(F.col("doc_id")).alias("n_contaminating_docs"),
+        F.count_distinct(F.col("sh")).alias("n_shared_shingles"),
+    )
+
+
+@register(
     "pii_redaction",
     oracle="""
     WITH seeded AS (

@@ -52,6 +52,11 @@ QUADRATIC_BASELINES = {
 # scale path.
 SF10_QUADRATIC_OUTPUT = {
     "dedup_simhash",
+    # exact eval×train postings join expands to Σ_sh df_e·df_t —
+    # both factors grow with the corpus (6 s at sf1 → 100+ s at
+    # sf10); the train-df-capped twin contamination_check_capped
+    # is the swept scale path
+    "contamination_check",
 }
 
 # Timed but slow BY DESIGN: engine-pure Catalyst-HOF cross-check
@@ -88,10 +93,22 @@ def main() -> None:
     failures: dict[str, str] = {}
     timeouts: list[str] = []
     skipped: list[str] = []
+    from etl_covid19_spark.operators.df_cache import SHARED_CACHE
+
     for name, qd in list(REGISTRY.items())[lo:hi]:
         if big_sf and name in skips:
             skipped.append(name)
             continue
+        # ISOLATE measurements: drop the shared frame pool before
+        # each query so one query's pooled build (or its LRU
+        # eviction of another's) can't leak into a neighbor's
+        # timing — the round-5 sweep showed pool-order artifacts of
+        # 2-8× (contamination_check: 9 s fresh, 73-120+ s mid-sweep
+        # once the new kNN/positions pools crowded the 8-entry LRU).
+        # Every number below is therefore per-query COLD including
+        # its own pool builds; the headline bench still measures the
+        # warm shared-pool path.
+        SHARED_CACHE.clear()
         group = f"sweep_{name}"
         spark.sparkContext.setJobGroup(group, name, True)
         fired = threading.Event()
@@ -132,6 +149,7 @@ def main() -> None:
                 "failures": failures,
                 "timeouts": timeouts,
                 "query_budget_sec": budget,
+                "isolation": "pool-cleared per query (cold incl. own pool builds)",
                 "skipped_baselines": skipped,
                 "slow_by_design": {
                     n: r
