@@ -295,7 +295,7 @@ def ngram_jaccard_pairs_capped(
         .where(F.col("doc_freq") > max_df)
         .select("sh")
     )
-    capped = posts.join(F.broadcast(hot), "sh", "left_anti").select(
+    capped = posts.join(hot, "sh", "left_anti").select(
         "doc_id", "sh"
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_capped"))
@@ -431,14 +431,15 @@ def minhash_lsh_pairs(
     # corpus), pair-counted with the same shingle-key join the
     # Jaccard operator uses (declarative count agg — no object-hash
     # collect_set), then semi-filtered back to LSH candidates. The
-    # broadcasts are bounded by candidate volume; for pathological
-    # candidate sets drop the hints and AQE picks the strategy.
+    # candidate frames carry NO broadcast hints (they grow with the
+    # corpus); AQE broadcasts them while they measure under the
+    # session threshold and shuffles them past it.
     cand_ids = (
         cands.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    cposts = posts.join(F.broadcast(cand_ids), on="doc_id", how="left_semi")
+    cposts = posts.join(cand_ids, on="doc_id", how="left_semi")
     pa, pb = cposts.alias("pa"), cposts.alias("pb")
     # The candidate-pair semi-join runs BEFORE the pair aggregate,
     # not after: the sh equi-join emits one row per co-shingled doc
@@ -454,10 +455,8 @@ def minhash_lsh_pairs(
         pa.join(pb, on="sh")
         .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
         .join(
-            F.broadcast(
-                cands.select(
-                    F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
-                )
+            cands.select(
+                F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
             ),
             on=(F.col("pa.doc_id") == F.col("_ca"))
             & (F.col("pb.doc_id") == F.col("_cb")),
@@ -671,6 +670,62 @@ def simhash_pairs(
     )
 
 
+def _bucket_min_labels(v, max_hamming: int, dense_limit: int = 8192):
+    """Min-label propagation over one simhash bucket's hamming graph
+    (edge iff popcount(xor) ≤ max_hamming), returning each
+    fingerprint's in-bucket connected-component minimum.
+
+    Two memory regimes, identical labels (test-pinned): buckets up
+    to `dense_limit` materialize the adjacency once (≤ 64 MB bool)
+    and amortize the popcount across propagation rounds; a skewed
+    bucket beyond it (m in the 10⁵ range at larger corpora would be
+    tens of GB dense) propagates straight from row-chunked hamming
+    each round — memory stays at step×m×8 however skewed the bucket,
+    cost is rounds×popcount with rounds = O(component diameter)."""
+    import numpy as np
+
+    pop = np.unpackbits(
+        np.arange(256, dtype=np.uint8)[:, None], axis=1
+    ).sum(axis=1)
+    big = np.int64(2**62)
+    m = len(v)
+    labels = v.copy()
+    step = max(1, (1 << 22) // max(m, 1))
+
+    def ham_rows(c0, c1):
+        x = np.bitwise_xor(v[c0:c1, None], v[None, :])
+        return pop[
+            x.view(np.uint8).reshape(c1 - c0, m, 8)
+        ].sum(axis=2)
+
+    if m <= dense_limit:
+        adj = np.empty((m, m), dtype=bool)
+        for c0 in range(0, m, step):
+            c1 = min(m, c0 + step)
+            adj[c0:c1] = ham_rows(c0, c1) <= max_hamming
+        while True:
+            cand = np.where(adj, labels[None, :], big).min(axis=1)
+            new = np.minimum(labels, cand)
+            if (new == labels).all():
+                break
+            labels = new
+    else:
+        while True:
+            new = labels.copy()
+            for c0 in range(0, m, step):
+                c1 = min(m, c0 + step)
+                cand = np.where(
+                    ham_rows(c0, c1) <= max_hamming,
+                    labels[None, :],
+                    big,
+                ).min(axis=1)
+                new[c0:c1] = np.minimum(new[c0:c1], cand)
+            if (new == labels).all():
+                break
+            labels = new
+    return labels
+
+
 def simhash_clusters(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 8
 ) -> DataFrame:
@@ -735,11 +790,6 @@ def simhash_clusters(
 
     from pyspark.sql import types as T
 
-    _POP = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1
-    ).sum(axis=1)
-    big = np.int64(2**62)
-
     def star_kernel(batches):
         import pyarrow as pa
 
@@ -762,23 +812,7 @@ def simhash_clusters(
             if m < 2:
                 continue
             v = v_all[s:e]  # sorted ascending within the bucket
-            labels = v.copy()
-            # adjacency in row chunks: the (chunk, m, 8) popcount
-            # temp stays bounded however skewed a bucket gets
-            adj = np.empty((m, m), dtype=bool)
-            step = max(1, (1 << 22) // m)
-            for c0 in range(0, m, step):
-                x = np.bitwise_xor(v[c0 : c0 + step, None], v[None, :])
-                ham = _POP[
-                    x.view(np.uint8).reshape(x.shape[0], m, 8)
-                ].sum(axis=2)
-                adj[c0 : c0 + step] = ham <= max_hamming
-            while True:
-                cand = np.where(adj, labels[None, :], big).min(axis=1)
-                new = np.minimum(labels, cand)
-                if (new == labels).all():
-                    break
-                labels = new
+            labels = _bucket_min_labels(v, max_hamming)
             keep = labels != v
             if keep.any():
                 out_a.append(labels[keep])
@@ -1443,7 +1477,7 @@ def containment_pairs_capped(
         .where(F.col("doc_freq") > max_df)
         .select("sh")
     )
-    capped = posts.join(F.broadcast(hot), "sh", "left_anti").select(
+    capped = posts.join(hot, "sh", "left_anti").select(
         "doc_id", "sh"
     )
     sizes = capped.groupBy("doc_id").agg(
@@ -1525,12 +1559,12 @@ def minhash_lsh_pairs_incremental(
         .dropDuplicates(["corpus_doc", "delta_doc"])
     )
     cp = posts_c.join(
-        F.broadcast(cands.select(F.col("corpus_doc").alias("doc_id")).distinct()),
+        cands.select(F.col("corpus_doc").alias("doc_id")).distinct(),
         on="doc_id",
         how="left_semi",
     ).alias("pa")
     dp = posts_d.join(
-        F.broadcast(cands.select(F.col("delta_doc").alias("doc_id")).distinct()),
+        cands.select(F.col("delta_doc").alias("doc_id")).distinct(),
         on="doc_id",
         how="left_semi",
     ).alias("pb")
@@ -1542,11 +1576,9 @@ def minhash_lsh_pairs_incremental(
     verified = (
         cp.join(dp, on="sh")
         .join(
-            F.broadcast(
-                cands.select(
-                    F.col("corpus_doc").alias("_cc"),
-                    F.col("delta_doc").alias("_cd"),
-                )
+            cands.select(
+                F.col("corpus_doc").alias("_cc"),
+                F.col("delta_doc").alias("_cd"),
             ),
             on=(F.col("pa.doc_id") == F.col("_cc"))
             & (F.col("pb.doc_id") == F.col("_cd")),

@@ -278,11 +278,55 @@ def _assign_buckets_arrow(
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             flat = col.flatten()
-            X = (
-                np.asarray(flat, dtype=np.float64).reshape(n, -1)
-                if n and len(flat)
-                else np.zeros((n, dim_c))
+            # guard before the zero-copy reshape (one NULL/ragged
+            # slot would misalign the whole batch): rows that are
+            # NULL or whose width ≠ centroid dim can't score against
+            # the centroids — they get bucket NULL and fall out of
+            # the downstream equi-join, like any NULL join key
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            widths = (
+                np.diff(col.offsets.to_numpy())
+                if n
+                else np.zeros(0, dtype=np.int64)
             )
+            if (
+                n
+                and valid.all()
+                and flat.null_count == 0
+                and (widths == dim_c).all()
+            ):
+                X = np.asarray(flat, dtype=np.float64).reshape(n, dim_c)
+                ok = None  # every row scores
+            else:
+                X = np.zeros((n, dim_c), dtype=np.float64)
+                ok = np.zeros(n, dtype=bool)
+                for i, val in enumerate(col.to_pylist()):
+                    if (
+                        val is not None
+                        and len(val) == dim_c
+                        and all(e is not None for e in val)
+                    ):
+                        X[i] = val
+                        ok[i] = True
+            if n_c == 1:
+                # a single trained centroid is legal — every
+                # scorable row lands in the lone bucket (the HOF
+                # form's array_max over a 1-element scores array)
+                idx = np.zeros(n, dtype=np.int64)
+                bkt = cids[idx].astype(np.int32)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        b.column(0),
+                        b.column(1),
+                        pa.array(
+                            bkt,
+                            pa.int32(),
+                            mask=None if ok is None else ~ok,
+                        ),
+                    ],
+                    names=["neighbor_id", "cv", "bucket"],
+                )
+                continue
             xn_acc = np.zeros(n)
             for d in range(X.shape[1]):
                 xn_acc += X[:, d] * X[:, d]
@@ -311,7 +355,11 @@ def _assign_buckets_arrow(
                 [
                     b.column(0),
                     b.column(1),
-                    pa.array(cids[idx].astype(np.int32), pa.int32()),
+                    pa.array(
+                        cids[idx].astype(np.int32),
+                        pa.int32(),
+                        mask=None if ok is None else ~ok,
+                    ),
                 ],
                 names=["neighbor_id", "cv", "bucket"],
             )
@@ -438,15 +486,30 @@ def knn_graph(
     from pyspark.sql import types as T
 
     from etl_covid19_spark.operators.dedup import _sign_band_keys
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
 
     id_type = emb.schema[id_col].dataType
     margin = 16
 
-    bands = _sign_band_keys(vec_col, band_bits, n_bands)
+    # the banding union reads its source n_bands times — against
+    # parquet that is n_bands full corpus scans at cluster scale, so
+    # the compact (id, vec) projection is pooled ONCE (persisted,
+    # LRU + file-snapshot invalidation) and every band projects from
+    # the in-memory columnar frame instead
+    compact = SHARED_CACHE.get_or_build(
+        ("knn_compact", corpus_key(emb), vec_col, id_col),
+        lambda: emb.select(
+            F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
+        ),
+    )
+    bands = _sign_band_keys("v", band_bits, n_bands)
     band_slices = [
-        emb.select(
-            F.col(id_col).alias("doc"),
-            F.col(vec_col).alias("v"),
+        compact.select(
+            "doc",
+            "v",
             b.cast("long").alias("band_key"),
         )
         for b in bands
@@ -548,7 +611,12 @@ def knn_graph(
                 # always has ≥ k members (the subset's own k
                 # survivors). Expected survivors ≈ stride·k — the
                 # exact refinement below trims them back to k+ties.
-                stride = 8 if n >= 4096 else 1
+                # stride-8 is only sound when the subsample still
+                # holds ≥ k columns (scol = ceil(n/8) ≥ k) — for k
+                # in (n/8, n/4) the old gate let scol−k go negative,
+                # a from-the-end partition index yielding a
+                # too-high cut and survivor rows with < k members
+                stride = 8 if n >= 4096 and n >= 8 * (k + 1) else 1
                 sub = S32[:, ::stride]
                 scol = sub.shape[1]
                 t = np.partition(sub, scol - k, axis=1)[
@@ -556,6 +624,10 @@ def knn_graph(
                 ]
                 mask = S32 >= t[:, None]
                 cnt = mask.sum(axis=1)
+                # invariant: the subset contributes ≥ k members ≥ its
+                # own k-th largest, so every full row has ≥ k
+                # survivors — required by the cross-row kth gather
+                assert (cnt >= k).all()
                 r, cdx = np.nonzero(mask)
                 vals = S32[mask]
                 # exact k-th largest AMONG the ≥-t survivors (a
@@ -1536,9 +1608,40 @@ def hyperplane_near_dup_pairs(
         keys_all = tbl["band_key"].to_numpy(zero_copy_only=False)
         vecs = tbl["_v"].combine_chunks()
         flat = vecs.flatten()
-        V = np.asarray(flat, dtype=np.float64).reshape(
-            len(ids_all), -1
-        )
+        # reshape guard (same trap as cosine_pairs_fold_arrow): a
+        # NULL or ragged slot silently shifts every later row. NULL
+        # vectors can never reach the cosine threshold (HOF cosine
+        # is NULL), and a width-outlier pairs NULL against the
+        # modal-width corpus (zip_with pads) — both are dropped
+        # before the rectangular fast path.
+        widths = np.diff(vecs.offsets.to_numpy())
+        if vecs.null_count or flat.null_count or (
+            len(widths) and (widths != widths.max()).any()
+        ):
+            valid = vecs.is_valid().to_numpy(zero_copy_only=False)
+            dim_mode = int(widths[valid].max(initial=0))
+            rows = vecs.to_pylist()
+            keep_rows = np.array(
+                [
+                    v is not None
+                    and len(v) == dim_mode
+                    and all(e is not None for e in v)
+                    for v in rows
+                ],
+                dtype=bool,
+            )
+            ids_all = ids_all[keep_rows]
+            keys_all = keys_all[keep_rows]
+            V = np.array(
+                [rows[i] for i in np.flatnonzero(keep_rows)],
+                dtype=np.float64,
+            ).reshape(len(ids_all), dim_mode)
+            if not len(ids_all):
+                return
+        else:
+            V = np.asarray(flat, dtype=np.float64).reshape(
+                len(ids_all), -1
+            )
         order = np.lexsort((ids_all, keys_all))
         ids_all, keys_all, V = ids_all[order], keys_all[order], V[order]
         starts = np.flatnonzero(
@@ -1643,34 +1746,76 @@ def cosine_pairs_fold_arrow(
         import pyarrow as pa
 
         def mat(col, n_rows):
+            """(X, regular) — X only when the column is NULL-free and
+            rectangular; regular=False routes the batch to the
+            null-aware per-row fold. A single NULL list slot would
+            otherwise survive ``flatten()`` silently (the flat length
+            shrinks, ``len(flat)//n_rows`` picks a wrong width, and
+            the reshape misaligns EVERY row) — guarded like
+            ``bucket_topk``: validity + equal offsets-widths checked
+            before the zero-copy reshape."""
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             flat = col.flatten()  # honors list offsets on sliced batches
-            if n_rows == 0 or len(flat) == 0:
-                return np.zeros((n_rows, 0))
-            width = len(flat) // n_rows
-            return np.asarray(flat, dtype=np.float64).reshape(
-                n_rows, width
-            )
+            if n_rows == 0:
+                return np.zeros((0, 0)), True
+            widths = np.diff(col.offsets.to_numpy())
+            if (
+                col.null_count == 0
+                and flat.null_count == 0
+                and (widths == widths[0]).all()
+            ):
+                return (
+                    np.asarray(flat, dtype=np.float64).reshape(
+                        n_rows, widths[0]
+                    ),
+                    True,
+                )
+            return col, False
+
+        def row_fold(a, b):
+            """Sequential per-row fold, bit-identical to
+            `vectors.cosine` incl. its NULL algebra: NULL vector,
+            length mismatch (zip_with pads with NULL), or NULL
+            element all yield NULL; zero-norm yields 0.0."""
+            if a is None or b is None or len(a) != len(b):
+                return None
+            dot = na = nb = 0.0
+            for x, y in zip(a, b):
+                if x is None or y is None:
+                    return None
+                dot += x * y
+                na += x * x
+                nb += y * y
+            denom = (na**0.5) * (nb**0.5)
+            return 0.0 if denom == 0 else dot / denom
 
         for b in batches:
             n = len(b)
-            A = mat(b.column(n_keep), n)
-            B = mat(b.column(n_keep + 1), n)
-            dim = A.shape[1]
-            dot = np.zeros(n)
-            na = np.zeros(n)
-            nb = np.zeros(n)
-            for d in range(dim):
-                dot += A[:, d] * B[:, d]
-                na += A[:, d] * A[:, d]
-                nb += B[:, d] * B[:, d]
-            denom = np.sqrt(na) * np.sqrt(nb)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0, 0.0, dot / denom)
+            A, a_ok = mat(b.column(n_keep), n)
+            B, b_ok = mat(b.column(n_keep + 1), n)
+            if a_ok and b_ok and A.shape[1] == B.shape[1]:
+                dim = A.shape[1]
+                dot = np.zeros(n)
+                na = np.zeros(n)
+                nb = np.zeros(n)
+                for d in range(dim):
+                    dot += A[:, d] * B[:, d]
+                    na += A[:, d] * A[:, d]
+                    nb += B[:, d] * B[:, d]
+                denom = np.sqrt(na) * np.sqrt(nb)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = np.where(denom == 0, 0.0, dot / denom)
+                cos_arr = pa.array(cos, pa.float64())
+            else:
+                al = A.to_pylist() if not a_ok else [list(r) for r in A]
+                bl = B.to_pylist() if not b_ok else [list(r) for r in B]
+                cos_arr = pa.array(
+                    [row_fold(a, v) for a, v in zip(al, bl)],
+                    pa.float64(),
+                )
             yield pa.record_batch(
-                [b.column(i) for i in range(n_keep)]
-                + [pa.array(cos, pa.float64())],
+                [b.column(i) for i in range(n_keep)] + [cos_arr],
                 names=keep + ["cosine"],
             )
 

@@ -1978,9 +1978,14 @@ def q_profit_by_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     ext = F.col("l_extendedprice").cast("decimal(18,4)")
     one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    # only nation (25 rows, constant) carries a broadcast HINT; the
+    # filtered part and supplier sides scale linearly with the
+    # corpus, so AQE decides from measured sizes (it converts both
+    # to broadcast at every bench SF — plan-checked — without the
+    # 100 TB forced-broadcast hazard)
     joined = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select(
             F.col("n_name").alias("nation"),
@@ -2723,9 +2728,12 @@ def q_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     ext = F.col("l_extendedprice").cast("decimal(18,4)")
     one_disc = (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    # the segment-filtered customer side is still ~1/5 of a
+    # linearly-scaling table — no forced broadcast; AQE converts at
+    # bench SFs, shuffles it at 100 TB
     joined = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
     )
     grouped = joined.groupBy(
         "l_orderkey",
@@ -3595,12 +3603,13 @@ def q_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("eval_doc_id"), "sh"
     )
     # prune the (corpus-sized) train postings down to eval shingles
-    # BEFORE the shuffle join: the eval shingle set is small by
-    # construction, so it broadcasts, and only matching train
-    # postings ever move
+    # BEFORE the shuffle join. No broadcast hint: the eval shingle
+    # vocabulary is 2% of the CORPUS vocabulary — linear in corpus
+    # size — so a forced broadcast is a driver OOM at 100 TB; AQE
+    # still broadcasts it at bench SFs from the measured size
     eval_sh = eval_p.select("sh").distinct()
     train_p = grams.where(F.col("doc_id") % 50 != 0).join(
-        F.broadcast(eval_sh), "sh", "left_semi"
+        eval_sh, "sh", "left_semi"
     )
     joined = eval_p.join(train_p, "sh")
     return joined.groupBy("eval_doc_id").agg(
@@ -3681,17 +3690,24 @@ def q_contamination_check_capped(
     )
     train_all = grams.where(F.col("doc_id") % 50 != 0)
     # rare = the matching vocabulary: eval shingles whose TRAIN df
-    # is within the cap — both factors bounded, so it broadcasts
+    # is within the cap. NO broadcast hints here: eval_sh and rare
+    # are corpus-PROPORTIONAL distinct sets (the eval slice is 2%
+    # of the corpus — its shingle vocabulary is billions of keys at
+    # 100 TB), so a forced broadcast is a driver OOM at scale. AQE
+    # still picks broadcast at bench SFs from the measured sizes,
+    # and the semi-joins stay shuffle-partitioned equi-joins when
+    # the sets outgrow the threshold (plan-pinned in
+    # tests/test_plan_invariants.py with broadcasts disabled).
     eval_sh = eval_p.select("sh").distinct()
     rare = (
-        train_all.join(F.broadcast(eval_sh), "sh", "left_semi")
+        train_all.join(eval_sh, "sh", "left_semi")
         .groupBy("sh")
         .agg(F.count(F.lit(1)).alias("_df"))
         .where(F.col("_df") <= max_df)
         .select("sh")
     )
-    train_p = train_all.join(F.broadcast(rare), "sh", "left_semi")
-    joined = eval_p.join(F.broadcast(rare), "sh", "left_semi").join(
+    train_p = train_all.join(rare, "sh", "left_semi")
+    joined = eval_p.join(rare, "sh", "left_semi").join(
         train_p, "sh"
     )
     return joined.groupBy("eval_doc_id").agg(
@@ -3797,7 +3813,10 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("user_id") % 100) + 1).alias("c_custkey"), "value"
         )
     )
-    joined = stream.join(F.broadcast(cust), "c_custkey")
+    # stream-static equi-join: no forced broadcast on the (linearly
+    # scaling) customer snapshot — Spark re-plans the static side
+    # per micro-batch and broadcasts only under the threshold
+    joined = stream.join(cust, "c_custkey")
     agg_df = joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.sum(F.col("value").cast("decimal(18,6)"))
@@ -5133,8 +5152,11 @@ def q_q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # `big` is very selective (~1 in 10⁴ orders) but still grows
+    # linearly with the corpus — AQE broadcasts it at bench SFs
+    # without pinning a 100 TB hazard into the plan
     filt_o = o.join(
-        F.broadcast(big), o.o_orderkey == big.l_orderkey, "left_semi"
+        big, o.o_orderkey == big.l_orderkey, "left_semi"
     )
     grouped = (
         li.join(filt_o, li.l_orderkey == filt_o.o_orderkey)
@@ -5489,7 +5511,8 @@ def q_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey", "l_extendedprice"
     )
     natval = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        # one nation's suppliers = 1/25 of a linear table — AQE call
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(
             F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).alias(
@@ -5596,8 +5619,10 @@ def q_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
+        # the blacklist is a fixed FRACTION of supplier (linear in
+        # corpus) — let AQE broadcast it only while it measures small
         li.join(
-            F.broadcast(excluded),
+            excluded,
             li.l_suppkey == excluded.s_suppkey,
             "left_anti",
         )

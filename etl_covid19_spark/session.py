@@ -27,6 +27,16 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast policy (round 6): corpus-DERIVED frames (candidate
+    # sets, df-capped vocabularies, filtered linear dims) carry NO
+    # F.broadcast hints anywhere in the engine — a forced broadcast
+    # of a set that grows with the corpus is a driver OOM at 100 TB.
+    # Instead AQE decides from measured sizes, with a roomier
+    # threshold than the 10m default: 64m is ~0.05% of a real
+    # executor heap and keeps the measured-fast broadcast plans at
+    # bench SFs (sf10 candidate sets are 20-30 MB) while anything
+    # genuinely large degrades to a shuffle join instead of an OOM.
+    "spark.sql.autoBroadcastJoinThreshold": "64m",
     # Nested-field pruning so `select('payload.data.confirmed')`
     # reads one parquet leaf column, not the whole struct.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",

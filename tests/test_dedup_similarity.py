@@ -865,3 +865,146 @@ def test_cosine_pairs_fold_arrow_bit_exact(spark):
         for r in cosine_pairs_fold_arrow(df, "va", "vb").collect()
     }
     assert hof == arw  # exact equality, not approx
+
+
+def test_cosine_pairs_fold_arrow_null_and_ragged_parity(spark):
+    """Round-6 ADVICE fix: a NULL list slot used to survive
+    ``flatten()`` silently and misalign the whole batch's reshape.
+    The kernel must now match the Catalyst fold's NULL algebra
+    exactly — NULL vector, length mismatch (zip_with pads), and NULL
+    element all yield NULL cosine; regular rows in the same batch
+    stay bit-exact."""
+    import random
+
+    from etl_covid19_spark.functions import vectors as V
+    from etl_covid19_spark.operators.similarity import (
+        cosine_pairs_fold_arrow,
+    )
+
+    rng = random.Random(6)
+    rows = []
+    for i in range(120):
+        va = [rng.uniform(-1, 1) for _ in range(9)]
+        vb = [rng.uniform(-1, 1) for _ in range(9)]
+        if i % 11 == 0:
+            va = None  # NULL vector
+        elif i % 11 == 1:
+            vb = vb[:5]  # ragged: length mismatch
+        elif i % 11 == 2:
+            va = va[:4]
+            vb = vb[:4]  # both short but EQUAL length: real cosine
+        elif i % 11 == 3:
+            vb = vb[:8] + [None]  # NULL element
+        rows.append((i, va, vb))
+    df = spark.createDataFrame(
+        rows, "pid long, va array<float>, vb array<float>"
+    )
+    hof = {
+        r.pid: r.c
+        for r in df.select(
+            "pid", V.cosine("va", "vb").alias("c")
+        ).collect()
+    }
+    arw = {
+        r.pid: r.cosine
+        for r in cosine_pairs_fold_arrow(df, "va", "vb").collect()
+    }
+    assert hof == arw
+    # the scenarios actually exercised what they claim
+    assert arw[0] is None and arw[1] is None and arw[3] is None
+    assert arw[2] is not None and arw[4] is not None
+
+
+def test_assign_buckets_single_centroid_and_null_rows(spark):
+    """Round-6 ADVICE fixes for `_assign_buckets_arrow`: a single
+    trained centroid (legal k-means outcome) must not crash the
+    top-2 margin guard, and NULL/ragged corpus vectors must come out
+    with bucket NULL instead of misaligning the batch."""
+    from etl_covid19_spark.operators.similarity import (
+        _assign_buckets_arrow,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, None),
+        (3, [0.5, 0.5]),  # ragged width
+        (4, [-1.0, 0.2, 0.1, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # one centroid: every scorable row lands in the lone bucket
+    one = {
+        r.neighbor_id: r.bucket
+        for r in _assign_buckets_arrow(
+            df, [(7, [1.0, 0.0, 0.0, 0.0])], "embedding", "vec_id"
+        ).collect()
+    }
+    assert one == {0: 7, 1: 7, 2: None, 3: None, 4: 7}
+    # two centroids: argmax assignment, NULL/ragged still NULL
+    two = {
+        r.neighbor_id: r.bucket
+        for r in _assign_buckets_arrow(
+            df,
+            [(3, [1.0, 0.0, 0.0, 0.0]), (9, [0.0, 1.0, 0.0, 0.0])],
+            "embedding",
+            "vec_id",
+        ).collect()
+    }
+    assert two == {0: 3, 1: 9, 2: None, 3: None, 4: 9}
+
+
+def test_knn_graph_large_k_stride_regression(spark):
+    """Round-6 ADVICE fix for `bucket_topk`: with n ≥ 4096 in a
+    bucket and k in (n/8, n/4), the stride-8 column subsample had
+    fewer columns than k and the from-the-end partition index
+    silently dropped true neighbors. Pin exactness of the emitted
+    top-k against a driver-side numpy oracle for sampled sources."""
+    import numpy as np
+
+    from etl_covid19_spark.operators.similarity import knn_graph
+
+    rng = np.random.default_rng(42)
+    n, dim, k = 4300, 6, 600  # n/8 = 537 < k < n/4 = 1075
+    X = rng.normal(size=(n, dim))
+    X[:, 0] = np.abs(X[:, 0]) + 0.1  # one sign bucket (band 0 bit set)
+    rows = [(int(i), [float(x) for x in X[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    g = knn_graph(emb, "embedding", "vec_id", k=k, band_bits=1, n_bands=1)
+    sample = [0, 17, 1234, 4299]
+    got = {
+        s: [
+            r.dst
+            for r in sorted(
+                (r for r in g.where(F.col("src").isin(sample)).collect()
+                 if r.src == s),
+                key=lambda r: r.rank,
+            )
+        ]
+        for s in sample
+    }
+    Xf = np.array([[np.float32(x) for x in row] for (_, row) in rows],
+                  dtype=np.float64)
+    nrm = np.sqrt((Xf * Xf).sum(axis=1))
+    for s in sample:
+        cos = (Xf @ Xf[s]) / (nrm * nrm[s])
+        cos[s] = -np.inf
+        order = np.lexsort((np.arange(n), -cos))[:k]
+        assert got[s] == [int(i) for i in order], f"src {s} top-k mismatch"
+
+
+def test_bucket_min_labels_dense_chunked_parity():
+    """The skewed-bucket (chunked, no dense adjacency) propagation
+    path labels identically to the dense path on random hamming
+    graphs — the round-6 memory-cap fix cannot change components."""
+    import numpy as np
+
+    from etl_covid19_spark.operators.dedup import _bucket_min_labels
+
+    rng = np.random.default_rng(7)
+    for trial in range(5):
+        v = np.unique(
+            rng.integers(0, 1 << 24, 400 + 100 * trial)
+        ).astype(np.int64)
+        dense = _bucket_min_labels(v, max_hamming=6)
+        chunked = _bucket_min_labels(v, max_hamming=6, dense_limit=0)
+        assert (dense == chunked).all()

@@ -134,3 +134,55 @@ def test_no_nested_loop_or_cartesian(spark, name):
     plan = df._jdf.queryExecution().executedPlan().toString()
     for node in FORBIDDEN:
         assert node not in plan, f"{name}: {node} in physical plan"
+
+
+# Queries whose round-6 broadcast-audit dropped forced hints on
+# corpus-PROPORTIONAL frames (eval shingle vocabularies, LSH
+# candidate sets, df-capped vocabularies, filtered linear dims).
+# They must keep working — same answers, no join fallback — when
+# broadcasting is impossible (`autoBroadcastJoinThreshold=-1`),
+# because that is exactly the 100 TB regime where those frames
+# outgrow any broadcast budget.
+DEHINTED = [
+    "contamination_check",
+    "contamination_check_capped",
+    "dedup_ngram_jaccard_capped",
+    "dedup_minhash_lsh",
+    "profit_by_nation_brand",
+    "q3_shipping_priority",
+    "q18_large_volume_customers",
+    "q11_important_stock",
+    "q16_part_supplier_counts",
+]
+
+
+@pytest.fixture()
+def no_broadcast(spark):
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+@pytest.mark.parametrize("name", DEHINTED)
+def test_survives_without_broadcast(no_broadcast, name):
+    """With broadcasts disabled the de-hinted queries must (a) plan
+    without O(n·m) fallbacks — shuffle equi-joins, not BNLJ — and
+    (b) return the same rows as the default plan."""
+    spark = no_broadcast
+    df = REGISTRY[name].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # q11's documented ONE-ROW scalar-total cross join plans as a
+    # single-build-row BNLJ once hints are off — constant work, the
+    # same exclusion class as the main sweep's scalar broadcasts
+    if name != "q11_important_stock":
+        for node in FORBIDDEN:
+            assert node not in plan, f"{name}: {node} without broadcast"
+    no_bc_rows = {tuple(r) for r in df.collect()}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    default_rows = {
+        tuple(r) for r in REGISTRY[name].fn(spark, SF).collect()
+    }
+    assert no_bc_rows == default_rows, f"{name}: result depends on join strategy"
