@@ -6,9 +6,13 @@ that residual with a tiered decoder:
 
 1. **PIL / soundfile when importable** — the production path.
 2. **Pure-stdlib codecs** — a real PNG decoder/encoder (zlib inflate,
-   scanline unfiltering per the PNG spec, CRC-checked chunks) and a
-   real WAV reader (stdlib `wave`), so REAL pixel/sample math runs
-   even in codec-less environments like this one.
+   scanline unfiltering per the PNG spec, CRC-checked chunks), a
+   real WAV reader (stdlib `wave`), and (round 6) a real baseline
+   JPEG encoder/decoder (Annex K tables, Huffman entropy coding,
+   DCT/IDCT, restart markers, sampling-factor upsample), so REAL
+   pixel/sample math runs even in codec-less environments like this
+   one. Only video containers and non-baseline JPEG (progressive /
+   arithmetic) remain PIL/av-gated.
 3. **Deterministic fake** (`operators.multimodal.decode_stub`) for
    payloads in neither library's formats — kept so text-as-payload
    plumbing queries stay runnable and oracle-mirrorable.
@@ -171,8 +175,9 @@ def resize_nearest(pixels: np.ndarray, max_side: int) -> np.ndarray:
 
 
 def decode_image(payload: bytes) -> np.ndarray:
-    """Tiered real image decode: PIL when importable, stdlib PNG
-    otherwise. Raises ValueError for formats neither tier handles —
+    """Tiered real image decode: PIL when importable, stdlib
+    PNG/baseline-JPEG otherwise. Raises ValueError for formats no
+    tier handles (e.g. progressive JPEG without PIL, video) —
     callers decide whether to fall back to the deterministic stub."""
     try:
         import io
@@ -182,6 +187,11 @@ def decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
     except ImportError:
         pass
+    if is_jpeg(payload):
+        rgb = decode_jpeg(payload)
+        if rgb.ndim == 2:  # grayscale JPEG → RGB like PIL's convert
+            rgb = np.repeat(rgb[:, :, None], 3, axis=2)
+        return rgb
     return decode_png(payload)
 
 
@@ -235,3 +245,605 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
         wf.setframerate(rate)
         wf.writeframes(ints.tobytes())
     return buf.getvalue()
+
+
+# --------------------------------------------------------------------------
+# JPEG (baseline sequential, ITU-T T.81) — the round-6 tier closing
+# the last import-gated image format. Pure stdlib + numpy on both
+# sides: the ENCODER (fixtures) writes JFIF 4:4:4 with the Annex K
+# quantization tables (IJG quality scaling) and Annex K Huffman
+# tables; the DECODER handles any baseline SOF0 stream — multiple
+# quant/huffman tables, arbitrary h/v sampling factors (nearest-
+# neighbor chroma upsample), restart markers, byte stuffing. PIL
+# remains the production tier (`decode_image` prefers it when
+# importable); this path makes REAL DCT/Huffman pixel math run in
+# codec-less environments, same posture as the PNG/WAV tiers.
+#
+# Rounding is pinned to floor(x+0.5) (half-up) at every lossy
+# boundary — color convert, quantize, final pixel — so fixture
+# oracles can re-derive decoded constants exactly (DuckDB has no
+# banker's-rounding surprises to fight).
+
+JPEG_SOI = b"\xff\xd8"
+
+_ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10, 17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+_Q_LUMA_BASE = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64).reshape(8, 8)
+
+_Q_CHROMA_BASE = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64).reshape(8, 8)
+
+# Annex K Huffman specs: (BITS counts per code length 1..16, HUFFVAL)
+_HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+     0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+     0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+     0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+     0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+     0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+     0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+     0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+     0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+_HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+     0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+     0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+     0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+     0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+     0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+     0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+     0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+     0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+     0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+     0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+     0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+     0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+     0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA],
+)
+
+
+def _dct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    A = np.cos((2 * x + 1) * u * np.pi / 16.0) / 2.0
+    A[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return A
+
+
+_DCT_A = _dct_matrix()
+
+
+def _half_up(x):
+    """floor(x + 0.5) — the pinned rounding at every lossy boundary
+    (symmetric for quantization via sign-split at the call sites that
+    need it)."""
+    return np.floor(np.asarray(x, dtype=np.float64) + 0.5)
+
+
+def is_jpeg(payload: bytes) -> bool:
+    return payload[:2] == JPEG_SOI
+
+
+def jpeg_quant_tables(quality: int = 75) -> tuple[np.ndarray, np.ndarray]:
+    """Annex K tables under IJG quality scaling (the de-facto
+    standard: scale = 5000/q below 50 else 200−2q, floor((b·s+50)/
+    100) clipped to [1, 255])."""
+    q = min(max(int(quality), 1), 100)
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (_Q_LUMA_BASE, _Q_CHROMA_BASE):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int64))
+    return out[0], out[1]
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF color convert, half-up rounded to uint8 planes."""
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(_half_up(out), 0, 255).astype(np.uint8)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y = ycc[..., 0].astype(np.float64)
+    cb = ycc[..., 1].astype(np.float64) - 128.0
+    cr = ycc[..., 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    out = np.stack([r, g, b], axis=-1)
+    return np.clip(_half_up(out), 0, 255).astype(np.uint8)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _huff_encode_table(spec) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per T.81 C.2 canonical assignment."""
+    bits, vals = spec
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(category, raw bits) for a DC diff / AC coefficient value."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 90, restart: int = 0
+) -> bytes:
+    """Baseline JFIF encoder: 8-bit RGB (h, w, 3) or grayscale
+    (h, w) → 4:4:4 (resp. single-component) SOF0 stream with Annex K
+    quantization (IJG-scaled) and Huffman tables. Quantization is
+    symmetric half-up (sign·floor(|F|/Q + 0.5)) so fixture oracles
+    can reproduce coefficients exactly. `restart` > 0 emits a DRI
+    segment and RSTn markers every `restart` MCUs — the resync
+    points that let a cluster decoder split one entropy stream
+    across workers."""
+    arr = np.asarray(pixels)
+    gray = arr.ndim == 2
+    if gray:
+        planes = [arr.astype(np.uint8)]
+    else:
+        ycc = rgb_to_ycbcr(arr[..., :3])
+        planes = [ycc[..., i] for i in range(3)]
+    h, w = planes[0].shape
+    qt_l, qt_c = jpeg_quant_tables(quality)
+    qts = [qt_l] + ([] if gray else [qt_c])
+
+    ph = (h + 7) // 8 * 8
+    pw = (w + 7) // 8 * 8
+    padded = []
+    for p in planes:
+        pp = np.empty((ph, pw), dtype=np.uint8)
+        pp[:h, :w] = p
+        pp[h:, :w] = p[h - 1 : h, :]
+        pp[:, w:] = pp[:, w - 1 : w]
+        padded.append(pp)
+
+    dc_tabs = [_huff_encode_table(_HUFF_DC_LUMA)] + (
+        [] if gray else [_huff_encode_table(_HUFF_DC_CHROMA)]
+    )
+    ac_tabs = [_huff_encode_table(_HUFF_AC_LUMA)] + (
+        [] if gray else [_huff_encode_table(_HUFF_AC_CHROMA)]
+    )
+    bw = _BitWriter()
+    pred = [0] * len(planes)
+    A = _DCT_A
+    scan_parts: list[bytes] = []
+    mcu_idx = 0
+    rst_n = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            if restart and mcu_idx and mcu_idx % restart == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(bytes([0xFF, 0xD0 + rst_n]))
+                rst_n = (rst_n + 1) % 8
+                bw = _BitWriter()
+                pred = [0] * len(planes)
+            mcu_idx += 1
+            for ci, plane in enumerate(padded):
+                ti = 0 if ci == 0 else 1
+                block = plane[by : by + 8, bx : bx + 8].astype(
+                    np.float64
+                ) - 128.0
+                Fc = A @ block @ A.T
+                # exact DC: Σ(pixels−128)/8 is dyadic (int/8) so the
+                # quantizer's half-up sees the true value, not the
+                # float DCT's ±1e-13 residual — (v−128)/2 lands ON
+                # the .5 boundary for every odd v, where that
+                # residual would otherwise flip the rounding
+                Fc[0, 0] = float(
+                    int(
+                        plane[by : by + 8, bx : bx + 8].astype(np.int64).sum()
+                    )
+                    - 64 * 128
+                ) / 8.0
+                q = qts[ti].astype(np.float64)
+                coef = (
+                    np.sign(Fc) * np.floor(np.abs(Fc) / q + 0.5)
+                ).astype(np.int64)
+                zz = coef.reshape(-1)[_ZIGZAG]
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, bits = _magnitude(diff)
+                code, ln = dc_tabs[ti][size]
+                bw.write(code, ln)
+                if size:
+                    bw.write(bits, size)
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for idx in range(1, 64):
+                    v = int(zz[idx])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = ac_tabs[ti][0xF0]  # ZRL
+                        bw.write(code, ln)
+                        run -= 16
+                    size, bits = _magnitude(v)
+                    code, ln = ac_tabs[ti][(run << 4) | size]
+                    bw.write(code, ln)
+                    bw.write(bits, size)
+                    run = 0
+                if last_nz < 63:
+                    code, ln = ac_tabs[ti][0x00]  # EOB
+                    bw.write(code, ln)
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(JPEG_SOI)
+    out += seg(
+        0xE0, b"JFIF\x00" + struct.pack(">BBBHHBB", 1, 1, 0, 1, 1, 0, 0)
+    )
+    for tid, qt in enumerate(qts):
+        out += seg(
+            0xDB,
+            bytes([tid]) + bytes(int(x) for x in qt.reshape(-1)[_ZIGZAG]),
+        )
+    ncomp = len(planes)
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+    out += seg(0xC0, sof)
+    huffs = [(0x00, _HUFF_DC_LUMA), (0x10, _HUFF_AC_LUMA)]
+    if not gray:
+        huffs += [(0x01, _HUFF_DC_CHROMA), (0x11, _HUFF_AC_CHROMA)]
+    for tclass_id, (bits, vals) in huffs:
+        out += seg(0xC4, bytes([tclass_id]) + bytes(bits) + bytes(vals))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
+    """(height, width) from the SOF header — no entropy decode, the
+    cheap metadata path for scan-level stats at scale."""
+    i = 2
+    n = len(payload)
+    while i + 3 < n:
+        if payload[i] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        ln = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+            return h, w
+        i += 2 + ln
+    raise ValueError("no SOF marker")
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops (and
+    reports) at any other marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        d = self.data
+        b = d[self.pos]
+        if b == 0xFF:
+            nxt = d[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                raise _MarkerHit(nxt)
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align(self) -> None:
+        self.acc = 0
+        self.nbits = 0
+
+
+class _MarkerHit(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _huff_decode_table(bits, vals) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_read(br: _BitReader, table) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline sequential (SOF0) JPEG decoder, pure stdlib+numpy:
+    marker parse → per-MCU Huffman entropy decode → dequantize →
+    IDCT → nearest-neighbor chroma upsample → JFIF YCbCr→RGB
+    (half-up, clipped). Supports multiple quant/Huffman tables,
+    arbitrary h/v sampling factors, restart intervals, and 1- or
+    3-component frames; progressive (SOF2) and arithmetic streams
+    raise ValueError (PIL tier handles them where importable)."""
+    if not is_jpeg(payload):
+        raise ValueError("not a JPEG stream")
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    i = 2
+    n = len(payload)
+    while i + 3 < n:
+        if payload[i] != 0xFF:
+            raise ValueError("bad marker stream")
+        marker = payload[i + 1]
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        ln = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+        body = payload[i + 4 : i + 2 + ln]
+        if marker == 0xDB:
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 0x0F
+                if pq:
+                    raise ValueError("16-bit quant tables unsupported")
+                flat = np.frombuffer(
+                    body[j + 1 : j + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qt = np.zeros(64, dtype=np.int64)
+                qt[_ZIGZAG] = flat
+                qts[tq] = qt.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:
+            j = 0
+            while j < len(body):
+                tc, th = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                cnt = sum(bits)
+                vals = list(body[j + 17 : j + 17 + cnt])
+                huff[(tc, th)] = _huff_decode_table(bits, vals)
+                j += 17 + cnt
+        elif marker == 0xC0 or marker == 0xC1:
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("non-baseline JPEG (progressive/etc.)")
+        elif marker == 0xDD:
+            restart = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan_tabs = {}
+            for c in range(ns):
+                cs, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                scan_tabs[cs] = (tabs >> 4, tabs & 0x0F)
+            return _decode_scan(
+                payload, i + 2 + ln, frame, qts, huff, scan_tabs, restart
+            )
+        i += 2 + ln
+    raise ValueError("no scan data")
+
+
+def _decode_scan(data, pos, frame, qts, huff, scan_tabs, restart):
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (fw + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (fh + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for cid, hs, vs, tq in comps:
+        planes.append(
+            np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        )
+    A = _DCT_A
+    br = _BitReader(data, pos)
+    pred = [0] * len(comps)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and mcu_count and mcu_count % restart == 0:
+                # RSTn: discard pad bits, scan to the marker (a pad
+                # byte of 0xFF arrives stuffed as FF00 and must be
+                # skipped, not decoded), consume it, reset DC preds
+                br.align()
+                p = br.pos
+                while not (
+                    data[p] == 0xFF and data[p + 1] != 0x00
+                ):
+                    p += 2 if data[p] == 0xFF else 1
+                if 0xD0 <= data[p + 1] <= 0xD7:
+                    p += 2
+                br.pos = p
+                pred = [0] * len(comps)
+            mcu_count += 1
+            for ci, (cid, hs, vs, tq) in enumerate(comps):
+                dct, act = scan_tabs[cid]
+                dc_tab = huff[(0, dct)]
+                ac_tab = huff[(1, act)]
+                q = qts[tq]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = _huff_read(br, dc_tab)
+                        diff = (
+                            _extend(br.read_bits(size), size)
+                            if size
+                            else 0
+                        )
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_read(br, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC index overflow")
+                            zz[k] = _extend(br.read_bits(size), size)
+                            k += 1
+                        if not zz[1:].any():
+                            # DC-only shortcut (flat block): exact
+                            # int·q/8 — bit-reproducible by integer
+                            # SQL oracles, and faster than the IDCT
+                            block = np.full(
+                                (8, 8),
+                                float(int(zz[0]) * int(q[0, 0])) / 8.0
+                                + 128.0,
+                            )
+                        else:
+                            coef = np.zeros(64, dtype=np.float64)
+                            coef[_ZIGZAG] = zz
+                            block = (
+                                A.T @ (coef.reshape(8, 8) * q) @ A
+                                + 128.0
+                            )
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = block
+    out_planes = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        p = planes[ci]
+        if hs != hmax or vs != vmax:
+            p = np.repeat(
+                np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+            )
+        out_planes.append(p[:fh, :fw])
+    if len(out_planes) == 1:
+        return np.clip(_half_up(out_planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(out_planes, axis=-1)
+    return ycbcr_to_rgb(np.clip(ycc, 0.0, 255.0))

@@ -723,6 +723,322 @@ def knn_graph(
     return SHARED_CACHE.get_or_build(key, build)
 
 
+def _probe_buckets_arrow(
+    emb: DataFrame,
+    cents,
+    vec_col: str,
+    id_col: str,
+    n_probe: int,
+) -> DataFrame:
+    """Corpus-side multi-probe IVF assignment as one Arrow kernel:
+    (doc, v, bucket, probe_rank) with probe_rank 1..n_probe over
+    centroids ordered (cosine DESC, cid DESC) — rank 1 IS the
+    assignment (`_assign_buckets_arrow`'s argmax with ties to the
+    higher cid), ranks 2.. are the extra probes, exactly
+    `slice(reverse(array_sort(scores)), 1, n_probe)` in the HOF
+    form `_ivf_search` uses for queries.
+
+    Centroid cosines are computed with the SEQUENTIAL per-dim
+    float64 fold (vectorized across rows — the identical IEEE op
+    sequence as `vectors.cosine` / the ANSI `list_reduce` oracle),
+    so probe ranks are bit-deterministic across engines with no
+    epsilon guard needed. NULL/ragged/width-mismatched rows emit no
+    probes (they cannot score against the centroids)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    cid_list = [cid for cid, _ in cents]
+    assert cid_list == sorted(cid_list)
+    C = np.array([cv for _, cv in cents], dtype=np.float64)
+    n_c, dim_c = C.shape
+    p = min(n_probe, n_c)
+    cn_acc = np.zeros(n_c)
+    for d in range(dim_c):
+        cn_acc += C[:, d] * C[:, d]
+    cnorm = np.sqrt(cn_acc)
+    cids = np.array(cid_list, dtype=np.int64)
+
+    id_type = emb.schema[id_col].dataType
+    vec_type = emb.schema[vec_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("doc", id_type, True),
+            T.StructField("v", vec_type, True),
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("probe_rank", T.IntegerType(), False),
+        ]
+    )
+    proj = fan_out(
+        emb.select(
+            F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
+        )
+    )
+
+    def kernel(batches):
+        for b in batches:
+            n = len(b)
+            col = b.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten()
+            valid = col.is_valid().to_numpy(zero_copy_only=False)
+            widths = (
+                np.diff(col.offsets.to_numpy())
+                if n
+                else np.zeros(0, dtype=np.int64)
+            )
+            if (
+                n
+                and valid.all()
+                and flat.null_count == 0
+                and (widths == dim_c).all()
+            ):
+                X = np.asarray(flat, dtype=np.float64).reshape(
+                    n, dim_c
+                )
+                ok = np.ones(n, dtype=bool)
+            else:
+                X = np.zeros((n, dim_c), dtype=np.float64)
+                ok = np.zeros(n, dtype=bool)
+                for i, val in enumerate(col.to_pylist()):
+                    if (
+                        val is not None
+                        and len(val) == dim_c
+                        and all(e is not None for e in val)
+                    ):
+                        X[i] = val
+                        ok[i] = True
+            # fold-exact centroid cosines: accumulate dim-by-dim so
+            # every (row, centroid) partial advances through the
+            # scalar fold's op sequence — n_c is a model-sized
+            # constant, so this costs the same as the BLAS form
+            dot = np.zeros((n, n_c))
+            na = np.zeros(n)
+            for d in range(dim_c):
+                dot += X[:, d, None] * C[None, :, d]
+                na += X[:, d] * X[:, d]
+            denom = np.outer(np.sqrt(na), cnorm)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = np.where(denom == 0, 0.0, dot / denom)
+            # per-row order (cos DESC, cid DESC): stable argsort on
+            # the cid-reversed matrix keeps higher cids first on ties
+            rev = cos[:, ::-1]
+            order = n_c - 1 - np.argsort(
+                -rev, axis=1, kind="stable"
+            )[:, :p]
+            rows = np.repeat(np.arange(n), p)[ok.repeat(p)]
+            buckets = cids[order.reshape(-1)][ok.repeat(p)]
+            ranks = np.tile(np.arange(1, p + 1), n)[ok.repeat(p)]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).take(pa.array(rows, pa.int64())),
+                    col.take(pa.array(rows, pa.int64())),
+                    pa.array(buckets.astype(np.int32), pa.int32()),
+                    pa.array(ranks.astype(np.int32), pa.int32()),
+                ],
+                names=["doc", "v", "bucket", "probe_rank"],
+            )
+
+    return proj.mapInArrow(kernel, out_schema)
+
+
+def knn_graph_ivf(
+    emb: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    max_bucket: int = 100_000,
+    cents=None,
+) -> DataFrame:
+    """Cluster-blocked (IVF-partitioned) kNN graph — the scale twin
+    of `knn_graph` for corpora where sign-band LSH floors at
+    Σ bucket² ≈ n² flops (the "isotropic mid-threshold" residual
+    documented on `knn_graph` / SCALE.md): near-isotropic
+    embeddings put ~2⁻ᵇ of ALL pairs in every band bucket, so no
+    banding scheme bounds the candidate count. IVF blocking bounds
+    it STRUCTURALLY instead: each vector's candidates are the
+    members of its `n_probe` nearest centroid lists, giving a hard
+    per-point candidate budget of n_probe·max_bucket and total work
+    Σ_b |probers_b|·|members_b| ≈ n_probe·n·(n/n_centroids) —
+    choose n_centroids ∝ √n (or n/target_bucket at 100 TB) and the
+    graph build is subquadratic BY CONSTRUCTION, isotropic or not.
+    The price is recall through the IVF lens: exact within probed
+    buckets, misses neighbors assigned elsewhere (recall pinned in
+    tests on clustered data; raise n_probe to trade flops for
+    recall).
+
+    SEMANTICS (SQL-oracle-reproducible, `exact/capped`-twin
+    convention): centroids are the deterministic first
+    `n_centroids` corpus vectors by id (pass `cents` to swap in
+    k-means centers — same dataflow, like `ivf_topk_trained`);
+    assignment ties break toward the higher cid; members of a
+    bucket are its first `max_bucket` assignees by id; a pair is a
+    candidate iff dst is a member of one of src's `n_probe` probed
+    buckets; top-k by exact fold cosine, ties (cosine DESC, dst
+    ASC).
+
+    EXECUTION: one multi-probe Arrow assignment pass
+    (`_probe_buckets_arrow` — fold-exact, map-side, centroids are
+    collected model literals like the LSH planes), then ONE grouped
+    Arrow kernel per bucket (probers×members BLAS preselect at
+    kth−1e-9, exact fold recompute on survivors — same
+    provable-superset discipline as `knn_graph.bucket_topk`),
+    global dedup + per-src window merge. Shuffle is n_probe·n
+    vector rows; nothing pairwise ever ships."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql import types as T
+
+    if cents is None:
+        cents = [
+            (int(r["cid"]), [float(x) for x in r["cv"]])
+            for r in emb.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cid"), F.col(vec_col).alias("cv")
+            )
+            .collect()
+        ]
+    probed = _probe_buckets_arrow(emb, cents, vec_col, id_col, n_probe)
+
+    id_type = emb.schema[id_col].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("src", id_type, True),
+            T.StructField("dst", id_type, True),
+            T.StructField("cosine", T.DoubleType(), True),
+        ]
+    )
+
+    def bucket_knn(tbl: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "src": pa.array([], tbl.schema.field("doc").type),
+                "dst": pa.array([], tbl.schema.field("doc").type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        n = len(tbl)
+        if n < 2:
+            return empty
+        ids = tbl["doc"].to_numpy(zero_copy_only=False)
+        ranks = tbl["probe_rank"].to_numpy(zero_copy_only=False)
+        vecs = tbl["v"].combine_chunks()
+        flat = vecs.flatten()
+        widths = np.diff(vecs.offsets.to_numpy())
+        dim = int(widths.max(initial=0))
+        if (
+            vecs.null_count == 0
+            and flat.null_count == 0
+            and (widths == dim).all()
+        ):
+            X = np.asarray(flat, dtype=np.float64).reshape(n, dim)
+        else:
+            # probe pass already dropped null/ragged rows; this is
+            # pure defense against mixed-width corpora
+            X = np.zeros((n, dim), dtype=np.float64)
+            for i, val in enumerate(vecs.to_pylist()):
+                if val is not None and len(val) == dim:
+                    X[i] = [0.0 if e is None else e for e in val]
+        # members: rank-1 rows (the bucket's assignees), capped at
+        # max_bucket by ascending id — the hard candidate budget
+        mem = np.flatnonzero(ranks == 1)
+        if len(mem) > max_bucket:
+            mem = mem[np.argsort(ids[mem], kind="stable")][:max_bucket]
+        if len(mem) == 0:
+            return empty
+        nacc = np.zeros(n)
+        for j in range(dim):
+            nacc += X[:, j] * X[:, j]
+        nrm = np.sqrt(nacc)
+        safe = np.where(nrm > 0, nrm, 1.0)
+        Xn = X / safe[:, None]
+        M = Xn[mem]
+        mids = ids[mem]
+        kk = min(k, len(mem))
+        src_parts: list[np.ndarray] = []
+        dst_parts: list[np.ndarray] = []
+        chunk = 256
+        for c0 in range(0, n, chunk):
+            c1 = min(n, c0 + chunk)
+            S = Xn[c0:c1] @ M.T
+            # mask self-pairs so they neither rank nor emit
+            self_m = ids[c0:c1, None] == mids[None, :]
+            S[self_m] = -np.inf
+            scol = S.shape[1]
+            if scol > kk:
+                t = np.partition(S, scol - kk, axis=1)[:, scol - kk]
+            else:
+                t = np.full(c1 - c0, -np.inf)
+            # BLAS vs fold differ ~1e-15; 1e-9 keeps every exact
+            # top-k member and all boundary ties (superset — the
+            # global window does the real ranking on exact values)
+            keep = S >= np.maximum(t[:, None] - 1e-9, -1e30)
+            r, cdx = np.nonzero(keep)
+            src_parts.append(r + c0)
+            dst_parts.append(cdx)
+        si = np.concatenate(src_parts)
+        di = np.concatenate(dst_parts)
+        if not len(si):
+            return empty
+        A, B = X[si], X[mem][di]
+        dot = np.zeros(len(si))
+        na = np.zeros(len(si))
+        nb = np.zeros(len(si))
+        for d in range(dim):
+            dot += A[:, d] * B[:, d]
+            na += A[:, d] * A[:, d]
+            nb += B[:, d] * B[:, d]
+        denom = np.sqrt(na) * np.sqrt(nb)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = np.where(denom == 0, 0.0, dot / denom)
+        id_pa_type = tbl.schema.field("doc").type
+        return pa.table(
+            {
+                "src": pa.array(ids[si], id_pa_type),
+                "dst": pa.array(mids[di], id_pa_type),
+                "cosine": pa.array(cos, pa.float64()),
+            }
+        )
+
+    def build() -> DataFrame:
+        per_bucket = probed.groupBy("bucket").applyInArrow(
+            bucket_knn, out_schema
+        )
+        merged = per_bucket.dropDuplicates(["src", "dst"])
+        w = Window.partitionBy("src").orderBy(
+            F.col("cosine").desc(), F.col("dst").asc()
+        )
+        return (
+            merged.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("src", "dst", "cosine", "rank")
+        )
+
+    from etl_covid19_spark.operators.df_cache import (
+        SHARED_CACHE,
+        corpus_key,
+    )
+
+    key = (
+        "knn_graph_ivf",
+        corpus_key(emb),
+        vec_col,
+        id_col,
+        k,
+        n_centroids,
+        n_probe,
+        max_bucket,
+        tuple(cid for cid, _ in cents),
+    )
+    return SHARED_CACHE.get_or_build(key, build)
+
+
 def semantic_dedup(
     emb: DataFrame,
     vec_col: str,

@@ -3340,6 +3340,144 @@ def q_media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_jpeg_stats",
+    oracle="""
+    WITH blocks AS (
+      SELECT i.range AS doc_id, b.range AS blk,
+             (i.range*37 + b.range*11) % 256 AS r,
+             (i.range*53 + b.range*29 + 85) % 256 AS g,
+             (i.range*71 + b.range*47 + 170) % 256 AS bl
+      FROM range(12) i, range(4) b
+    ),
+    ycc AS (
+      SELECT doc_id, blk,
+        least(greatest(floor(CAST(0.299 AS DOUBLE)*r
+              + CAST(0.587 AS DOUBLE)*g + CAST(0.114 AS DOUBLE)*bl
+              + CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)),
+              CAST(255 AS DOUBLE)) AS y,
+        least(greatest(floor(CAST(-0.168736 AS DOUBLE)*r
+              + CAST(-0.331264 AS DOUBLE)*g + CAST(0.5 AS DOUBLE)*bl
+              + CAST(128 AS DOUBLE) + CAST(0.5 AS DOUBLE)),
+              CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS cb,
+        least(greatest(floor(CAST(0.5 AS DOUBLE)*r
+              + CAST(-0.418688 AS DOUBLE)*g
+              + CAST(-0.081312 AS DOUBLE)*bl
+              + CAST(128 AS DOUBLE) + CAST(0.5 AS DOUBLE)),
+              CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS cr
+      FROM blocks
+    ),
+    dcq AS (
+      SELECT doc_id, blk,
+        least(greatest(
+          (CASE WHEN y >= 128
+                THEN floor((CAST(8 AS DOUBLE)*(y-128))/16
+                           + CAST(0.5 AS DOUBLE))
+                ELSE -floor((CAST(8 AS DOUBLE)*(128-y))/16
+                            + CAST(0.5 AS DOUBLE)) END * 16)
+            / CAST(8 AS DOUBLE) + 128,
+          CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS yd,
+        least(greatest(
+          (CASE WHEN cb >= 128
+                THEN floor((CAST(8 AS DOUBLE)*(cb-128))/17
+                           + CAST(0.5 AS DOUBLE))
+                ELSE -floor((CAST(8 AS DOUBLE)*(128-cb))/17
+                            + CAST(0.5 AS DOUBLE)) END * 17)
+            / CAST(8 AS DOUBLE) + 128,
+          CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS cbd,
+        least(greatest(
+          (CASE WHEN cr >= 128
+                THEN floor((CAST(8 AS DOUBLE)*(cr-128))/17
+                           + CAST(0.5 AS DOUBLE))
+                ELSE -floor((CAST(8 AS DOUBLE)*(128-cr))/17
+                            + CAST(0.5 AS DOUBLE)) END * 17)
+            / CAST(8 AS DOUBLE) + 128,
+          CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS crd
+      FROM ycc
+    ),
+    rgb AS (
+      SELECT doc_id, blk,
+        least(greatest(floor(yd + CAST(1.402 AS DOUBLE)*(crd-128)
+              + CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)),
+              CAST(255 AS DOUBLE)) AS rd,
+        least(greatest(floor(yd + CAST(-0.344136 AS DOUBLE)*(cbd-128)
+              + CAST(-0.714136 AS DOUBLE)*(crd-128)
+              + CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)),
+              CAST(255 AS DOUBLE)) AS gd,
+        least(greatest(floor(yd + CAST(1.772 AS DOUBLE)*(cbd-128)
+              + CAST(0.5 AS DOUBLE)), CAST(0 AS DOUBLE)),
+              CAST(255 AS DOUBLE)) AS bd
+      FROM dcq
+    ),
+    color AS (
+      SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+             AVG(rd) AS mean_r, AVG(gd) AS mean_g, AVG(bd) AS mean_b
+      FROM rgb GROUP BY doc_id
+    ),
+    gray AS (
+      SELECT 12 + i.range AS doc_id, CAST(16 AS INT) AS width,
+             CAST(16 AS INT) AS height,
+             AVG(gv) AS mean_r, AVG(gv) AS mean_g, AVG(gv) AS mean_b
+      FROM range(4) i, range(4) b,
+      LATERAL (SELECT (i.range*19 + b.range*53 + 7) % 256 AS v) s,
+      LATERAL (SELECT least(greatest(
+          (CASE WHEN v >= 128
+                THEN floor((CAST(8 AS DOUBLE)*(v-128))/16
+                           + CAST(0.5 AS DOUBLE))
+                ELSE -floor((CAST(8 AS DOUBLE)*(128-v))/16
+                            + CAST(0.5 AS DOUBLE)) END * 16)
+            / CAST(8 AS DOUBLE) + 128,
+          CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE)) AS gv) d
+      GROUP BY i.range
+    )
+    SELECT * FROM color UNION ALL SELECT * FROM gray
+    """,
+)
+def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, oracle-verified to the pixel: 12
+    color 16×16 JPEGs (2×2 grid of flat 8×8 blocks from a formula)
+    plus 4 grayscale ones are ENCODED driver-side by the pure-stdlib
+    baseline encoder (`media.encode_jpeg`, Annex K tables at
+    quality 50 → the unscaled base tables) and decoded
+    EXECUTOR-SIDE through the full marker-parse → Huffman → dequant
+    → IDCT → YCbCr path (`media.decode_jpeg` via
+    `image_pixel_stats`). Flat blocks quantize to DC-only
+    coefficients whose decode is EXACT integer math (the codec pins
+    half-up rounding and an exact-DC shortcut), so the DuckDB
+    oracle re-derives every decoded pixel value from the generating
+    formula — color convert, quantize, dequantize, RGB — without
+    seeing a byte. The AC/Huffman path is covered by round-trip
+    tests (`tests/test_media.py`); fixture-sized by design (codec
+    correctness, not scale — blob accounting at scale is
+    blob_stats_arrow)."""
+    import numpy as np
+
+    from etl_covid19_spark.functions import media as M
+    from etl_covid19_spark.operators.multimodal import image_pixel_stats
+
+    rows = []
+    for i in range(12):
+        img = np.zeros((16, 16, 3), dtype=np.uint8)
+        for b in range(4):
+            by, bx = divmod(b, 2)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                (i * 37 + b * 11) % 256,
+                (i * 53 + b * 29 + 85) % 256,
+                (i * 71 + b * 47 + 170) % 256,
+            )
+        rows.append((i, bytearray(M.encode_jpeg(img, quality=50))))
+    for i in range(4):
+        img = np.zeros((16, 16), dtype=np.uint8)
+        for b in range(4):
+            by, bx = divmod(b, 2)
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                i * 19 + b * 53 + 7
+            ) % 256
+        rows.append((12 + i, bytearray(M.encode_jpeg(img, quality=50))))
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return image_pixel_stats(d, "doc_id", "payload").orderBy("doc_id")
+
+
+@register(
     "table_profile",
     oracle="""
     SELECT 'o_custkey' AS column_name,
@@ -4387,6 +4525,101 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_graph(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         k=5, band_bits=4, n_bands=16,
+    )
+
+
+_FOLD_COS = """
+             CASE WHEN sqrt(list_reduce(list_transform({a}, q -> q * q),
+                                        (q, w) -> q + w))
+                     * sqrt(list_reduce(list_transform({b}, q -> q * q),
+                                        (q, w) -> q + w)) = 0
+                  THEN 0.0
+                  ELSE list_reduce(list_transform(list_zip({a}, {b}),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (q, w) -> q + w)
+                       / (sqrt(list_reduce(list_transform({a}, q -> q * q),
+                                           (q, w) -> q + w))
+                          * sqrt(list_reduce(list_transform({b}, q -> q * q),
+                                             (q, w) -> q + w)))
+             END"""
+
+
+def _knn_graph_ivf_oracle(
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    max_bucket: int = 100_000,
+) -> str:
+    """GENERATED oracle for the IVF-blocked kNN graph twin: the
+    deterministic first-k-by-id centroids, fold-order centroid
+    cosines ranked (cos DESC, cid DESC) — rank 1 is the assignment,
+    ranks ≤ n_probe the probes — bucket membership capped at
+    max_bucket by ascending id, candidates = probers × members, and
+    the same exact-fold top-k window as the sign-band graph."""
+    cent_cos = _FOLD_COS.format(a="e.v", b="c.cv")
+    pair_cos = _FOLD_COS.format(a="x.v", b="y.v")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    cscore AS (
+      SELECT e.vec_id, c.cid, {cent_cos} AS cos
+      FROM e CROSS JOIN cents c
+    ),
+    probes AS (
+      SELECT vec_id, cid AS bucket,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, cid DESC) AS pr
+      FROM cscore
+    ),
+    members AS (
+      SELECT vec_id, bucket FROM (
+        SELECT vec_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket
+                                  ORDER BY vec_id ASC) AS mr
+        FROM probes WHERE pr = 1
+      ) WHERE mr <= {max_bucket}
+    ),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS src, m.vec_id AS dst
+      FROM probes p
+      JOIN members m ON m.bucket = p.bucket AND p.vec_id <> m.vec_id
+      WHERE p.pr <= {n_probe}
+    ),
+    scored AS (
+      SELECT src, dst, {pair_cos} AS cosine
+      FROM cand JOIN e x ON x.vec_id = src JOIN e y ON y.vec_id = dst
+    )
+    SELECT src, dst, cosine, rank FROM (
+      SELECT src, dst, cosine,
+             CAST(ROW_NUMBER() OVER (PARTITION BY src
+                                     ORDER BY cosine DESC, dst ASC) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+@register("knn_graph_ivf", oracle=_knn_graph_ivf_oracle())
+def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-blocked kNN graph (operators/similarity.knn_graph_ivf) —
+    the round-6 scale twin closing the sign-band graph's isotropic
+    Σ bucket² flops floor: candidates come from each vector's
+    n_probe nearest centroid lists (hard per-point budget of
+    n_probe·max_bucket), so total work is n_probe·n·(n/n_centroids)
+    regardless of how isotropic the embedding space is. Same
+    exact/capped-twin convention as the dedup family: deterministic
+    first-16 centroids keep it oracle-reproducible; k-means centers
+    slot into the identical dataflow via `cents=`."""
+    from etl_covid19_spark.operators.similarity import knn_graph_ivf
+
+    return knn_graph_ivf(
+        _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        k=5, n_centroids=16, n_probe=2,
     )
 
 

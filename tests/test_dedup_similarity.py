@@ -1008,3 +1008,80 @@ def test_bucket_min_labels_dense_chunked_parity():
         dense = _bucket_min_labels(v, max_hamming=6)
         chunked = _bucket_min_labels(v, max_hamming=6, dense_limit=0)
         assert (dense == chunked).all()
+
+
+def test_knn_graph_ivf_recall_and_budget(spark):
+    """The round-6 cluster-blocked kNN twin: (a) on clustered
+    embeddings (the realistic shape) the IVF-probed graph recovers
+    ≥0.85 of the exact top-k graph with k-means centers; (b) the
+    deterministic-centroid registry form matches a driver-side
+    numpy re-derivation of its own contract exactly (candidates =
+    probed-bucket members, top-k by cosine desc / id asc); (c) the
+    per-point candidate count never exceeds n_probe·max_bucket."""
+    import numpy as np
+
+    from etl_covid19_spark.operators.similarity import knn_graph_ivf
+
+    rng = np.random.RandomState(9)
+    centers = rng.randn(8, 32) * 4
+    pts = np.vstack([
+        c + 0.3 * rng.randn(60, 32) for c in centers
+    ]).astype(np.float32)
+    pts = pts[rng.permutation(len(pts))]
+    n, k = len(pts), 5
+    rows = [(i, pts[i].tolist()) for i in range(n)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    u = pts.astype(np.float64)
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    S = u @ u.T
+    np.fill_diagonal(S, -np.inf)
+
+    def topk_rows(cand_mask_row, s_row):
+        cand = np.flatnonzero(cand_mask_row)
+        order = cand[np.lexsort((cand, -s_row[cand]))][:k]
+        return [int(x) for x in order]
+
+    # (a) recall with TRAINED centers on clustered data
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = emb.select(array_to_vector(F.col("embedding").cast("array<double>")).alias("features"))
+    model = KMeans(k=8, seed=3, maxIter=10).fit(train)
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    g = knn_graph_ivf(emb, "embedding", "vec_id", k=k, n_probe=2, cents=cents)
+    got = {}
+    for r in g.collect():
+        got.setdefault(r.src, set()).add(r.dst)
+    exact_sets = {
+        s: set(topk_rows(np.ones(n, dtype=bool) & (np.arange(n) != s), S[s]))
+        for s in range(n)
+    }
+    hit = sum(len(got.get(s, set()) & exact_sets[s]) for s in range(n))
+    recall = hit / (n * k)
+    assert recall >= 0.85, f"clustered recall {recall:.3f}"
+
+    # (b) deterministic-centroid form vs numpy contract oracle
+    g2 = knn_graph_ivf(emb, "embedding", "vec_id", k=k,
+                       n_centroids=16, n_probe=2)
+    C = u[:16]  # first 16 ids are the centroids (unit-normalized ok
+    # for ranking: cosine is scale-invariant)
+    cc = u @ C.T
+    # probe order (cos desc, cid desc) — ties toward higher cid
+    probe = []
+    for i in range(n):
+        idx = sorted(range(16), key=lambda c: (-cc[i, c], -c))[:2]
+        probe.append(idx)
+    assign = np.array([p[0] for p in probe])
+    members = {b: set(np.flatnonzero(assign == b)) for b in range(16)}
+    got2 = {}
+    for r in g2.collect():
+        got2.setdefault(r.src, []).append((r.rank, r.dst))
+    for s in range(0, n, 37):
+        cand = set().union(*[members[b] for b in probe[s]]) - {s}
+        assert len(cand) <= 2 * 100_000  # (c) per-point budget
+        mask = np.zeros(n, dtype=bool)
+        mask[list(cand)] = True
+        expect = topk_rows(mask, S[s])[: min(k, len(cand))]
+        got_sorted = [d for _, d in sorted(got2.get(s, []))]
+        assert got_sorted == expect, f"src {s}"

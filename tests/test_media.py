@@ -163,3 +163,68 @@ def test_audio_features_real_wav(spark):
     assert r.duration_s == 0.5  # 4000 samples @ 8 kHz, real rate
     assert abs(r.rms - 1000 / 32768.0) < 1e-12
     assert r.zero_crossings == 999  # sign flips every 4 samples
+
+
+def test_jpeg_round_trip_color_and_gray():
+    """Baseline JPEG codec (round 6): full encode→decode through
+    marker parse, Huffman entropy, dequant, IDCT. Smooth content at
+    q90 must land within a couple of levels; noise at q95 within
+    classic JPEG bounds; flat color is exact (DC-only path)."""
+    yy, xx = np.meshgrid(np.arange(40), np.arange(56), indexing="ij")
+    img = np.stack(
+        [(yy * 3 + xx) % 256, (yy + xx * 2) % 256, (yy * 2 + xx * 2) % 256],
+        axis=-1,
+    ).astype(np.uint8)
+    dec = media.decode_jpeg(media.encode_jpeg(img, quality=90))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 4
+
+    rng = np.random.default_rng(1)
+    noise = rng.integers(0, 256, (24, 33, 3), dtype=np.uint8)
+    dec = media.decode_jpeg(media.encode_jpeg(noise, quality=95))
+    err = np.abs(dec.astype(int) - noise.astype(int))
+    assert err.max() <= 40 and err.mean() <= 8
+
+    flat = np.full((16, 24, 3), (200, 100, 50), dtype=np.uint8)
+    assert (media.decode_jpeg(media.encode_jpeg(flat, 75)) == flat).all()
+
+    gray = np.clip(yy * 2 + xx, 0, 255).astype(np.uint8)  # smooth ramp
+    dec = media.decode_jpeg(media.encode_jpeg(gray, quality=90))
+    assert dec.shape == gray.shape
+    assert np.abs(dec.astype(int) - gray.astype(int)).max() <= 4
+
+
+def test_jpeg_restart_markers_round_trip():
+    """DRI/RSTn: predictor resets and byte-realign at every restart
+    interval must reproduce the no-restart decode exactly — restart
+    points are what make one entropy stream splittable across
+    cluster workers."""
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (32, 40, 3), dtype=np.uint8)
+    plain = media.decode_jpeg(media.encode_jpeg(img, quality=80))
+    for interval in (1, 3, 7):
+        with_rst = media.decode_jpeg(
+            media.encode_jpeg(img, quality=80, restart=interval)
+        )
+        assert (with_rst == plain).all(), f"restart={interval}"
+
+
+def test_jpeg_dimensions_and_tier_routing():
+    img = np.zeros((24, 17, 3), dtype=np.uint8)
+    payload = media.encode_jpeg(img, 85)
+    assert media.jpeg_dimensions(payload) == (24, 17)
+    assert media.is_jpeg(payload) and not media.is_png(payload)
+    # decode_image routes JPEG through the baseline tier (PIL absent
+    # in this container) and grayscale expands to 3 channels
+    assert media.decode_image(payload).shape == (24, 17, 3)
+    g = media.encode_jpeg(np.full((8, 8), 9, dtype=np.uint8), 85)
+    assert media.decode_image(g).shape == (8, 8, 3)
+
+
+def test_jpeg_rejects_non_baseline():
+    with pytest.raises(ValueError):
+        media.decode_jpeg(b"\x89PNG\r\n\x1a\n")
+    # progressive SOF2 marker stream
+    fake = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x08" + b"\x08\x00\x10\x00\x10\x01"
+    with pytest.raises(ValueError):
+        media.decode_jpeg(fake)

@@ -53,6 +53,7 @@ SWEEP = [
     "source_language_entropy",
     "source_overlap_matrix",
     "knn_graph",
+    "knn_graph_ivf",
     "asof_join_events",
     "range_join_events",
     "skew_salted_join",
