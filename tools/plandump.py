@@ -159,9 +159,11 @@ COMMENTARY = {
         "of the trailing window."
     ),
     "contamination_check": (
-        "Decontamination: the corpus-sized train postings are pruned by "
-        "a BROADCAST semi-join on the (small) eval shingle set before "
-        "the shuffle join — only matching postings ever move."
+        "Decontamination: the corpus-sized train postings are pruned "
+        "by a semi-join on the eval shingle set before the shuffle "
+        "join — only matching postings ever move. The eval set is "
+        "corpus-proportional, so the broadcast decision is AQE's "
+        "(round 6 — no forced hint), not the plan's."
     ),
     "sequence_packing": (
         "Packing cumsum windows on (stratum, shard), not the stratum "
@@ -177,12 +179,48 @@ COMMENTARY = {
         "join — one shuffle on the order key, no per-row subquery probe."
     ),
     "knn_graph": (
-        "All-points kNN graph: sign-band keys explode → self "
-        "EQUI-join on the 8-byte band key (ids only) → distinct pairs "
-        "→ vectors joined back → per-source window top-k. No "
-        "BroadcastNestedLoopJoin, no global sort — the rank window "
-        "partitions by src, so no task sorts more than one vector's "
-        "candidate list."
+        "All-points kNN graph (round 5 per-BUCKET shape): the banded "
+        "frame is a UNION of n_bands narrow projections over the "
+        "POOLED compact (id, vec) frame (round 6 — InMemoryTableScan "
+        "in every band branch, one corpus scan total; explode would "
+        "re-copy the vector payload per row in GenerateExec), then "
+        "ONE Exchange on band_key feeds FlatMapGroupsInArrow — the "
+        "per-bucket kernel does float32 BLAS threshold preselect + "
+        "exact fold recompute, so candidate PAIRS never materialize "
+        "as a join. Global merge is dedup + per-src rank window. No "
+        "BroadcastNestedLoopJoin, no global sort."
+    ),
+    "knn_graph_ivf": (
+        "IVF-blocked kNN twin (round 6): one multi-probe Arrow "
+        "assignment pass (centroids are collected model literals — "
+        "map-side, zero shuffle), ONE Exchange on the probed bucket "
+        "id into the per-bucket probers×members kernel, dedup + rank "
+        "window. Total work is n_probe·n·(n/n_centroids) BY "
+        "CONSTRUCTION — the twin that survives isotropic corpora "
+        "where sign-band buckets floor at Σ bucket² ≈ n²."
+    ),
+    "embedding_near_dup_tight": (
+        "Tight-threshold hyperplane near-dup (round 5 per-bucket "
+        "verify): signatures are one Arrow kernel pass; the vector "
+        "rides ONCE per band key into the grouped verify kernel "
+        "(BLAS prefilter at threshold−1e-6, fold-exact recompute), "
+        "replacing the pair-carrying verify join that measured DNF "
+        "at sf10 (pair × 2 × 512 B vector payload shuffle)."
+    ),
+    "contamination_check_capped": (
+        "Train-df-capped decontamination (rounds 5-6): 64-bit "
+        "shingle postings from the pooled Arrow kernel; the eval "
+        "vocabulary and the df-capped 'rare' set are corpus-"
+        "PROPORTIONAL, so neither carries a broadcast HINT — AQE "
+        "broadcasts them at this SF (visible as BroadcastHashJoins "
+        "with isFinalPlan=true) and shuffles them at 100 TB; the "
+        "plan survives broadcasts-disabled (plan-pinned test)."
+    ),
+    "bpe_encode_stats": (
+        "BPE encode (round 5): the learned merge list is a model-"
+        "sized broadcast literal; encoding replays merges inside one "
+        "Arrow kernel pass (vocab-memoized), so the plan is a bare "
+        "kernel stage over the scan plus the final stats aggregate."
     ),
     "repetition_signals": (
         "Gopher repetition signals: the per-document n-gram mode is a "
@@ -311,19 +349,28 @@ COMMENTARY = {
 
 
 def main() -> None:
+    import subprocess
+
     from etl_covid19_spark.queries import REGISTRY
     from etl_covid19_spark.session import get_spark
 
     spark = get_spark("plandump")
     spark.sparkContext.setLogLevel("ERROR")
 
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
     out = [
         "# PLANS — executed physical plans (post-AQE, sf0.01)",
         "",
-        "Generated by `tools/plandump.py`; regenerate after plan-affecting",
-        "changes. These are the *final adaptive* plans (`isFinalPlan=true`),",
-        "i.e. what actually ran, not the pre-AQE sketch. `*(n)` marks",
-        "whole-stage-codegen stages.",
+        f"Generated by `tools/plandump.py` at commit `{commit}`;",
+        "regenerate after plan-affecting changes. These are the *final",
+        "adaptive* plans (`isFinalPlan=true`), i.e. what actually ran,",
+        "not the pre-AQE sketch. `*(n)` marks whole-stage-codegen",
+        "stages.",
         "",
     ]
     for name, note in COMMENTARY.items():
