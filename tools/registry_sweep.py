@@ -140,10 +140,19 @@ def main() -> None:
     ordered = dict(
         sorted(times.items(), key=lambda kv: -kv[1])
     )
+    import subprocess
+
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
     print(
         json.dumps(
             {
                 "sf_dir": sf_dir,
+                "commit": commit,
                 "n_queries": len(REGISTRY),
                 "total_sec": round(sum(times.values()), 2),
                 "failures": failures,
