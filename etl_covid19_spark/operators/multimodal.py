@@ -255,14 +255,77 @@ def image_pixel_stats(df: DataFrame, id_col: str, bin_col: str) -> DataFrame:
 
 
 def frame_sample_plan(df: DataFrame, id_col: str, bin_col: str, every_n: int = 30) -> DataFrame:
-    """STUB plumbing for video frame sampling: emits (doc_id,
-    frame_idx) rows for frames 0, n, 2n… of a fake 300-frame video.
-    Real implementation decodes container metadata for the frame
-    count; the explode-based fan-out shape is what matters here."""
+    """Plumbing-only frame sampling: emits (doc_id, frame_idx) rows
+    for frames 0, n, 2n… of a fake 300-frame video — the
+    explode-based fan-out shape, payload untouched. The REAL
+    container path is `video_frame_stats` (round 6), which reads
+    the AVI header for the true frame count and seeks only the
+    sampled frames."""
     n_frames = F.lit(300)
     idx = F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
     return df.select(
         F.col(id_col).alias("doc_id"), F.explode(idx).alias("frame_idx")
+    )
+
+
+VIDEO_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("fps", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def video_frame_stats(
+    df: DataFrame, id_col: str, bin_col: str, every_n: int = 30
+) -> DataFrame:
+    """REAL video frame sampling (round 6): per sampled frame
+    (0, n, 2n… of the container's TRUE frame count), channel means
+    from actually-decoded pixels. The container tier is the
+    pure-stdlib AVI parser (`media.avi_metadata` / `avi_index` /
+    `decode_avi_frames`); compressed codecs raise to the av/PIL
+    tier. The scale property: decoding seeks straight to the
+    idx1-listed chunks of sampled frames — a 1-in-30 sample touches
+    ~3% of each blob's frame bytes, and channel sums accumulate in
+    int64 so the mean is exact-over-n (oracle-reproducible by
+    integer SQL arithmetic, like `image_pixel_stats`)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload in zip(pdf[id_col], pdf[bin_col]):
+                p = bytes(payload)
+                meta = media.avi_metadata(p)
+                idxs = list(range(0, meta["n_frames"], every_n))
+                frames = media.decode_avi_frames(p, idxs)
+                n_px = meta["width"] * meta["height"]
+                for fi, arr in zip(idxs, frames):
+                    sums = arr.astype(np.int64).sum(axis=(0, 1))
+                    rows.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            meta["width"],
+                            meta["height"],
+                            meta["n_frames"],
+                            meta["fps"],
+                            *(float(s) / n_px for s in sums),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_FRAME_SCHEMA.fields]
+            )
+
+    return fan_out(df.select(id_col, bin_col)).mapInPandas(
+        batches, VIDEO_FRAME_SCHEMA
     )
 
 

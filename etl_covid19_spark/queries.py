@@ -3478,6 +3478,61 @@ def q_media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "media_video_frames",
+    oracle="""
+    WITH px AS (
+      SELECT i.range AS doc_id, f.range AS frame_idx,
+             (i.range*7 + f.range*13 + x.range*3 + y.range*5) % 256 AS r,
+             (i.range*7 + f.range*13 + x.range*3 + y.range*5 + 17) % 256 AS g,
+             (i.range*7 + f.range*13 + x.range*3 + y.range*5 + 34) % 256 AS b
+      FROM range(6) i, range(0, 10, 3) f, range(16) x, range(12) y
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width, CAST(12 AS INT) AS height,
+           CAST(10 AS INT) AS n_frames, CAST(10 AS INT) AS fps,
+           CAST(SUM(r) AS DOUBLE) / 192 AS mean_r,
+           CAST(SUM(g) AS DOUBLE) / 192 AS mean_g,
+           CAST(SUM(b) AS DOUBLE) / 192 AS mean_b
+    FROM px GROUP BY doc_id, frame_idx ORDER BY doc_id, frame_idx
+    """,
+)
+def q_media_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container decode + INDEXED frame sampling,
+    oracle-verified to the pixel (round 6): six 10-frame 16×12
+    uncompressed AVIs (pixel v(i,f,x,y,c) = (i·7 + f·13 + x·3 +
+    y·5 + c·17) mod 256) are encoded driver-side by the pure-stdlib
+    RIFF writer (`media.encode_avi` — bottom-up padded DIB rows,
+    idx1 index), then EXECUTOR-SIDE every 3rd frame is decoded via
+    the idx1 seek table (`video_frame_stats` → `decode_avi_frames`
+    — unsampled frames' bytes are never touched) and reduced to
+    exact int64-sum channel means. The codec is lossless, so the
+    DuckDB oracle re-derives every decoded pixel from the
+    generating formula without seeing a byte. Fixture-sized by
+    design (container correctness, not scale — the sampled-seek
+    cost model is the scale story, blob accounting is
+    blob_stats_arrow)."""
+    import numpy as np
+
+    from etl_covid19_spark.functions import media as M
+    from etl_covid19_spark.operators.multimodal import video_frame_stats
+
+    f = np.arange(10)[:, None, None, None]
+    y = np.arange(12)[None, :, None, None]
+    x = np.arange(16)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    rows = []
+    for i in range(6):
+        fr = ((i * 7 + f * 13 + x * 3 + y * 5 + c * 17) % 256).astype(
+            np.uint8
+        )
+        rows.append((i, bytearray(M.encode_avi(fr, fps=10))))
+    d = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return video_frame_stats(d, "doc_id", "payload", every_n=3).orderBy(
+        "doc_id", "frame_idx"
+    )
+
+
+@register(
     "table_profile",
     oracle="""
     SELECT 'o_custkey' AS column_name,

@@ -228,3 +228,80 @@ def test_jpeg_rejects_non_baseline():
     fake = b"\xff\xd8" + b"\xff\xc2" + b"\x00\x08" + b"\x08\x00\x10\x00\x10\x01"
     with pytest.raises(ValueError):
         media.decode_jpeg(fake)
+
+
+def _formula_video(n=5, h=12, w=15):
+    f = np.arange(n)[:, None, None, None]
+    y = np.arange(h)[None, :, None, None]
+    x = np.arange(w)[None, None, :, None]
+    c = np.arange(3)[None, None, None, :]
+    return ((f * 13 + y * 5 + x * 3 + c * 17) % 256).astype(np.uint8)
+
+
+def test_avi_round_trip_and_metadata():
+    # w=15 exercises the 4-byte DIB row padding (stride 48 != 45)
+    frames = _formula_video()
+    payload = media.encode_avi(frames, fps=10)
+    assert media.is_avi(payload) and not media.is_wav(payload)
+    meta = media.avi_metadata(payload)
+    assert (meta["width"], meta["height"], meta["n_frames"], meta["fps"]) == (
+        15,
+        12,
+        5,
+        10,
+    )
+    assert (media.decode_avi_frames(payload) == frames).all()
+
+
+def test_avi_indexed_sampling_reads_only_wanted_frames():
+    frames = _formula_video(n=9)
+    payload = media.encode_avi(frames, fps=30)
+    table = media.avi_index(payload)
+    assert len(table) == 9
+    sampled = media.decode_avi_frames(payload, [0, 3, 6])
+    assert (sampled == frames[[0, 3, 6]]).all()
+    # the seek table is exact: corrupting an UNSAMPLED frame's bytes
+    # must not change a sampled decode (proof nothing else is read)
+    corrupt = bytearray(payload)
+    off, ln = table[1]
+    corrupt[off : off + ln] = b"\xff" * ln
+    assert (
+        media.decode_avi_frames(bytes(corrupt), [0, 3, 6]) == frames[[0, 3, 6]]
+    ).all()
+
+
+def test_avi_no_idx1_fallback_scans_movi():
+    frames = _formula_video(n=4)
+    payload = media.encode_avi(frames, fps=5)
+    cut = payload.rindex(b"idx1")
+    truncated = payload[:cut]
+    assert (media.decode_avi_frames(truncated, [2]) == frames[[2]]).all()
+
+
+def test_avi_rejects_compressed():
+    frames = _formula_video(n=2)
+    payload = bytearray(media.encode_avi(frames, fps=5))
+    # flip biCompression (strf offset: find the BITMAPINFOHEADER)
+    at = payload.index(b"strf") + 8 + 16
+    payload[at : at + 4] = (1).to_bytes(4, "little")  # BI_RLE8
+    with pytest.raises(ValueError):
+        media.decode_avi_frames(bytes(payload))
+
+
+def test_video_frame_stats_real_decode(spark):
+    from etl_covid19_spark.operators.multimodal import video_frame_stats
+
+    frames = _formula_video(n=7, h=8, w=8)
+    d = spark.createDataFrame(
+        [(1, bytearray(media.encode_avi(frames, fps=10)))],
+        "doc_id long, payload binary",
+    )
+    rows = video_frame_stats(d, "doc_id", "payload", every_n=2).orderBy(
+        "frame_idx"
+    ).collect()
+    assert [r.frame_idx for r in rows] == [0, 2, 4, 6]
+    for r in rows:
+        arr = frames[r.frame_idx].astype(np.int64)
+        assert r.n_frames == 7 and r.fps == 10
+        assert r.mean_r == arr[:, :, 0].sum() / 64.0
+        assert r.mean_b == arr[:, :, 2].sum() / 64.0
