@@ -30,9 +30,13 @@ delete/merge RECOMPUTE against the new current snapshot (their
 read set may be stale), up to a bounded attempt count before
 raising `CommitConflictError`. Aborted attempts leave only
 unreferenced data files (invisible to readers, vacuumable).
-Filesystem scope: local/HDFS-style link/rename atomicity (object
-stores need a conditional PUT or a commit service, same as Delta
-on S3). Manifests carry per-file column [min, max] STATISTICS
+Storage scope (round 6): manifest publication is a pluggable
+`ManifestStore` — link(2) create-exclusive on POSIX/HDFS (default)
+or CONDITIONAL PUT on object stores (S3 `If-None-Match: *` / GCS
+`if-generation-match: 0`), the same two deployments Delta's
+LogStore abstracts; the full multi-writer protocol is raced against
+the object-store contract in tests. Manifests carry per-file column
+[min, max] STATISTICS
 (folded from parquet footers at commit time), so `snapshot_read`
 can prune files against a range predicate WITHOUT opening any
 footer — the manifest-level skipping a real table format does;
@@ -81,18 +85,172 @@ def _manifest_path(path: str, version: int) -> str:
     return os.path.join(_manifest_dir(path), f"v{version}.json")
 
 
+class ManifestStore:
+    """The PUBLICATION primitive the zone's correctness reduces to:
+    `publish(version, body)` must succeed for exactly ONE writer per
+    version, and `read` must return a fully-published body or
+    nothing — never a partial. Everything else in this module
+    (rebase, recompute, pruning, time travel) is pure protocol on
+    top of that one contract, so porting the zone to a new storage
+    system means implementing these four methods and nothing else.
+
+    - `LinkManifestStore` (default): POSIX/HDFS — create-exclusive
+      via link(2).
+    - `ConditionalPutManifestStore`: the OBJECT-STORE contract —
+      conditional PUT (S3 `If-None-Match: *`, GCS
+      `if-generation-match: 0`, Azure `If-None-Match: *`), where
+      the store accepts a complete body atomically under the
+      precondition and there is NO rename primitive at all. The
+      in-memory implementation here models exactly that contract so
+      the full multi-writer protocol is raced against it in tests
+      (`test_snapshot_zone.py`); a production S3/GCS client drops
+      in by implementing the same four methods with one HTTP call
+      each.
+    """
+
+    def publish(self, version: int, body: bytes) -> bool:
+        raise NotImplementedError
+
+    def read(self, version: int) -> bytes | None:
+        raise NotImplementedError
+
+    def versions(self) -> list[int]:
+        raise NotImplementedError
+
+    def delete(self, version: int) -> None:
+        raise NotImplementedError
+
+
+class LinkManifestStore(ManifestStore):
+    """POSIX manifest publication: body is fully written (and
+    fsynced) to a temp name, then `os.link`ed to its version path.
+    link(2) is atomic and fails with EEXIST when the target exists —
+    the property `os.rename` does NOT have on POSIX (rename silently
+    REPLACES, so a check-then-rename is a TOCTOU race in which the
+    second of two racing writers would silently destroy the first's
+    commit)."""
+
+    def __init__(self, manifest_dir: str):
+        self._dir = manifest_dir
+
+    def _key(self, version: int) -> str:
+        return os.path.join(self._dir, f"v{version}.json")
+
+    def publish(self, version: int, body: bytes) -> bool:
+        os.makedirs(self._dir, exist_ok=True)
+        target = self._key(version)
+        tmp = target + f".{uuid.uuid4().hex}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(body)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, target)  # atomic create-exclusive: the CAS
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+        # Durability of the directory entry itself (link visible
+        # after a crash) — same discipline as a WAL segment rename.
+        dfd = os.open(self._dir, os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+        return True
+
+    def read(self, version: int) -> bytes | None:
+        try:
+            with open(self._key(version), "rb") as f:
+                return f.read()
+        except FileNotFoundError:
+            return None
+
+    def versions(self) -> list[int]:
+        return [
+            int(os.path.basename(p)[1:-5])
+            for p in glob.glob(os.path.join(self._dir, "v*.json"))
+        ]
+
+    def delete(self, version: int) -> None:
+        try:
+            os.remove(self._key(version))
+        except FileNotFoundError:
+            pass
+
+
+class ConditionalPutManifestStore(ManifestStore):
+    """Object-store semantics, modeled faithfully: a PUT carries the
+    COMPLETE body plus an if-none-match precondition; the store
+    either accepts the whole object atomically (the winner) or
+    rejects with 412 (every loser) — partial bodies are never
+    observable, and no rename/link primitive exists. The lock below
+    stands in for the store service's internal serialization of
+    conditional writes to one key (what S3/GCS/Azure guarantee
+    server-side); everything ABOVE this class is identical code for
+    POSIX and object-store deployments, which is the point."""
+
+    def __init__(self):
+        import threading
+
+        self._lock = threading.Lock()
+        self._objects: dict[int, bytes] = {}
+        self.put_attempts = 0  # observability for tests
+
+    def publish(self, version: int, body: bytes) -> bool:
+        with self._lock:  # the store's conditional-write serializer
+            self.put_attempts += 1
+            if version in self._objects:
+                return False  # 412 Precondition Failed
+            self._objects[version] = bytes(body)
+            return True
+
+    def read(self, version: int) -> bytes | None:
+        with self._lock:
+            return self._objects.get(version)
+
+    def versions(self) -> list[int]:
+        with self._lock:
+            return list(self._objects)
+
+    def delete(self, version: int) -> None:
+        with self._lock:
+            self._objects.pop(version, None)
+
+
+# Per-zone store override (tests / object-store deployments);
+# default is POSIX link-CAS against the zone's _manifests dir.
+_STORES: dict[str, ManifestStore] = {}
+
+
+def set_manifest_store(path: str, store: ManifestStore | None) -> None:
+    """Install (or with None, remove) a ManifestStore for a zone
+    path. All commit/read/vacuum traffic for that zone then flows
+    through it — the seam an object-store deployment plugs into."""
+    key = os.path.abspath(path)
+    if store is None:
+        _STORES.pop(key, None)
+    else:
+        _STORES[key] = store
+
+
+def manifest_store(path: str) -> ManifestStore:
+    return _STORES.get(os.path.abspath(path)) or LinkManifestStore(
+        _manifest_dir(path)
+    )
+
+
 def current_version(path: str) -> int | None:
     """Latest committed snapshot version, or None for an empty zone."""
-    versions = [
-        int(os.path.basename(p)[1:-5])
-        for p in glob.glob(os.path.join(_manifest_dir(path), "v*.json"))
-    ]
+    versions = manifest_store(path).versions()
     return max(versions) if versions else None
 
 
 def _read_manifest(path: str, version: int) -> dict:
-    with open(_manifest_path(path, version)) as f:
-        return json.load(f)
+    body = manifest_store(path).read(version)
+    if body is None:
+        raise FileNotFoundError(_manifest_path(path, version))
+    return json.loads(body)
 
 
 def _commit(
@@ -102,20 +260,16 @@ def _commit(
     parent: int | None,
     meta: dict | None = None,
 ) -> int:
-    """Make a snapshot visible with a true COMPARE-AND-SWAP: the
-    manifest is fully written (and fsynced) to a temp name, then
-    `os.link`ed to its version path. link(2) is atomic and fails
-    with EEXIST when the target exists — the property `os.rename`
-    does NOT have on POSIX (rename silently REPLACES, so a
-    check-then-rename is a TOCTOU race in which the second of two
-    racing writers would silently destroy the first's commit).
-    Exactly one writer per version can ever win; losers see
-    `CommitConflictError` and decide rebase/recompute upstream.
-    Data files are never shared between in-flight commits, so a
-    losing attempt leaves only invisible, vacuumable orphans."""
+    """Make a snapshot visible with a true COMPARE-AND-SWAP through
+    the zone's `ManifestStore` publication primitive — link(2)
+    create-exclusive on POSIX, conditional PUT on object stores
+    (see the store classes for why rename-based publication would
+    be a TOCTOU race). Exactly one writer per version can ever win;
+    losers see `CommitConflictError` and decide rebase/recompute
+    upstream. Data files are never shared between in-flight
+    commits, so a losing attempt leaves only invisible, vacuumable
+    orphans."""
     version = (parent + 1) if parent is not None else 0
-    os.makedirs(_manifest_dir(path), exist_ok=True)
-    target = _manifest_path(path, version)
     manifest = {
         "version": version,
         "parent": parent,
@@ -124,26 +278,11 @@ def _commit(
         "committed_at": time.time(),
         **(meta or {}),
     }
-    tmp = target + f".{uuid.uuid4().hex}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-        f.flush()
-        os.fsync(f.fileno())
-    try:
-        os.link(tmp, target)  # atomic create-exclusive: the CAS
-    except FileExistsError:
+    body = json.dumps(manifest).encode()
+    if not manifest_store(path).publish(version, body):
         raise CommitConflictError(
             f"snapshot conflict: v{version} already committed"
-        ) from None
-    finally:
-        os.unlink(tmp)
-    # Durability of the directory entry itself (link visible after a
-    # crash) — same discipline as a WAL segment rename.
-    dfd = os.open(_manifest_dir(path), os.O_RDONLY)
-    try:
-        os.fsync(dfd)
-    finally:
-        os.close(dfd)
+        )
     return version
 
 
@@ -562,9 +701,10 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         if rel not in live:
             os.remove(p)
             deleted.append(rel)
-    for mp in glob.glob(os.path.join(_manifest_dir(path), "v*.json")):
-        if int(os.path.basename(mp)[1:-5]) not in keep:
-            os.remove(mp)
+    store = manifest_store(path)
+    for v in store.versions():
+        if v not in keep:
+            store.delete(v)
     return deleted
 
 

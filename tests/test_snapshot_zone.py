@@ -436,3 +436,113 @@ def test_merge_first_commit_race_preserves_winner_rows(spark, tmp_path):
     assert state["fired"] == 1
     rows = {r.id: r.val for r in sz.snapshot_read(spark, path).collect()}
     assert rows == {7: 777, 8: 888, 100: 100}
+
+
+def test_conditional_put_store_models_object_store_contract():
+    """The object-store publication primitive in isolation: exactly
+    one of N concurrent conditional PUTs per key wins, losers get
+    the 412 path, and a read returns a complete body or None —
+    never a partial."""
+    import threading
+
+    store = sz.ConditionalPutManifestStore()
+    wins = []
+    barrier = threading.Barrier(8)
+
+    def putter(i):
+        barrier.wait(timeout=30)
+        if store.publish(5, f"body-{i}".encode()):
+            wins.append(i)
+
+    threads = [threading.Thread(target=putter, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert len(wins) == 1, "conditional PUT accepted more than one writer"
+    assert store.read(5) == f"body-{wins[0]}".encode()
+    assert store.read(4) is None
+    assert store.versions() == [5]
+    store.delete(5)
+    assert store.read(5) is None
+
+
+def test_full_protocol_races_clean_on_conditional_put(spark, tmp_path):
+    """The SAME multi-writer protocol (CAS + rebase/recompute), zero
+    code changes, driven against the object-store store instead of
+    link(2): 5 racing appenders + a racing delete all land, the
+    parent chain is unbroken, and no manifest file ever appears on
+    the local filesystem (proof the zone used conditional PUT, not
+    rename/link)."""
+    import threading
+
+    path = str(tmp_path / "objstore")
+    store = sz.ConditionalPutManifestStore()
+    sz.set_manifest_store(path, store)
+    try:
+        sz.snapshot_write(
+            spark.range(20).selectExpr("id", "id AS k"), path,
+            mode="overwrite",
+        )
+        errs = []
+        barrier = threading.Barrier(6)
+
+        def appender(i):
+            try:
+                barrier.wait(timeout=30)
+                df = spark.range(100 * (i + 1), 100 * (i + 1) + 10).selectExpr(
+                    "id", "id AS k"
+                )
+                sz.snapshot_write(df, path, mode="append")
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        def deleter():
+            try:
+                barrier.wait(timeout=30)
+                sz.snapshot_delete_where(
+                    spark, path, F.expr("id >= 15 AND id < 20")
+                )
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [
+            threading.Thread(target=appender, args=(i,)) for i in range(5)
+        ] + [threading.Thread(target=deleter)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errs, errs
+        assert sz.current_version(path) == 6
+        for v in range(1, 7):
+            assert sz._read_manifest(path, v)["parent"] == v - 1
+        got = {r.id for r in sz.snapshot_read(spark, path).select("id").collect()}
+        expect = set(range(15))
+        for i in range(5):
+            expect |= set(range(100 * (i + 1), 100 * (i + 1) + 10))
+        assert got == expect
+        assert store.put_attempts > 7, "losers retried through the store"
+        assert not glob.glob(
+            os.path.join(path, "_manifests", "*")
+        ), "no manifest touched the filesystem — publication was PUT-only"
+        # time travel still works against the object store
+        assert {r.id for r in sz.snapshot_read(spark, path, version=0).collect()} == set(range(20))
+    finally:
+        sz.set_manifest_store(path, None)
+
+
+def test_vacuum_routes_through_manifest_store(spark, tmp_path):
+    path = str(tmp_path / "objvac")
+    store = sz.ConditionalPutManifestStore()
+    sz.set_manifest_store(path, store)
+    try:
+        sz.snapshot_write(spark.range(5).selectExpr("id", "id AS k"), path, mode="overwrite")
+        sz.snapshot_write(spark.range(5, 9).selectExpr("id", "id AS k"), path, mode="append")
+        sz.snapshot_write(spark.range(9, 12).selectExpr("id", "id AS k"), path, mode="append")
+        sz.vacuum(path, keep_versions=1)
+        assert store.versions() == [2], "old manifests deleted via the store"
+        got = {r.id for r in sz.snapshot_read(spark, path).select("id").collect()}
+        assert got == set(range(12))
+    finally:
+        sz.set_manifest_store(path, None)
