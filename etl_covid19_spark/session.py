@@ -31,12 +31,22 @@ _BASE_CONF: dict[str, str] = {
     # sets, df-capped vocabularies, filtered linear dims) carry NO
     # F.broadcast hints anywhere in the engine — a forced broadcast
     # of a set that grows with the corpus is a driver OOM at 100 TB.
-    # Instead AQE decides from measured sizes, with a roomier
-    # threshold than the 10m default: 64m is ~0.05% of a real
-    # executor heap and keeps the measured-fast broadcast plans at
-    # bench SFs (sf10 candidate sets are 20-30 MB) while anything
-    # genuinely large degrades to a shuffle join instead of an OOM.
-    "spark.sql.autoBroadcastJoinThreshold": "64m",
+    # The two thresholds below split the decision by EVIDENCE
+    # quality. The static planner works from size ESTIMATES (file
+    # size × pruned-column ratio), which mis-rate corpus tables: a
+    # one-column projection of sf10 orders estimates under a 64m
+    # bar, and the session-1 uniform 64m made the static planner
+    # broadcast 15M-row corpus sides (measured 5× regressions on
+    # except_customers / tfidf_top_terms). So the estimate-driven
+    # static threshold stays at Spark's conservative 10m default,
+    # while AQE — which re-plans from the MEASURED size of a
+    # completed shuffle stage — gets the roomier 64m (~0.05% of a
+    # real executor heap): the de-hinted 20-30 MB candidate sets
+    # still convert to broadcast at bench SFs from real sizes, and
+    # anything genuinely large stays a shuffle join instead of an
+    # OOM.
+    "spark.sql.autoBroadcastJoinThreshold": "10m",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "64m",
     # Nested-field pruning so `select('payload.data.confirmed')`
     # reads one parquet leaf column, not the whole struct.
     "spark.sql.optimizer.nestedSchemaPruning.enabled": "true",
