@@ -182,7 +182,9 @@ def test_survives_without_broadcast(no_broadcast, name):
         for node in FORBIDDEN:
             assert node not in plan, f"{name}: {node} without broadcast"
     no_bc_rows = {tuple(r) for r in df.collect()}
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64m")
+    # back to the session defaults (split thresholds: 10m static
+    # estimate-driven, 64m AQE measured) for the comparison plan
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     default_rows = {
         tuple(r) for r in REGISTRY[name].fn(spark, SF).collect()
     }
