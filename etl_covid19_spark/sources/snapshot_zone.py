@@ -1,6 +1,10 @@
 """Snapshot-manifest zones: a minimal table-format layer over
-parquet giving ATOMIC multi-file commits, TIME-TRAVEL reads, and
-FILE-level DELETE/MERGE granularity.
+parquet giving ATOMIC multi-file commits, TIME-TRAVEL reads,
+FILE-level DELETE/MERGE granularity, and ROW-level deletes via
+DELETION VECTORS (`snapshot_delete_where(strategy="dv")`:
+metadata-only deletes applied as a distributed
+`_metadata.row_index` anti-join at read, folded back into plain
+files by `snapshot_compact`).
 
 `parquet_zone` mutations (delete_where/merge_upsert) are atomic per
 PARTITION — the strongest guarantee a bare directory listing can
@@ -60,6 +64,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _FILE = "__sz_file"
+_POS = "__sz_rowpos"
 
 # Bounded optimistic retries before a writer gives up. Each retry is
 # preceded by a short jittered backoff so two lockstep writers break
@@ -372,22 +377,58 @@ def snapshot_write(df: DataFrame, path: str, mode: str = "append") -> int:
         parent = current_version(path)
         base: list[str] = []
         stats = dict(new_stats)
+        dvs: list[str] = []
         if mode == "append" and parent is not None:
             pm = _read_manifest(path, parent)
             base = pm["files"]
             stats.update(_carried_stats(pm, base))
+            # deletion vectors carry with the files they mask —
+            # appended files have no DV entries by construction
+            dvs = pm.get("dvs", [])
         if _before_commit_hook is not None:
             _before_commit_hook()
         try:
             return _commit(
                 path, base + new_files, mode, parent,
-                meta={"stats": stats},
+                meta={"stats": stats, "dvs": dvs},
             )
         except CommitConflictError:
             _backoff(attempt)
     raise CommitConflictError(
         f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
     )
+
+
+_DV_FNAME = "__sz_dv_fname"
+_DV_POS = "__sz_dv_pos"
+
+
+def _apply_dvs(
+    spark: SparkSession, path: str, df: DataFrame, dvs: list[str]
+) -> DataFrame:
+    """Subtract deletion-vector rows from a raw file-list read: an
+    ANTI-join on (file basename, in-file row position) against the
+    union of the manifest's DV sidecars. Positions come from the
+    scan's own `_metadata.row_index` (stable for immutable parquet),
+    file identity from the basename (unique by construction — every
+    part file name embeds a task UUID and files are never rewritten
+    in place, so a DV entry can never alias a different file). The
+    join is DISTRIBUTED — DV sidecars are parquet, so a
+    billion-row deletion vector is a shuffle, never driver state.
+    Entries for files outside the read set (pruned, or rewritten
+    away by a later compaction) anti-match nothing — harmless by
+    construction."""
+    dv = spark.read.parquet(*[os.path.join(path, d) for d in dvs])
+    keyed = df.withColumn(
+        _DV_FNAME,
+        F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1),
+    ).withColumn(_DV_POS, F.col("_metadata.row_index"))
+    return keyed.join(
+        dv,
+        (keyed[_DV_FNAME] == dv["file_name"])
+        & (keyed[_DV_POS] == dv["pos"]),
+        "left_anti",
+    ).drop(_DV_FNAME, _DV_POS)
 
 
 def snapshot_read(
@@ -398,7 +439,10 @@ def snapshot_read(
 ) -> DataFrame:
     """Read one snapshot (latest by default). Readers never list the
     data directory, so in-flight/crashed writers and unvacuumed old
-    files are invisible by construction.
+    files are invisible by construction. If the manifest carries
+    DELETION VECTORS (metadata-only deletes — see
+    `snapshot_delete_where(strategy="dv")`), their rows are
+    subtracted here via a distributed position anti-join.
 
     ``prune`` = {column: (lo, hi)} skips every data file whose
     manifest [min, max] cannot overlap the range (None bound =
@@ -425,7 +469,11 @@ def snapshot_read(
                 os.path.join(path, manifest["files"][0])
             )
             return full.limit(0)
-    return spark.read.parquet(*[os.path.join(path, f) for f in files])
+    df = spark.read.parquet(*[os.path.join(path, f) for f in files])
+    dvs = manifest.get("dvs", [])
+    if dvs:
+        df = _apply_dvs(spark, path, df, dvs)
+    return df
 
 
 def _overlaps(file_stats: dict, prune: dict) -> bool:
@@ -464,36 +512,90 @@ def snapshot_diff(path: str, v_from: int, v_to: int) -> dict:
     }
 
 
-def snapshot_delete_where(
-    spark: SparkSession, path: str, predicate: F.Column
-) -> int:
-    """Row-level DELETE with FILE granularity: only data files that
-    contain matching rows are rewritten (survivors copied into the
-    new commit); every other file is carried into the new manifest
-    by reference — zero data movement for untouched files, and the
-    pre-delete snapshot remains readable.
+def _read_with_file(
+    spark: SparkSession, path: str, manifest: dict, with_pos: bool = False
+) -> DataFrame:
+    """One snapshot's LIVE rows (deletion vectors applied) with a
+    `_FILE` column naming each row's data file (and, with
+    ``with_pos``, a `_POS` in-file row position). Both are captured
+    from `_metadata` ON THE SCAN, before the DV anti-join —
+    metadata columns don't resolve through a join, and
+    `input_file_name()` after one is undefined (it reports
+    whichever scan the task happens to be executing, i.e. the DV
+    sidecar) — which is why mutation paths must use this helper
+    instead of `snapshot_read().withColumn(input_file_name)`."""
+    df = spark.read.parquet(
+        *[os.path.join(path, f) for f in manifest["files"]]
+    ).withColumn(_FILE, F.col("_metadata.file_path"))
+    if with_pos:
+        df = df.withColumn(_POS, F.col("_metadata.row_index"))
+    dvs = manifest.get("dvs", [])
+    if dvs:
+        df = _apply_dvs(spark, path, df, dvs)
+    return df
 
-    Multi-writer safe by RECOMPUTE: unlike append, a delete's read
-    set (which files contain matching rows) goes stale the moment a
-    competing commit lands — a rebase could resurrect deleted rows
-    (winner re-adds a file we already rewrote) or miss new matches.
-    So a CAS loss re-runs the whole read+rewrite against the
-    winner's snapshot; the stale attempt's files become invisible
+
+def _write_dv_files(matched: DataFrame, path: str) -> str:
+    """Write one immutable deletion-vector sidecar (parquet,
+    columns `file_name` string / `pos` long) into a fresh
+    per-commit directory; returns its zone-relative path. A
+    production format would pack positions as roaring bitmaps; the
+    parquet encoding keeps the same asymptotics (sorted ints RLE
+    well) while staying readable by any engine."""
+    dv_id = uuid.uuid4().hex
+    dv_dir = os.path.join(path, "dv", dv_id)
+    matched.select("file_name", "pos").write.parquet(dv_dir)
+    return os.path.join("dv", dv_id)
+
+
+def snapshot_delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: F.Column,
+    strategy: str = "rewrite",
+) -> int:
+    """Row-level DELETE at two granularities.
+
+    ``strategy="rewrite"`` (default): FILE granularity — only data
+    files that contain matching rows are rewritten (survivors
+    copied into the new commit); every other file is carried into
+    the new manifest by reference — zero data movement for
+    untouched files, and the pre-delete snapshot remains readable.
+
+    ``strategy="dv"``: DELETION VECTORS — the delete writes ONLY a
+    (file_name, row_position) sidecar and a new manifest; no data
+    file is rewritten at all. This is the modern Delta/Iceberg
+    answer to deletes at scale: removing 0.1% of rows from a 100 TB
+    zone moves kilobytes of metadata instead of rewriting terabytes
+    of survivors. Readers subtract DV rows with a distributed
+    anti-join on the scan's own `_metadata.row_index` (see
+    `_apply_dvs`); DVs accumulate per commit and are folded back
+    into plain files by `snapshot_compact` when read amplification
+    warrants it.
+
+    Multi-writer safe by RECOMPUTE under both strategies: a
+    delete's read set goes stale the moment a competing commit
+    lands — a rebase could resurrect deleted rows (winner re-adds a
+    file we already rewrote) or miss new matches. So a CAS loss
+    re-runs the whole read (+rewrite) against the winner's
+    snapshot; the stale attempt's files/sidecars become invisible
     orphans. Returns rows deleted."""
+    if strategy not in ("rewrite", "dv"):
+        raise ValueError("strategy must be rewrite|dv")
+    if strategy == "dv":
+        return _delete_where_dv(spark, path, predicate)
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         parent = current_version(path)
         if parent is None:
             return 0
-        cur = snapshot_read(spark, path, parent).withColumn(
-            _FILE, F.input_file_name()
-        )
+        manifest = _read_manifest(path, parent)
+        cur = _read_with_file(spark, path, manifest)
         affected = [
             r[0]
             for r in cur.filter(predicate).select(_FILE).distinct().collect()
         ]
         if not affected:
             return 0
-        manifest = _read_manifest(path, parent)
         # input_file_name yields URIs; match manifest entries by basename
         # (unique by construction: every file name embeds a task UUID)
         affected_names = {os.path.basename(a) for a in affected}
@@ -520,7 +622,10 @@ def snapshot_delete_where(
         try:
             _commit(
                 path, untouched + new_files, "delete", parent,
-                meta={"stats": stats},
+                # DV entries for rewritten files are inert (their
+                # file names left the manifest); untouched files
+                # keep their masks
+                meta={"stats": stats, "dvs": manifest.get("dvs", [])},
             )
             return n_deleted
         except CommitConflictError:
@@ -565,9 +670,8 @@ def snapshot_merge_upsert(
             except CommitConflictError:
                 _backoff(attempt)
                 continue
-        cur = snapshot_read(spark, path, parent).withColumn(
-            _FILE, F.input_file_name()
-        )
+        manifest = _read_manifest(path, parent)
+        cur = _read_with_file(spark, path, manifest)
         key_df = updates.select(*keys)
         affected = [
             r[0]
@@ -576,7 +680,6 @@ def snapshot_merge_upsert(
             .distinct()
             .collect()
         ]
-        manifest = _read_manifest(path, parent)
         affected_names = {os.path.basename(a) for a in affected}
         untouched = [
             f
@@ -602,7 +705,112 @@ def snapshot_merge_upsert(
         try:
             return _commit(
                 path, untouched + new_files, "merge", parent,
-                meta={"stats": stats},
+                # same carry rule as delete: untouched files keep
+                # their DV masks, rewritten files' entries go inert
+                meta={"stats": stats, "dvs": manifest.get("dvs", [])},
+            )
+        except CommitConflictError:
+            _backoff(attempt)
+    raise CommitConflictError(
+        f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
+    )
+
+
+def _delete_where_dv(
+    spark: SparkSession, path: str, predicate: F.Column
+) -> int:
+    """DELETE as pure metadata (see `snapshot_delete_where`
+    strategy="dv"): matching LIVE rows' (file, position) pairs are
+    written as one immutable parquet sidecar; the new manifest
+    carries the same data files plus the extra vector. Nothing is
+    rewritten — cost is O(|matches|) rows of metadata regardless of
+    zone size. RECOMPUTE on CAS loss, same as the rewrite strategy
+    (a competing commit changes which rows are live)."""
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        parent = current_version(path)
+        if parent is None:
+            return 0
+        manifest = _read_manifest(path, parent)
+        live = _read_with_file(spark, path, manifest, with_pos=True)
+        matched = (
+            live.filter(predicate)
+            .select(
+                F.element_at(F.split(F.col(_FILE), "/"), -1).alias(
+                    "file_name"
+                ),
+                F.col(_POS).alias("pos"),
+            )
+            .persist()
+        )
+        try:
+            n_deleted = matched.count()
+            if n_deleted == 0:
+                return 0
+            dv_rel = _write_dv_files(matched, path)
+        finally:
+            matched.unpersist(blocking=False)
+        if _before_commit_hook is not None:
+            _before_commit_hook()
+        try:
+            _commit(
+                path, manifest["files"], "delete-dv", parent,
+                meta={
+                    "stats": manifest.get("stats", {}),
+                    "dvs": manifest.get("dvs", []) + [dv_rel],
+                },
+            )
+            return n_deleted
+        except CommitConflictError:
+            _backoff(attempt)
+    raise CommitConflictError(
+        f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
+    )
+
+
+def snapshot_compact(spark: SparkSession, path: str) -> int | None:
+    """Fold accumulated deletion vectors back into plain data files:
+    every DV-MASKED file is rewritten without its deleted rows, the
+    new manifest carries no vectors, and reads go back to bare
+    scans (no anti-join read amplification). Files without DV
+    entries carry by reference — compaction cost is proportional to
+    the masked data, not the zone. No-op (returns None) when the
+    current snapshot has no vectors; otherwise returns the new
+    version. RECOMPUTE on CAS loss."""
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        parent = current_version(path)
+        if parent is None:
+            return None
+        manifest = _read_manifest(path, parent)
+        dvs = manifest.get("dvs", [])
+        if not dvs:
+            return None
+        dv = spark.read.parquet(*[os.path.join(path, d) for d in dvs])
+        masked_names = {r[0] for r in dv.select("file_name").distinct().collect()}
+        untouched = [
+            f
+            for f in manifest["files"]
+            if os.path.basename(f) not in masked_names
+        ]
+        masked = [
+            f
+            for f in manifest["files"]
+            if os.path.basename(f) in masked_names
+        ]
+        new_files: list[str] = []
+        if masked:
+            live = _read_with_file(
+                spark, path, {"files": masked, "dvs": dvs}
+            ).drop(_FILE)
+            if live.limit(1).count():
+                new_files = _write_data_files(live, path)
+        if _before_commit_hook is not None:
+            _before_commit_hook()
+        stats = _carried_stats(manifest, untouched)
+        stats.update(_collect_stats(path, new_files))
+        try:
+            return _commit(
+                path, untouched + new_files, "compact", parent,
+                meta={"stats": stats, "dvs": []},
             )
         except CommitConflictError:
             _backoff(attempt)
@@ -658,10 +866,12 @@ def streaming_snapshot_sink(path: str):
             if last is not None and batch_id <= last:
                 return
             parent = current_version(path)
+            dvs: list[str] = []
             if parent is not None:
                 pm = _read_manifest(path, parent)
                 base = pm["files"]
                 stats = {**_carried_stats(pm, base), **new_stats}
+                dvs = pm.get("dvs", [])  # appends carry DV masks
             else:
                 base, stats = [], dict(new_stats)
             try:
@@ -670,7 +880,7 @@ def streaming_snapshot_sink(path: str):
                     base + new_files,
                     "stream-append",
                     parent,
-                    meta={"epoch": batch_id, "stats": stats},
+                    meta={"epoch": batch_id, "stats": stats, "dvs": dvs},
                 )
                 return
             except CommitConflictError:
@@ -693,13 +903,25 @@ def vacuum(path: str, keep_versions: int = 1) -> list[str]:
         return []
     keep = range(max(0, latest - keep_versions + 1), latest + 1)
     live: set[str] = set()
+    live_dvs: set[str] = set()
     for v in keep:
-        live.update(_read_manifest(path, v)["files"])
+        m = _read_manifest(path, v)
+        live.update(m["files"])
+        live_dvs.update(m.get("dvs", []))
     deleted = []
     for p in glob.glob(os.path.join(path, "data", "*", "*.parquet")):
         rel = os.path.relpath(p, path)
         if rel not in live:
             os.remove(p)
+            deleted.append(rel)
+    # deletion-vector sidecars referenced by no surviving manifest
+    # (superseded by later vectors, compaction, or dropped versions)
+    import shutil
+
+    for d in glob.glob(os.path.join(path, "dv", "*")):
+        rel = os.path.relpath(d, path)
+        if rel not in live_dvs:
+            shutil.rmtree(d, ignore_errors=True)
             deleted.append(rel)
     store = manifest_store(path)
     for v in store.versions():

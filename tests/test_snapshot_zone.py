@@ -546,3 +546,144 @@ def test_vacuum_routes_through_manifest_store(spark, tmp_path):
         assert got == set(range(12))
     finally:
         sz.set_manifest_store(path, None)
+
+
+def _zone(spark, tmp_path, name="dvz", n=100):
+    path = str(tmp_path / name)
+    sz.snapshot_write(
+        spark.range(n).selectExpr("id", "id % 7 AS k"), path,
+        mode="overwrite",
+    )
+    return path
+
+
+def test_dv_delete_is_metadata_only(spark, tmp_path):
+    """strategy='dv' must not touch a single data file: same file
+    list in the manifest, same bytes on disk — the delete is one
+    parquet sidecar plus a manifest."""
+    path = _zone(spark, tmp_path)
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, "data", "*", "*.parquet"))
+    }
+    n = sz.snapshot_delete_where(
+        spark, path, F.col("k") == 3, strategy="dv"
+    )
+    assert n == 14  # ids 3,10,17,...,94
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(path, "data", "*", "*.parquet"))
+    }
+    assert before == after, "a data file changed under a dv delete"
+    m0, m1 = sz._read_manifest(path, 0), sz._read_manifest(path, 1)
+    assert m1["files"] == m0["files"]
+    assert m1["op"] == "delete-dv" and len(m1["dvs"]) == 1
+    got = {r.id for r in sz.snapshot_read(spark, path).collect()}
+    assert got == {i for i in range(100) if i % 7 != 3}
+
+
+def test_dv_stacking_time_travel_and_prune(spark, tmp_path):
+    path = _zone(spark, tmp_path)
+    sz.snapshot_delete_where(spark, path, F.col("k") == 3, strategy="dv")
+    n2 = sz.snapshot_delete_where(
+        spark, path, F.col("id") < 10, strategy="dv"
+    )
+    assert n2 == 9, "rows already dv-deleted must not re-count"
+    assert len(sz._read_manifest(path, 2)["dvs"]) == 2
+    got = {r.id for r in sz.snapshot_read(spark, path).collect()}
+    assert got == {i for i in range(10, 100) if i % 7 != 3}
+    # each version sees exactly its own vectors
+    v1 = {r.id for r in sz.snapshot_read(spark, path, version=1).collect()}
+    assert v1 == {i for i in range(100) if i % 7 != 3}
+    v0 = {r.id for r in sz.snapshot_read(spark, path, version=0).collect()}
+    assert v0 == set(range(100))
+    # manifest-level pruning composes with the dv anti-join
+    pruned = sz.snapshot_read(spark, path, prune={"id": (50, None)})
+    assert {r.id for r in pruned.filter("id >= 50").collect()} == {
+        i for i in range(50, 100) if i % 7 != 3
+    }
+
+
+def test_dv_carry_through_append_and_merge(spark, tmp_path):
+    path = _zone(spark, tmp_path)
+    sz.snapshot_delete_where(spark, path, F.col("k") == 3, strategy="dv")
+    sz.snapshot_write(
+        spark.range(1000, 1010).selectExpr("id", "id % 7 AS k"),
+        path,
+        mode="append",
+    )
+    got = {r.id for r in sz.snapshot_read(spark, path).collect()}
+    assert got == {i for i in range(100) if i % 7 != 3} | set(
+        range(1000, 1010)
+    ), "append dropped the deletion vectors"
+    # merge on a dv-masked zone: updates replace, dv'd rows stay dead
+    upd = spark.createDataFrame(
+        [(5, 500), (3, 300)], "id long, k long"
+    )
+    sz.snapshot_merge_upsert(spark, path, upd, keys=["id"])
+    rows = {r.id: r.k for r in sz.snapshot_read(spark, path).collect()}
+    assert rows[5] == 500 and rows[3] == 300  # upsert re-inserts id=3
+    assert 10 not in rows or rows[10] != None  # sanity
+    assert {i for i in range(100) if i % 7 == 3 and i != 3}.isdisjoint(
+        rows
+    ), "merge resurrected dv-deleted rows"
+
+
+def test_dv_compact_folds_vectors_and_vacuum_reclaims(spark, tmp_path):
+    path = _zone(spark, tmp_path)
+    sz.snapshot_delete_where(spark, path, F.col("k") == 3, strategy="dv")
+    sz.snapshot_delete_where(
+        spark, path, F.col("id") < 10, strategy="dv"
+    )
+    live_before = {
+        r.id for r in sz.snapshot_read(spark, path).collect()
+    }
+    v = sz.snapshot_compact(spark, path)
+    m = sz._read_manifest(path, v)
+    assert m["dvs"] == [] and m["op"] == "compact"
+    assert {
+        r.id for r in sz.snapshot_read(spark, path).collect()
+    } == live_before
+    assert sz.snapshot_compact(spark, path) is None, "no-op without dvs"
+    deleted = sz.vacuum(path, keep_versions=1)
+    assert not glob.glob(os.path.join(path, "dv", "*")), (
+        "orphaned dv sidecars survived vacuum: " + str(deleted)
+    )
+    assert {
+        r.id for r in sz.snapshot_read(spark, path).collect()
+    } == live_before
+
+
+def test_dv_delete_races_append_via_recompute(spark, tmp_path):
+    """A competing append lands between the dv computation and its
+    CAS; the dv delete must recompute against the winner so the
+    final table has the appended rows and none of the matched
+    ones."""
+    path = _zone(spark, tmp_path)
+    fired = {"done": False}
+
+    def compete():
+        if not fired["done"]:
+            fired["done"] = True
+            sz.snapshot_write(
+                spark.range(200, 205).selectExpr("id", "id % 7 AS k"),
+                path,
+                mode="append",
+            )
+
+    sz._before_commit_hook = compete
+    try:
+        n = sz.snapshot_delete_where(
+            spark, path, F.col("k") == 3, strategy="dv"
+        )
+    finally:
+        sz._before_commit_hook = None
+    got = {r.id for r in sz.snapshot_read(spark, path).collect()}
+    expect = {i for i in range(100) if i % 7 != 3} | {
+        i for i in range(200, 205) if i % 7 != 3
+    }
+    assert got == expect
+    assert n == len(
+        {i for i in range(100) if i % 7 == 3}
+        | {i for i in range(200, 205) if i % 7 == 3}
+    )
