@@ -687,3 +687,43 @@ def test_dv_delete_races_append_via_recompute(spark, tmp_path):
         {i for i in range(100) if i % 7 == 3}
         | {i for i in range(200, 205) if i % 7 == 3}
     )
+
+
+@pytest.mark.parametrize(
+    "pred_sql",
+    [
+        "k = 3",
+        "id % 11 < 4",
+        "id >= 37 AND id < 71",
+        "k IN (1, 4) OR id = 99",
+    ],
+)
+def test_dv_delete_equals_rewrite_delete(spark, tmp_path, pred_sql):
+    """DIFFERENTIAL: for the same predicate, strategy='dv' and
+    strategy='rewrite' must report the same deleted count and leave
+    byte-identical surviving tables — the two granularities are
+    implementations of one semantics."""
+    rows = spark.range(120).selectExpr("id", "id % 7 AS k")
+    pa, pb = str(tmp_path / "dv_side"), str(tmp_path / "rw_side")
+    for p in (pa, pb):
+        sz.snapshot_write(rows.repartition(6), p, mode="overwrite")
+    n_dv = sz.snapshot_delete_where(
+        spark, pa, F.expr(pred_sql), strategy="dv"
+    )
+    n_rw = sz.snapshot_delete_where(
+        spark, pb, F.expr(pred_sql), strategy="rewrite"
+    )
+    assert n_dv == n_rw
+    got_dv = sorted(
+        tuple(r) for r in sz.snapshot_read(spark, pa).collect()
+    )
+    got_rw = sorted(
+        tuple(r) for r in sz.snapshot_read(spark, pb).collect()
+    )
+    assert got_dv == got_rw
+    # and compaction of the dv side changes nothing visible
+    sz.snapshot_compact(spark, pa)
+    assert (
+        sorted(tuple(r) for r in sz.snapshot_read(spark, pa).collect())
+        == got_rw
+    )
