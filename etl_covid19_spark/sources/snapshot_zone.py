@@ -940,10 +940,13 @@ def snapshot_added_rows(
     ``since_version`` — the cheap path a downstream job uses to
     process only what's new since its last run (file-level change
     data feed). Exact for append-only history; after a delete/merge
-    the added files also contain REWRITTEN survivors (standard
-    file-level CDF caveat — use `snapshot_row_diff` when row-exact
-    deltas across mutations are required). Returns an empty frame
-    with the table schema when nothing was added."""
+    the added files also contain REWRITTEN survivors, and a
+    deletion-vector delete adds NO files at all so its removals are
+    invisible here (both standard file-level CDF caveats — use
+    `snapshot_row_diff`, which reads through `snapshot_read` and is
+    therefore DV-aware, when row-exact deltas across mutations are
+    required). Returns an empty frame with the table schema when
+    nothing was added."""
     v_to = current_version(path) if to_version is None else to_version
     if v_to is None:
         raise FileNotFoundError(f"no snapshots at {path}")

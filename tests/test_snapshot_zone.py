@@ -727,3 +727,16 @@ def test_dv_delete_equals_rewrite_delete(spark, tmp_path, pred_sql):
         sorted(tuple(r) for r in sz.snapshot_read(spark, pa).collect())
         == got_rw
     )
+
+
+def test_row_diff_sees_dv_deletes(spark, tmp_path):
+    """snapshot_row_diff reads through snapshot_read, so a
+    metadata-only dv delete surfaces as '-' rows even though no
+    data file changed."""
+    path = _zone(spark, tmp_path, name="dvdiff", n=30)
+    sz.snapshot_delete_where(spark, path, F.col("k") == 2, strategy="dv")
+    d = sz.snapshot_row_diff(spark, path, 0, 1)
+    changes = {(r.id, r._change) for r in d.collect()}
+    assert changes == {
+        (i, "-") for i in range(30) if i % 7 == 2
+    }, "dv delete must appear as removals and nothing else"
