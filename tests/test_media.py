@@ -305,3 +305,23 @@ def test_video_frame_stats_real_decode(spark):
         assert r.n_frames == 7 and r.fps == 10
         assert r.mean_r == arr[:, :, 0].sum() / 64.0
         assert r.mean_b == arr[:, :, 2].sum() / 64.0
+
+
+def test_avi_malformed_inputs_raise_cleanly():
+    """Truncated/corrupt containers must raise ValueError/IndexError
+    promptly — never hang or return garbage frames."""
+    frames = _formula_video(n=3)
+    payload = media.encode_avi(frames, fps=5)
+    with pytest.raises(ValueError):
+        media.avi_metadata(b"RIFF\x00\x00\x00\x00AVI ")  # headerless
+    with pytest.raises(ValueError):
+        media.avi_metadata(payload[:8])  # not even a RIFF body
+    # truncation inside the movi payload: the indexed frame slice is
+    # short -> numpy reshape fails loudly
+    table = media.avi_index(payload)
+    off, ln = table[2]
+    with pytest.raises(ValueError):
+        media.decode_avi_frames(payload[: off + ln // 2], [2])
+    # index out of range is an explicit error, not a wrap-around
+    with pytest.raises(IndexError):
+        media.decode_avi_frames(payload, [3])
