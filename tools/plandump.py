@@ -380,9 +380,58 @@ def main() -> None:
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         out += [f"## {name}", "", note, "", "```", plan.rstrip(), "```", ""]
+    out += _nonregistry_plans(spark)
     with open("/root/repo/PLANS.md", "w") as f:
         f.write("\n".join(out))
-    print(f"PLANS.md written ({len(COMMENTARY)} plans)")
+    print(f"PLANS.md written ({len(COMMENTARY)} + appendix plans)")
+
+
+def _nonregistry_plans(spark) -> list[str]:
+    """Appendix: plan shapes of non-registry surfaces the driver
+    gate can't see (they aren't (spark, sf_dir) -> DataFrame
+    queries) but whose physical shape is scale-critical."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    tmp = tempfile.mkdtemp(prefix="plandump_dv_")
+    try:
+        zone = f"{tmp}/zone"
+        sz.snapshot_write(
+            spark.range(10_000).selectExpr("id", "id % 97 AS k"),
+            zone,
+            mode="overwrite",
+        )
+        sz.snapshot_delete_where(
+            spark, zone, F.col("k") == 13, strategy="dv"
+        )
+        df = sz.snapshot_read(spark, zone)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        note = (
+            "Deletion-vector read (`snapshot_read` on a DV-masked "
+            "zone): the data scan anti-joins the DV sidecar scan on "
+            "(file basename, `_metadata.row_index`) — a shuffle/"
+            "broadcast EQUI-join (no BNLJ), so a billion-row vector "
+            "is distributed work, never driver state. With no DVs "
+            "the read is the bare parquet scan (zero overhead)."
+        )
+        return [
+            "## appendix: snapshot_read with deletion vectors "
+            "(non-registry surface)",
+            "",
+            note,
+            "",
+            "```",
+            plan.rstrip(),
+            "```",
+            "",
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
