@@ -636,19 +636,37 @@ def snapshot_delete_where(
 
 
 def snapshot_merge_upsert(
-    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    keys: list[str],
+    strategy: str = "rewrite",
 ) -> int:
-    """MERGE with FILE granularity: files containing any matching
-    key are rewritten with superseded rows replaced; unmatched
-    update rows are inserted; untouched files carry by reference.
-    The key-bearing-file search is a semi-join on `keys` — at scale
-    it shuffles the (small) update key set, not the zone.
+    """MERGE (upsert) at two granularities.
 
-    Multi-writer safe by RECOMPUTE (same reasoning as
-    `snapshot_delete_where`: a merge's affected-file read set is
+    ``strategy="rewrite"`` (default): FILE granularity — files
+    containing any matching key are rewritten with superseded rows
+    replaced; unmatched update rows are inserted; untouched files
+    carry by reference. The key-bearing-file search is a semi-join
+    on `keys` — at scale it shuffles the (small) update key set,
+    not the zone.
+
+    ``strategy="dv"``: DELETION-VECTOR merge (the Delta/Iceberg
+    merge-on-read shape) — superseded rows are MASKED by a
+    (file, row_position) sidecar and the whole update set is
+    APPENDED as new files; no existing file is rewritten. Cost is
+    O(|updates|) regardless of zone size; read amplification
+    accumulates until `snapshot_compact` folds the masks away.
+
+    Multi-writer safe by RECOMPUTE under both strategies (same
+    reasoning as `snapshot_delete_where`: a merge's read set is
     invalidated by any competing commit, so a CAS loss re-runs the
-    semi-join + rewrite against the winner's snapshot). Returns the
-    committed version."""
+    semi-join (+rewrite) against the winner's snapshot). Returns
+    the committed version."""
+    if strategy not in ("rewrite", "dv"):
+        raise ValueError("strategy must be rewrite|dv")
+    if strategy == "dv":
+        return _merge_upsert_dv(spark, path, updates, keys)
     for attempt in range(_MAX_COMMIT_ATTEMPTS):
         parent = current_version(path)
         if parent is None:
@@ -760,6 +778,71 @@ def _delete_where_dv(
                 },
             )
             return n_deleted
+        except CommitConflictError:
+            _backoff(attempt)
+    raise CommitConflictError(
+        f"gave up after {_MAX_COMMIT_ATTEMPTS} attempts at {path}"
+    )
+
+
+def _merge_upsert_dv(
+    spark: SparkSession, path: str, updates: DataFrame, keys: list[str]
+) -> int:
+    """Merge-on-read (see `snapshot_merge_upsert` strategy="dv"):
+    mask every LIVE row whose key appears in `updates` with a
+    deletion vector, append the full update set as new files. The
+    mask search is a semi-join of the zone against the update keys —
+    the same shuffle shape as the rewrite strategy's file search,
+    but what lands on disk is one sidecar + the update rows."""
+    for attempt in range(_MAX_COMMIT_ATTEMPTS):
+        parent = current_version(path)
+        if parent is None:
+            # same first-commit race discipline as the rewrite form
+            new_files = _write_data_files(updates, path)
+            if _before_commit_hook is not None:
+                _before_commit_hook()
+            try:
+                return _commit(
+                    path, new_files, "merge-dv", None,
+                    meta={"stats": _collect_stats(path, new_files)},
+                )
+            except CommitConflictError:
+                _backoff(attempt)
+                continue
+        manifest = _read_manifest(path, parent)
+        live = _read_with_file(spark, path, manifest, with_pos=True)
+        key_df = updates.select(*keys)
+        superseded = (
+            live.join(key_df, on=keys, how="left_semi")
+            .select(
+                F.element_at(F.split(F.col(_FILE), "/"), -1).alias(
+                    "file_name"
+                ),
+                F.col(_POS).alias("pos"),
+            )
+            .persist()
+        )
+        try:
+            n_masked = superseded.count()
+            dv_rel = (
+                _write_dv_files(superseded, path) if n_masked else None
+            )
+        finally:
+            superseded.unpersist(blocking=False)
+        new_files = _write_data_files(updates, path)
+        if _before_commit_hook is not None:
+            _before_commit_hook()
+        stats = {**manifest.get("stats", {})}
+        stats.update(_collect_stats(path, new_files))
+        dvs = manifest.get("dvs", []) + ([dv_rel] if dv_rel else [])
+        try:
+            return _commit(
+                path,
+                manifest["files"] + new_files,
+                "merge-dv",
+                parent,
+                meta={"stats": stats, "dvs": dvs},
+            )
         except CommitConflictError:
             _backoff(attempt)
     raise CommitConflictError(

@@ -740,3 +740,43 @@ def test_row_diff_sees_dv_deletes(spark, tmp_path):
     assert changes == {
         (i, "-") for i in range(30) if i % 7 == 2
     }, "dv delete must appear as removals and nothing else"
+
+
+def test_dv_merge_equals_rewrite_merge(spark, tmp_path):
+    """DIFFERENTIAL: merge-on-read (strategy='dv') and the rewrite
+    merge must produce identical tables; the dv side must not
+    rewrite any pre-existing data file."""
+    rows = spark.range(80).selectExpr("id", "id % 9 AS k")
+    pa, pb = str(tmp_path / "mdv"), str(tmp_path / "mrw")
+    for p in (pa, pb):
+        sz.snapshot_write(rows.repartition(5), p, mode="overwrite")
+    upd = spark.createDataFrame(
+        [(5, 500), (17, 1700), (200, 2000)], "id long, k long"
+    )
+    before = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(pa, "data", "*", "*.parquet"))
+    }
+    sz.snapshot_merge_upsert(spark, pa, upd, keys=["id"], strategy="dv")
+    sz.snapshot_merge_upsert(spark, pb, upd, keys=["id"])
+    after = {
+        p: os.path.getmtime(p)
+        for p in glob.glob(os.path.join(pa, "data", "*", "*.parquet"))
+        if p in before
+    }
+    assert before == after, "dv merge rewrote a pre-existing file"
+    got_dv = sorted(tuple(r) for r in sz.snapshot_read(spark, pa).collect())
+    got_rw = sorted(tuple(r) for r in sz.snapshot_read(spark, pb).collect())
+    assert got_dv == got_rw
+    m = sz._read_manifest(pa, 1)
+    assert m["op"] == "merge-dv" and len(m["dvs"]) == 1
+    # masked rows stay dead after compaction; updates survive
+    sz.snapshot_compact(spark, pa)
+    assert (
+        sorted(tuple(r) for r in sz.snapshot_read(spark, pa).collect())
+        == got_rw
+    )
+    # dv merge into an empty zone = plain insert
+    pc = str(tmp_path / "mempty")
+    sz.snapshot_merge_upsert(spark, pc, upd, keys=["id"], strategy="dv")
+    assert sz.snapshot_read(spark, pc).count() == 3
