@@ -2905,7 +2905,7 @@ def q_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            CAST(COUNT(*) AS INT) AS n_statuses,
            string_agg(k, ',' ORDER BY k) AS status_list,
-           SUM(v) AS total_orders,
+           CAST(SUM(v) AS BIGINT) AS total_orders,
            COALESCE(MAX(CASE WHEN k = 'F' THEN v END), 0) AS f_orders,
            string_agg(k || '=' || CAST(v AS VARCHAR), ';' ORDER BY k)
              AS encoded,
@@ -3093,10 +3093,10 @@ def q_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q12_lineflag_priority",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders JOIN lineitem ON o_orderkey = l_orderkey
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
@@ -3135,7 +3135,7 @@ def q_q12_lineflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            COUNT(*) AS n_sampled,
-           SUM(n_chars) AS sampled_chars
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars
     FROM scored
     WHERE bucket < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
     GROUP BY lang
@@ -3173,10 +3173,10 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'text' AS source, text AS payload FROM documents
     )
     SELECT source,
-           SUM(CASE WHEN COALESCE(json_valid(payload), false)
-                    THEN 1 ELSE 0 END) AS n_valid,
-           SUM(CASE WHEN COALESCE(json_valid(payload), false)
-                    THEN 0 ELSE 1 END) AS n_invalid
+           CAST(SUM(CASE WHEN COALESCE(json_valid(payload), false)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+           CAST(SUM(CASE WHEN COALESCE(json_valid(payload), false)
+                    THEN 0 ELSE 1 END) AS BIGINT) AS n_invalid
     FROM mixed
     GROUP BY source
     """,
@@ -3704,7 +3704,7 @@ def q_array_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS pack_tokens
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
     FROM packed
     GROUP BY lang, pack_id
     """,
@@ -7055,7 +7055,7 @@ def q_window_dist_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_predicates",
     oracle="""
     SELECT l_returnflag,
-           count_if(l_quantity > 25.0) AS n_bulk,
+           CAST(count_if(l_quantity > 25.0) AS BIGINT) AS n_bulk,
            bool_and(l_extendedprice > 0.0) AS all_priced,
            bool_or(l_discount > 0.09) AS any_deep_discount,
            CAST(COUNT(CASE WHEN l_tax = 0.0 THEN 1 END) AS BIGINT)

@@ -19,6 +19,63 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
+# Numeric "hash families" as the driver's canonicalizer sees them.
+# The driver fetches the DuckDB side through a dtype-sensitive path
+# (pandas), where HUGEINT and DECIMAL degrade to float64 — so a
+# DuckDB SUM(integer) (HUGEINT) hashes as "10000.0" while Spark's
+# bigint hashes as "10000", failing the compare even though every
+# value matches (round-6 json_try_parse / sequence_packing).  The
+# local value compare below uses Python-native fetches (semantically
+# exact), so this TYPE check is what makes driver-visible dtype
+# drift a local failure.
+_INT_NAMES = {
+    "tinyint", "smallint", "int", "integer", "bigint", "long",
+    "short", "byte", "utinyint", "usmallint", "uinteger", "ubigint",
+    "int1", "int2", "int4", "int8", "signed",
+}
+_FLOAT_NAMES = {"float", "double", "real", "float4", "float8"}
+
+
+def _family(dtype: str) -> str:
+    """Map a Spark or DuckDB type string to a driver hash family."""
+    base = dtype.lower().split("(")[0].strip()
+    if base in _INT_NAMES:
+        return "int"
+    if base in _FLOAT_NAMES:
+        return "float"
+    if base in {"hugeint", "uhugeint", "int128"}:
+        return "hugeint"  # pandas renders as float64 → "N.0"
+    if base in {"decimal", "numeric"}:
+        return "decimal"
+    return "other"
+
+
+def type_drift(s_dtypes, d_cols, d_types):
+    """Driver-visible dtype divergences between Spark and oracle.
+
+    Returns [(column, spark_type, duckdb_type), ...] for columns
+    whose rendered hash text would differ even when values match:
+    DuckDB HUGEINT/DECIMAL against a non-decimal Spark column, or an
+    int/float family split in either direction.
+    """
+    spark = dict(s_dtypes)
+    problems = []
+    for col, dtype in zip(d_cols, [str(t) for t in d_types]):
+        if col not in spark:
+            continue  # column-set mismatch is reported separately
+        sfam, dfam = _family(spark[col]), _family(dtype)
+        if sfam == dfam:
+            continue
+        if {sfam, dfam} <= {"other"}:
+            continue
+        if dfam in ("hugeint", "decimal") and sfam != "decimal":
+            problems.append((col, spark[col], dtype))
+        elif {sfam, dfam} == {"int", "float"}:
+            problems.append((col, spark[col], dtype))
+        elif "other" not in (sfam, dfam):
+            problems.append((col, spark[col], dtype))
+    return problems
+
 
 def normalize(rows, columns):
     """Sort columns by name, normalize cell values, sort rows."""
@@ -71,6 +128,7 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
+            s_dtypes = sdf.dtypes
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR {type(exc).__name__}: {exc}"))
@@ -80,14 +138,20 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
             say(f"SKIP  {name}: no oracle (rows-only) — {len(s_rows)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = list(rel.types)
+            d_rows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {exc}"))
             say(f"FAIL  {name}: duckdb error {exc}")
             continue
         problems = []
+        for col, st, dt in type_drift(s_dtypes, d_cols, d_types):
+            problems.append(
+                f"type drift on {col!r}: spark {st} vs oracle {dt} "
+                f"(driver hashes these differently — cast the oracle)"
+            )
         if sorted(s_cols) != sorted(d_cols):
             problems.append(f"columns {sorted(s_cols)} != {sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
