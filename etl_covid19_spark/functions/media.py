@@ -110,9 +110,15 @@ def _unfilter(raw: bytes, w: int, h: int, ch: int) -> np.ndarray:
 def decode_png(payload: bytes) -> np.ndarray:
     """Full decode to a (h, w, channels) uint8 array — stdlib only
     (zlib inflate + spec unfiltering). 8-bit non-interlaced
-    grayscale/gray+alpha/RGB/RGBA."""
+    grayscale/gray+alpha/RGB/RGBA.  Malformed/truncated payloads
+    raise ValueError (never zlib.error/struct.error/IndexError) so
+    mixed-batch fallbacks survive corrupt blobs."""
     if not is_png(payload):
         raise ValueError("not a PNG payload")
+    return _as_valueerror(_decode_png_impl, payload)
+
+
+def _decode_png_impl(payload: bytes) -> np.ndarray:
     w = h = None
     ch = 0
     idat = b""
@@ -182,13 +188,24 @@ def decode_image(payload: bytes) -> np.ndarray:
     tier handles (e.g. progressive JPEG without PIL, video) —
     callers decide whether to fall back to the deterministic stub."""
     try:
+        from PIL import Image  # type: ignore[import-not-found]
+    except ImportError:
+        Image = None
+    if Image is not None:
         import io
 
-        from PIL import Image  # type: ignore[import-not-found]
-
-        return np.asarray(Image.open(io.BytesIO(payload)).convert("RGB"))
-    except ImportError:
-        pass
+        try:
+            return np.asarray(
+                Image.open(io.BytesIO(payload)).convert("RGB")
+            )
+        except Exception as exc:  # UnidentifiedImageError/OSError/...
+            # PIL handles a superset of the stdlib tiers, so a PIL
+            # failure is a corrupt/unsupported payload — surface it
+            # as the documented ValueError contract, never as a
+            # PIL-internal class the mixed-batch fallbacks can't see.
+            raise ValueError(
+                f"undecodable image payload: {type(exc).__name__}: {exc}"
+            ) from exc
     if is_jpeg(payload):
         rgb = decode_jpeg(payload)
         if rgb.ndim == 2:  # grayscale JPEG → RGB like PIL's convert
@@ -199,17 +216,28 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """(samples float64 in [-1, 1] — first channel, sample_rate) via
-    soundfile when importable, stdlib `wave` otherwise. PCM 8/16/32."""
+    soundfile when importable, stdlib `wave` otherwise. PCM 8/16/32.
+    Malformed/truncated payloads raise ValueError (never wave.Error/
+    EOFError/struct.error)."""
+    return _as_valueerror(_decode_wav_impl, payload)
+
+
+def _decode_wav_impl(payload: bytes) -> tuple[np.ndarray, int]:
     import io
 
     try:
         import soundfile  # type: ignore[import-not-found]
-
-        data, rate = soundfile.read(io.BytesIO(payload))
+    except ImportError:
+        soundfile = None
+    if soundfile is not None:
+        try:
+            data, rate = soundfile.read(io.BytesIO(payload))
+        except Exception as exc:  # LibsndfileError/RuntimeError/...
+            raise ValueError(
+                f"undecodable audio payload: {type(exc).__name__}: {exc}"
+            ) from exc
         mono = data[:, 0] if getattr(data, "ndim", 1) > 1 else data
         return np.asarray(mono, dtype=np.float64), int(rate)
-    except ImportError:
-        pass
     import wave
 
     with wave.open(io.BytesIO(payload), "rb") as wf:
@@ -589,7 +617,12 @@ def encode_jpeg(
 
 def jpeg_dimensions(payload: bytes) -> tuple[int, int]:
     """(height, width) from the SOF header — no entropy decode, the
-    cheap metadata path for scan-level stats at scale."""
+    cheap metadata path for scan-level stats at scale.  Truncated
+    headers raise ValueError, never struct.error."""
+    return _as_valueerror(_jpeg_dimensions_impl, payload)
+
+
+def _jpeg_dimensions_impl(payload: bytes) -> tuple[int, int]:
     i = 2
     n = len(payload)
     while i + 3 < n:
@@ -648,8 +681,17 @@ class _BitReader:
         self.nbits = 0
 
 
-class _MarkerHit(Exception):
+class _MarkerHit(ValueError):
+    """A non-stuffed marker inside entropy data.  Subclasses
+    ValueError (round-7 ADVICE): when a corrupt stream lets one
+    escape the scan loop, callers' documented mixed-batch fallback
+    (`except ValueError → resize_stub`, multimodal.py) must catch it
+    — a bare-Exception escape kills the whole Spark task, and at
+    100 TB corrupt payloads with a valid FFD8 prefix are a
+    certainty."""
+
     def __init__(self, marker: int):
+        super().__init__(f"unexpected marker 0x{marker:02x} in entropy data")
         self.marker = marker
 
 
@@ -677,6 +719,35 @@ def _huff_read(br: _BitReader, table) -> int:
     raise ValueError("invalid Huffman code")
 
 
+def _as_valueerror(fn, *args):
+    """Run a decode stage, converting the exception classes a
+    truncated/corrupt stream can raise from the raw byte math —
+    IndexError (short reads), struct.error (short unpacks), KeyError
+    (references to tables the corrupt header never defined) — into
+    ValueError, the documented 'malformed media' contract that the
+    mixed-batch fallbacks key on (multimodal.resize_real /
+    extract_media_meta catch ValueError only)."""
+    import struct as _struct
+    import wave as _wave
+    import zlib as _zlib
+
+    try:
+        return fn(*args)
+    except ValueError:
+        raise  # includes _MarkerHit; already contract-shaped
+    except (
+        IndexError,
+        KeyError,
+        EOFError,
+        _struct.error,
+        _zlib.error,
+        _wave.Error,
+    ) as exc:
+        raise ValueError(
+            f"malformed media stream: {type(exc).__name__}: {exc}"
+        ) from exc
+
+
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
@@ -688,9 +759,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     (half-up, clipped). Supports multiple quant/Huffman tables,
     arbitrary h/v sampling factors, restart intervals, and 1- or
     3-component frames; progressive (SOF2) and arithmetic streams
-    raise ValueError (PIL tier handles them where importable)."""
+    raise ValueError (PIL tier handles them where importable).
+
+    Exception contract: EVERY malformed input — truncated entropy
+    data, short headers, references to undefined tables, stray
+    markers — raises ValueError, never IndexError/KeyError/
+    struct.error, so one corrupt payload with a valid FFD8 prefix
+    degrades to the callers' stub fallback instead of killing the
+    Spark task (round-7 ADVICE, medium)."""
     if not is_jpeg(payload):
         raise ValueError("not a JPEG stream")
+    return _as_valueerror(_decode_jpeg_impl, payload)
+
+
+def _decode_jpeg_impl(payload: bytes) -> np.ndarray:
     qts: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None
@@ -1032,12 +1114,26 @@ def avi_index(payload: bytes) -> list[tuple[int, int]]:
             idx = data
     frames: list[tuple[int, int]] = []
     if idx is not None and movi_at is not None:
+        base = None
         for e in range(0, len(idx) - 15, 16):
             ckid = idx[e : e + 4]
             if ckid[2:4] not in (b"db", b"dc"):
                 continue
             off, ln = struct.unpack("<II", idx[e + 8 : e + 16])
-            frames.append((movi_at + off + 8, ln))  # +8 skips ck header
+            if base is None:
+                # Two idx1 conventions exist in the wild: offsets
+                # relative to the 'movi' fourcc (the spec) and
+                # absolute file offsets (a common encoder variant).
+                # Sniff with the first entry — whichever base lands
+                # on this entry's own chunk id wins (ffmpeg does the
+                # same); spec-relative is the tie-break default.
+                if payload[movi_at + off : movi_at + off + 4] == ckid:
+                    base = movi_at
+                elif payload[off : off + 4] == ckid:
+                    base = 0
+                else:
+                    base = movi_at
+            frames.append((base + off + 8, ln))  # +8 skips ck header
         return frames
     # no index: linear scan of movi children
     if movi_at is None:

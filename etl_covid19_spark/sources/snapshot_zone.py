@@ -829,7 +829,12 @@ def _merge_upsert_dv(
             )
         finally:
             superseded.unpersist(blocking=False)
-        new_files = _write_data_files(updates, path)
+        # Project onto the zone's column ORDER (same normalization as
+        # the rewrite form): parquet schema inference across versions
+        # reads all manifest files together, so an update frame with
+        # reordered/extra columns must not land as-is.
+        cols = [c for c in live.columns if c not in (_FILE, _POS)]
+        new_files = _write_data_files(updates.select(*cols), path)
         if _before_commit_hook is not None:
             _before_commit_hook()
         stats = {**manifest.get("stats", {})}
@@ -886,6 +891,16 @@ def snapshot_compact(spark: SparkSession, path: str) -> int | None:
             ).drop(_FILE)
             if live.limit(1).count():
                 new_files = _write_data_files(live, path)
+            elif not untouched:
+                # DVs masked every row of every file: a files=[]
+                # manifest would flip a readable-empty zone (bare
+                # scan + anti-join → 0 rows, valid schema) into an
+                # unreadable one (snapshot_read raises on an empty
+                # file list).  Carry ONE zero-row data file so the
+                # zone keeps its schema.
+                new_files = _write_data_files(
+                    live.limit(0).coalesce(1), path
+                )
         if _before_commit_hook is not None:
             _before_commit_hook()
         stats = _carried_stats(manifest, untouched)

@@ -44,8 +44,8 @@ def test_int_float_split_both_directions():
 
 
 def test_non_numeric_families_ignored():
-    # date/varchar/list shapes are the value compare's job; the type
-    # guard only adjudicates numeric hash families.
+    # date/varchar shapes are the value compare's job; matched
+    # structural pairs are unsortable_columns' job, not drift.
     assert not type_drift(
         [("d", "date"), ("s", "string"), ("a", "array<bigint>")],
         ["d", "s", "a"],
@@ -60,3 +60,64 @@ def test_family_mapping_edges():
     assert _family("NUMERIC(18,3)") == "decimal"
     assert _family("ubigint") == "int"
     assert _family("float4") == "float"
+
+
+def test_decimal_array_is_structural_not_decimal():
+    # ADVICE r7: _family split on '(' first, so 'DECIMAL(18,2)[]'
+    # mapped to 'decimal' and falsely drifted against
+    # 'array<decimal(18,2)>'.  Both are structural now.
+    assert _family("DECIMAL(18,2)[]") == "structural"
+    assert _family("array<decimal(18,2)>") == "structural"
+    assert not type_drift(
+        [("x", "array<decimal(18,2)>")], ["x"], ["DECIMAL(18,2)[]"]
+    )
+
+
+def test_structural_vs_numeric_is_drift():
+    # structural-vs-'other' (varchar) pairs are unsortable_columns'
+    # job — each side is flagged independently there; the drift check
+    # adjudicates family splits between two *hashable* families or
+    # against a numeric one.
+    assert type_drift([("x", "array<int>")], ["x"], ["BIGINT"]) == [
+        ("x", "array<int>", "BIGINT")
+    ]
+    assert type_drift([("x", "bigint")], ["x"], ["INTEGER[]"]) == [
+        ("x", "bigint", "INTEGER[]")
+    ]
+
+
+def test_unsortable_columns_flags_structural_types():
+    from tools.diffcheck import unsortable_columns
+
+    got = unsortable_columns(
+        [
+            ("ok", "string"),
+            ("arr", "array<string>"),
+            ("m", "map<string,bigint>"),
+            ("st", "struct<a:int>"),
+            ("b", "binary"),
+            ("darr", "VARCHAR[]"),
+            ("dst", "STRUCT(a INTEGER)"),
+            ("dmap", "MAP(VARCHAR, BIGINT)"),
+            ("dblob", "BLOB"),
+            ("n", "bigint"),
+        ]
+    )
+    assert [c for c, _ in got] == [
+        "arr", "m", "st", "b", "darr", "dst", "dmap", "dblob"
+    ]
+
+
+def test_driver_canon_error_mirrors_round7_array_kit():
+    """The exact round-7 failure shape: a result column holding
+    list cells is unhashable for pandas sort_values → the driver's
+    _canon throws.  The simulation must report it; scalar-encoded
+    rows must pass."""
+    from tools.diffcheck import driver_canon_error
+
+    bad = [(1, ["a", "b"]), (2, ["c"])]
+    err = driver_canon_error(bad, ["doc_id", "first3"])
+    assert err is not None and "TypeError" in err
+
+    good = [(1, "a b"), (2, "c"), (3, None)]
+    assert driver_canon_error(good, ["doc_id", "first3"]) is None

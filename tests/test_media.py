@@ -325,3 +325,131 @@ def test_avi_malformed_inputs_raise_cleanly():
     # index out of range is an explicit error, not a wrap-around
     with pytest.raises(IndexError):
         media.decode_avi_frames(payload, [3])
+
+
+def test_jpeg_malformed_inputs_raise_valueerror():
+    """Round-7 ADVICE (medium): every corrupt payload with a valid
+    FFD8 prefix must raise ValueError — never IndexError/KeyError/
+    struct.error/_MarkerHit-as-bare-Exception — so the mixed-batch
+    fallback (`except ValueError` in multimodal.resize_real) keeps
+    the Spark task alive. At 100 TB corrupt payloads are a
+    certainty."""
+    img = np.arange(16 * 24 * 3, dtype=np.uint8).reshape(16, 24, 3)
+    payload = media.encode_jpeg(img, quality=80)
+
+    # truncated mid-entropy: _BitReader._fill runs off the end
+    with pytest.raises(ValueError):
+        media.decode_jpeg(payload[:-20])
+    # truncated inside the header segments
+    with pytest.raises(ValueError):
+        media.decode_jpeg(payload[:16])
+    # SOI followed by garbage (no marker structure at all)
+    with pytest.raises(ValueError):
+        media.decode_jpeg(b"\xff\xd8" + b"\x00" * 64)
+    # a stray marker planted inside the entropy segment (_MarkerHit
+    # is now a ValueError, not a bare Exception)
+    sos = payload.find(b"\xff\xda")
+    assert sos > 0
+    corrupted = bytearray(payload)
+    corrupted[sos + 20 : sos + 22] = b"\xff\xc7"
+    with pytest.raises(ValueError):
+        media.decode_jpeg(bytes(corrupted))
+    # DHT segments stripped: the scan references undefined Huffman
+    # tables (KeyError internally → ValueError contract)
+    stripped = bytearray()
+    i = 0
+    import struct as _s
+
+    stripped += payload[:2]
+    i = 2
+    while i + 3 < len(payload):
+        marker = payload[i + 1]
+        if marker == 0xDA:
+            stripped += payload[i:]
+            break
+        ln = _s.unpack(">H", payload[i + 2 : i + 4])[0]
+        if marker != 0xC4:
+            stripped += payload[i : i + 2 + ln]
+        i += 2 + ln
+    with pytest.raises(ValueError):
+        media.decode_jpeg(bytes(stripped))
+    # the cheap metadata path honors the same contract
+    with pytest.raises(ValueError):
+        media.jpeg_dimensions(payload[: payload.find(b"\xff\xc0") + 6])
+
+
+def test_png_wav_malformed_inputs_raise_valueerror():
+    """Same contract for the other stdlib tiers: zlib/wave/struct
+    internals never escape as their own exception classes."""
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    png = media.encode_png(img)
+    with pytest.raises(ValueError):
+        media.decode_png(png[:40])  # truncated IHDR/IDAT
+    corrupt = bytearray(png)
+    corrupt[-20:] = b"\x00" * 20  # smash IDAT zlib stream + CRC
+    with pytest.raises(ValueError):
+        media.decode_png(bytes(corrupt))
+
+    wav = media.encode_wav(np.sin(np.linspace(0, 20, 800)), rate=8000)
+    with pytest.raises(ValueError):
+        media.decode_wav(wav[:12])  # RIFF header only
+
+
+def test_resize_real_survives_poisoned_batch(spark):
+    """One corrupt JPEG in a batch degrades to the stub fallback; the
+    decodable rows still resize for real (the round-7 ADVICE failure
+    was the whole task dying)."""
+    from etl_covid19_spark.operators import multimodal
+
+    img = np.arange(16 * 16 * 3, dtype=np.uint8).reshape(16, 16, 3)
+    good_png = media.encode_png(img)
+    bad_jpeg = media.encode_jpeg(img, 80)[:-24]  # valid FFD8, truncated
+    d = spark.createDataFrame(
+        [(1, bytearray(good_png)), (2, bytearray(bad_jpeg))],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in multimodal.resize_images(
+            d, "doc_id", "payload", max_side=8
+        ).collect()
+    }
+    assert len(rows) == 2
+    assert media.is_png(bytes(rows[1].thumb))  # real path
+    assert max(rows[1].thumb_w, rows[1].thumb_h) == 8
+    assert rows[2].thumb_w >= 1 and rows[2].thumb_h >= 1  # stub path
+
+
+def test_avi_index_absolute_offset_variant():
+    """idx1 offsets come in two wild conventions: movi-relative (the
+    spec, what encode_avi writes) and absolute file offsets (common
+    encoder variant). avi_index must sniff and decode both to the
+    same frames."""
+    frames = _formula_video(n=4)
+    payload = media.encode_avi(frames, fps=10)
+    rel_table = media.avi_index(payload)
+
+    # rewrite idx1 in the absolute-offset convention
+    idx_at = payload.rfind(b"idx1")
+    assert idx_at > 0
+    (idx_len,) = __import__("struct").unpack(
+        "<I", payload[idx_at + 4 : idx_at + 8]
+    )
+    body = bytearray(payload[idx_at + 8 : idx_at + 8 + idx_len])
+    movi_at = None
+    for cid, data, off in media._avi_walk(payload):
+        if cid == b"movi":
+            movi_at = off
+    assert movi_at is not None
+    import struct as _s
+
+    for e in range(0, len(body) - 15, 16):
+        off, ln = _s.unpack("<II", bytes(body[e + 8 : e + 16]))
+        body[e + 8 : e + 12] = _s.pack("<I", off + movi_at)
+    abs_payload = (
+        payload[: idx_at + 8] + bytes(body) + payload[idx_at + 8 + idx_len :]
+    )
+    abs_table = media.avi_index(abs_payload)
+    assert abs_table == rel_table
+    got = media.decode_avi_frames(abs_payload, [0, 3])
+    assert (got[0] == frames[0]).all() and (got[1] == frames[3]).all()

@@ -780,3 +780,46 @@ def test_dv_merge_equals_rewrite_merge(spark, tmp_path):
     pc = str(tmp_path / "mempty")
     sz.snapshot_merge_upsert(spark, pc, upd, keys=["id"], strategy="dv")
     assert sz.snapshot_read(spark, pc).count() == 3
+
+
+def test_compact_after_deleting_every_row_keeps_zone_readable(spark, tmp_path):
+    """Round-7 ADVICE: DVs masking EVERY row used to compact into a
+    files=[] manifest, flipping a readable-empty zone into one
+    snapshot_read rejects. Compaction must carry a zero-row data
+    file so the schema survives."""
+    path = str(tmp_path / "allgone")
+    df = spark.range(50).selectExpr("id", "id % 5 AS k")
+    sz.snapshot_write(df, path, mode="overwrite")
+    n = sz.snapshot_delete_where(spark, path, F.col("id") >= 0, strategy="dv")
+    assert n == 50
+    # dv-read form: zero rows, schema intact
+    assert sz.snapshot_read(spark, path).count() == 0
+    v = sz.snapshot_compact(spark, path)
+    assert v is not None
+    out = sz.snapshot_read(spark, path)
+    assert out.count() == 0
+    assert set(out.columns) == {"id", "k"}
+    m = sz._read_manifest(path, v)
+    assert m["dvs"] == [] and len(m["files"]) == 1
+
+
+def test_merge_upsert_dv_normalizes_update_column_order(spark, tmp_path):
+    """Round-7 ADVICE: the DV merge appended `updates` verbatim, so a
+    reordered/extra-column update frame corrupted cross-version
+    schema inference. It must project onto the zone's columns (the
+    rewrite strategy already did)."""
+    path = str(tmp_path / "dvproj")
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0)], "id long, name string, v double"
+    )
+    sz.snapshot_write(base, path, mode="overwrite")
+    # reordered columns + an extra one the zone doesn't carry
+    updates = spark.createDataFrame(
+        [(99.0, "B2", 2, "junk"), (30.0, "c", 3, "junk")],
+        "v double, name string, id long, extra string",
+    )
+    sz.snapshot_merge_upsert(spark, path, updates, keys=["id"], strategy="dv")
+    out = sz.snapshot_read(spark, path)
+    assert out.columns == ["id", "name", "v"]  # zone order, no 'extra'
+    got = {r.id: (r.name, r.v) for r in out.collect()}
+    assert got == {1: ("a", 10.0), 2: ("B2", 99.0), 3: ("c", 30.0)}

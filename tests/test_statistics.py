@@ -137,7 +137,14 @@ def test_quantized_centroids_match_manual_mean(spark):
     import numpy as np
 
     manual = np.array([r.q_embedding for r in rows], dtype=np.int64).mean(0)
-    np.testing.assert_allclose(out[one_label].centroid, manual, rtol=1e-12)
+    # centroid is the driver-sortable encoding: comma-joined exact
+    # integer micro-means (floor(sum*1e6/count)) — decode and compare
+    # at micro precision
+    got = np.array(
+        [int(x) for x in out[one_label].centroid.split(",")], dtype=np.int64
+    )
+    assert got.shape == manual.shape
+    np.testing.assert_array_less(np.abs(got / 1e6 - manual), 1e-6 + 1e-12)
     assert out[one_label].n_vectors == len(rows)
 
 

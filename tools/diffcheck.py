@@ -35,9 +35,27 @@ _INT_NAMES = {
 }
 _FLOAT_NAMES = {"float", "double", "real", "float4", "float8"}
 
+# Structural / complex output types the driver cannot canonicalize
+# AT ALL: its pandas-based row sort (`sort_values` over every result
+# column) factorizes each column, and ndarray/list/dict/bytes cells
+# are unhashable → TypeError before any compare happens (round 7:
+# array_kit).  Spark spells them array</map</struct</binary; DuckDB
+# spells them T[]/LIST/STRUCT(..)/MAP(..)/UNION(..)/BLOB/JSON.
+_STRUCTURAL_PREFIXES = ("array<", "map<", "struct<", "list<")
+_STRUCTURAL_BASES = {"struct", "map", "union", "list", "blob", "binary", "json"}
+
+
+def _is_structural(dtype: str) -> bool:
+    t = dtype.lower().strip()
+    if t.endswith("[]") or t.startswith(_STRUCTURAL_PREFIXES):
+        return True
+    return t.split("(")[0].strip() in _STRUCTURAL_BASES
+
 
 def _family(dtype: str) -> str:
     """Map a Spark or DuckDB type string to a driver hash family."""
+    if _is_structural(dtype):
+        return "structural"  # e.g. DECIMAL(18,2)[] / array<decimal(18,2)>
     base = dtype.lower().split("(")[0].strip()
     if base in _INT_NAMES:
         return "int"
@@ -50,13 +68,27 @@ def _family(dtype: str) -> str:
     return "other"
 
 
+def unsortable_columns(dtypes):
+    """Columns whose type the driver's pandas canonicalizer cannot
+    sort (list/struct/map/binary cells are unhashable for
+    `sort_values`).  Applies to BOTH sides: pass Spark `df.dtypes`
+    or zip(duckdb cols, types)."""
+    return [
+        (col, str(t)) for col, t in dtypes if _is_structural(str(t))
+    ]
+
+
 def type_drift(s_dtypes, d_cols, d_types):
     """Driver-visible dtype divergences between Spark and oracle.
 
     Returns [(column, spark_type, duckdb_type), ...] for columns
     whose rendered hash text would differ even when values match:
-    DuckDB HUGEINT/DECIMAL against a non-decimal Spark column, or an
-    int/float family split in either direction.
+    DuckDB HUGEINT/DECIMAL against a non-decimal Spark column, an
+    int/float family split in either direction, or a structural
+    (array/map/struct/binary) type on exactly one side.  A
+    structural type on BOTH sides is not drift — it is reported
+    separately by `unsortable_columns` because the driver cannot
+    canonicalize it regardless of agreement.
     """
     spark = dict(s_dtypes)
     problems = []
@@ -66,13 +98,13 @@ def type_drift(s_dtypes, d_cols, d_types):
         sfam, dfam = _family(spark[col]), _family(dtype)
         if sfam == dfam:
             continue
-        if {sfam, dfam} <= {"other"}:
-            continue
         if dfam in ("hugeint", "decimal") and sfam != "decimal":
             problems.append((col, spark[col], dtype))
-        elif {sfam, dfam} == {"int", "float"}:
-            problems.append((col, spark[col], dtype))
-        elif "other" not in (sfam, dfam):
+        elif "other" in (sfam, dfam):
+            # other-vs-numeric pairs (e.g. varchar vs int) surface as
+            # value diffs; the type guard adjudicates hash families
+            continue
+        else:
             problems.append((col, spark[col], dtype))
     return problems
 
@@ -97,6 +129,27 @@ def normalize(rows, columns):
     return sorted(
         tuple(cell(r[i]) for i in order) for r in rows
     )
+
+
+def driver_canon_error(rows, columns):
+    """Simulate the driver's `_canon` (pandas `sort_values` over every
+    result column) and return an error string if it would throw — the
+    round-7 failure mode (`array_kit`: TypeError unhashable ndarray)
+    that the pure-Python `normalize` above sails through.  Runs on
+    the Spark side only; the oracle side reaches the driver through
+    the same pandas path and the structural-type guards already pin
+    its dtypes."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=columns)
+        pdf.sort_values(by=list(columns), inplace=False)
+    except Exception as exc:  # noqa: BLE001 — any throw is a driver err row
+        return (
+            f"driver canonicalizer simulation failed: "
+            f"{type(exc).__name__}: {exc}"
+        )
+    return None
 
 
 def run(spark, sf_dir: str, only=None, verbose: bool = True):
@@ -147,6 +200,20 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
             say(f"FAIL  {name}: duckdb error {exc}")
             continue
         problems = []
+        for col, st in unsortable_columns(s_dtypes):
+            problems.append(
+                f"structural output column {col!r} ({st}): the driver's "
+                f"pandas canonicalizer cannot sort list/struct/map/binary "
+                f"cells — encode it as a scalar (array_join / map_kit "
+                f"pattern)"
+            )
+        for col, dt in unsortable_columns(
+            list(zip(d_cols, [str(t) for t in d_types]))
+        ):
+            problems.append(
+                f"structural oracle column {col!r} ({dt}): encode with "
+                f"array_to_string/struct_pack flattening"
+            )
         for col, st, dt in type_drift(s_dtypes, d_cols, d_types):
             problems.append(
                 f"type drift on {col!r}: spark {st} vs oracle {dt} "
@@ -156,13 +223,19 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
             problems.append(f"columns {sorted(s_cols)} != {sorted(d_cols)}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount {len(s_rows)} != {len(d_rows)}")
-        if not problems:
+        # Value comparison runs whenever columns and rowcount line up,
+        # independent of type-drift findings — a query with both a
+        # dtype drift and a genuine value bug reports both at once.
+        if sorted(s_cols) == sorted(d_cols) and len(s_rows) == len(d_rows):
             ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
             if ns != nd:
                 diff = [
                     (a, b) for a, b in zip(ns, nd) if a != b
                 ][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+            err = driver_canon_error(s_rows, s_cols)
+            if err:
+                problems.append(err)
         if problems:
             failures.append((name, "; ".join(problems)))
             say(f"FAIL  {name}: {'; '.join(problems)}")
