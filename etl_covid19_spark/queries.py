@@ -11561,3 +11561,49 @@ def q_embedding_near_dup_tight(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         threshold=0.9, band_bits=12, n_bands=24,
     )
+
+
+@register(
+    "snapshot_zone_dv_read",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS open_revenue
+    FROM orders
+    WHERE o_orderkey < 2000 AND o_orderstatus <> 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_snapshot_zone_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ACID snapshot zone end-to-end UNDER THE CORRECTNESS GATE
+    (sources/snapshot_zone.py — manifest commits, time travel,
+    deletion vectors): write a multi-file snapshot of the small
+    orders slice → metadata-only DELETE of fulfilled orders via a
+    deletion vector (`strategy="dv"`: one sidecar parquet, zero data
+    rewrite) → `snapshot_read` merges-on-read through the positional
+    anti-join → aggregate. The oracle reconstructs the DV
+    subtraction as the equivalent plain filter over the same parquet
+    — if the vector masks one row too many/few, counts and the
+    DECIMAL-accumulated revenue both drift. The zone lands in a
+    fresh temp dir per run (commit ids are content-independent
+    UUIDs), so reruns never see stale state; the o_orderkey bound
+    keeps the written slice constant-size at any SF while the scan
+    that feeds it stays distributed."""
+    import tempfile
+
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    path = tempfile.mkdtemp(prefix="sz_dv_query_")
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    sz.snapshot_write(base.repartition(4), path, mode="overwrite")
+    sz.snapshot_delete_where(
+        spark, path, F.col("o_orderstatus") == "F", strategy="dv"
+    )
+    live = sz.snapshot_read(spark, path)
+    return live.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("open_revenue"),
+    )

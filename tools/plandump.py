@@ -11,6 +11,12 @@ sys.path.insert(0, "/root/repo")
 SF = "/root/testdata/sf0.01"
 
 COMMENTARY = {
+    "snapshot_zone_dv_read": (
+        "Snapshot zone under the gate: the DV-masked read is the data "
+        "scan anti-joined with the sidecar scan on (file basename, "
+        "row_index) — an EQUI-join feeding a two-phase hash aggregate; "
+        "no BNLJ, no driver-side vector state."
+    ),
     "filter_project": (
         "Filters and projection reach the parquet scan: `PushedFilters` "
         "carries both predicates, `ReadSchema` reads 6 of 11 columns."
