@@ -11607,3 +11607,156 @@ def q_snapshot_zone_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("open_revenue"),
     )
+
+
+@register(
+    "snapshot_time_travel",
+    oracle="""
+    SELECT 'v0' AS version_label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer WHERE c_custkey % 2 = 0
+    UNION ALL
+    SELECT 'live' AS version_label,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS total_acctbal
+    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel under the gate (sources/snapshot_zone.py —
+    versioned manifests): v0 = overwrite with the even-custkey half,
+    v1 = APPEND the odd half, v2 = DV-delete the BUILDING segment.
+    Reading `version=0` must see exactly the original write — a later
+    append or deletion vector that bleeds into an old manifest shows
+    up as a count/balance drift against the oracle's plain-filter
+    reconstruction; the default read must see the post-append,
+    post-delete state. Both reads aggregate through the same
+    DECIMAL-accumulate so float order can't flake the compare."""
+    import tempfile
+
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    path = tempfile.mkdtemp(prefix="sz_tt_query_")
+    cust = _t(spark, sf_dir, "customer")
+    sz.snapshot_write(
+        cust.filter(F.col("c_custkey") % 2 == 0).repartition(2),
+        path,
+        mode="overwrite",
+    )
+    sz.snapshot_write(
+        cust.filter(F.col("c_custkey") % 2 == 1).repartition(2),
+        path,
+        mode="append",
+    )
+    sz.snapshot_delete_where(
+        spark, path, F.col("c_mktsegment") == "BUILDING", strategy="dv"
+    )
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("version_label"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_acctbal"),
+        )
+
+    v0 = sz.snapshot_read(spark, path, version=0)
+    live = sz.snapshot_read(spark, path)
+    return agg(v0, "v0").unionByName(agg(live, "live"))
+
+
+@register(
+    "snapshot_change_feed",
+    oracle="""
+    SELECT '+' AS change, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey % 2 = 1 AND c_mktsegment <> 'MACHINERY'
+    UNION ALL
+    SELECT '-' AS change, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer WHERE c_custkey % 2 = 0 AND c_mktsegment = 'MACHINERY'
+    """,
+)
+def q_snapshot_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-exact change data feed under the gate
+    (`snapshot_row_diff`, sources/snapshot_zone.py): between v0
+    (even-custkey half) and v2 (append odd half, DV-delete
+    MACHINERY), the exact delta is '+' every surviving odd row and
+    '-' every even MACHINERY row. snapshot_row_diff computes it as
+    two exceptAll passes over DV-aware reads — multiplicity-exact,
+    so a deletion vector that hides the wrong row count flips a tag
+    count. The oracle reconstructs both tags as plain filters
+    (customer rows are unique, so set difference = multiset
+    difference here)."""
+    import tempfile
+
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    path = tempfile.mkdtemp(prefix="sz_cdf_query_")
+    cust = _t(spark, sf_dir, "customer")
+    sz.snapshot_write(
+        cust.filter(F.col("c_custkey") % 2 == 0).repartition(2),
+        path,
+        mode="overwrite",
+    )
+    sz.snapshot_write(
+        cust.filter(F.col("c_custkey") % 2 == 1).repartition(2),
+        path,
+        mode="append",
+    )
+    sz.snapshot_delete_where(
+        spark, path, F.col("c_mktsegment") == "MACHINERY", strategy="dv"
+    )
+    diff = sz.snapshot_row_diff(spark, path, v_from=0, v_to=2)
+    return (
+        diff.groupBy(F.col("_change").alias("change"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@register(
+    "snapshot_prune_read",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
+             AS seg_acctbal
+    FROM customer
+    WHERE c_custkey BETWEEN 40 AND 80
+    GROUP BY c_mktsegment
+    """,
+)
+def q_snapshot_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping under the gate (`snapshot_read`
+    prune=, sources/snapshot_zone.py): the zone is written
+    range-partitioned on c_custkey so each data file's manifest
+    [min, max] is a disjoint slice, then read with
+    prune={c_custkey: (40, 80)} — files whose stats can't overlap
+    are skipped WITHOUT footer I/O. Pruning is an optimization, not
+    a filter: the real BETWEEN predicate still applies on top, and
+    the oracle is the plain filtered aggregate — a prune that drops
+    a file it shouldn't (stats off by one) loses rows and fails the
+    compare; a prune that skips nothing still passes but the plan
+    test in test_snapshot_zone pins the file-skipping behavior."""
+    import tempfile
+
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    path = tempfile.mkdtemp(prefix="sz_prune_query_")
+    cust = _t(spark, sf_dir, "customer")
+    sz.snapshot_write(
+        cust.repartitionByRange(4, "c_custkey"), path, mode="overwrite"
+    )
+    pruned = sz.snapshot_read(spark, path, prune={"c_custkey": (40, 80)})
+    return (
+        pruned.filter(F.col("c_custkey").between(40, 80))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("seg_acctbal"),
+        )
+    )
