@@ -11760,3 +11760,51 @@ def q_snapshot_prune_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("seg_acctbal"),
         )
     )
+
+
+@register(
+    "snapshot_compact_vacuum_read",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS kept_revenue
+    FROM lineitem
+    WHERE l_orderkey < 600 AND l_linestatus <> 'F'
+    GROUP BY l_returnflag
+    """,
+)
+def q_snapshot_compact_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone lifecycle end-to-end under the gate
+    (sources/snapshot_zone.py): write a bounded lineitem slice →
+    DV-delete fulfilled lines (metadata-only) → `snapshot_compact`
+    folds the vectors back into rewritten data files (the new
+    manifest carries no DVs, reads drop the anti-join) → `vacuum`
+    removes the superseded manifests, the orphaned originals, and
+    the spent DV sidecars → read and aggregate. The oracle is the
+    plain filtered aggregate over the source parquet: a compaction
+    that drops or duplicates a surviving row, or a vacuum that
+    deletes a file the live manifest still references (the read
+    would throw), fails the compare. Compaction cost is
+    proportional to the MASKED files only — untouched files carry
+    by reference, which is what makes the operation viable on a
+    100 TB zone where a delete touched one partition."""
+    import tempfile
+
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    path = tempfile.mkdtemp(prefix="sz_compact_query_")
+    base = _t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 600)
+    sz.snapshot_write(base.repartition(4), path, mode="overwrite")
+    sz.snapshot_delete_where(
+        spark, path, F.col("l_linestatus") == "F", strategy="dv"
+    )
+    assert sz.snapshot_compact(spark, path) is not None
+    sz.vacuum(path, keep_versions=1)
+    live = sz.snapshot_read(spark, path)
+    return live.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("kept_revenue"),
+    )
