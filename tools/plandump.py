@@ -17,6 +17,33 @@ COMMENTARY = {
         "row_index) — an EQUI-join feeding a two-phase hash aggregate; "
         "no BNLJ, no driver-side vector state."
     ),
+    "snapshot_time_travel": (
+        "Versioned reads: the v0 branch is a bare scan of the "
+        "manifest-0 file list (no DV anti-join — the later deletion "
+        "vector is invisible to old manifests by construction); the "
+        "live branch carries the DV anti-join. Both collapse to "
+        "single-row aggregates before the union."
+    ),
+    "snapshot_change_feed": (
+        "Row-exact CDF: snapshot_row_diff is two exceptAll passes "
+        "(hash aggregates on the full row), each over a DV-aware "
+        "read — multiplicity-exact, shuffles rows once per side; "
+        "the registered output aggregates to tag counts."
+    ),
+    "snapshot_compact_vacuum_read": (
+        "Post-compaction read: after snapshot_compact folds the DVs "
+        "into rewritten files and vacuum drops the superseded "
+        "versions, the plan is a BARE parquet scan + aggregate — "
+        "the DV anti-join is gone, which is the whole point of "
+        "compaction (no read amplification on the steady state)."
+    ),
+    "snapshot_prune_read": (
+        "Manifest-stats file skipping: the scan's file list is "
+        "pruned DRIVER-side from manifest [min,max] (no footer "
+        "I/O), so the plan shows a parquet scan over only the "
+        "overlapping range files; the real BETWEEN predicate still "
+        "pushes down onto that scan."
+    ),
     "filter_project": (
         "Filters and projection reach the parquet scan: `PushedFilters` "
         "carries both predicates, `ReadSchema` reads 6 of 11 columns."
