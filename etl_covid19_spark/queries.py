@@ -11808,3 +11808,51 @@ def q_snapshot_compact_vacuum_read(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("double")
         .alias("kept_revenue"),
     )
+
+
+@register(
+    "streaming_snapshot_sink_read",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id % 10 = 0
+    GROUP BY event_type
+    """,
+)
+def q_streaming_snapshot_sink_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once streaming ingestion into the snapshot zone, under
+    the gate (sources/snapshot_zone.py `streaming_snapshot_sink`): a
+    real Structured Streaming run (Trigger.AvailableNow) over the
+    events parquet feeds a foreachBatch sink that appends each
+    micro-batch as one atomic epoch-stamped snapshot commit; replayed
+    batch ids consult the zone's epoch ledger and skip, so
+    at-least-once delivery becomes exactly-once output (the Delta
+    txnAppId/txnVersion ledger trick). The read-back aggregate must
+    equal the oracle's plain batch aggregate over the same parquet —
+    a dropped batch loses rows, a double-committed replay doubles
+    them, and either fails the compare. Zone and checkpoint live in
+    fresh temp dirs per run."""
+    import tempfile
+
+    from etl_covid19_spark.sources import catalog
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    path = tempfile.mkdtemp(prefix="sz_sink_query_")
+    cp = tempfile.mkdtemp(prefix="sz_sink_query_cp_")
+    src = catalog.events_stream(spark, sf_dir).filter(
+        F.col("user_id") % 10 == 0
+    )
+    q = (
+        src.writeStream.foreachBatch(sz.streaming_snapshot_sink(path))
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    live = sz.snapshot_read(spark, path)
+    return live.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
