@@ -11856,3 +11856,79 @@ def q_streaming_snapshot_sink_read(spark: SparkSession, sf_dir: str) -> DataFram
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@register(
+    "snapshot_merge_upsert_read",
+    oracle="""
+    WITH merged AS (
+      SELECT o_orderpriority, o_totalprice AS price
+      FROM orders WHERE o_orderkey < 1000
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice + 1000.0
+      FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+    ),
+    agg AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(price AS DECIMAL(18,4))) AS DOUBLE)
+               AS revenue
+      FROM merged GROUP BY o_orderpriority
+    )
+    SELECT 'rewrite' AS strategy, o_orderpriority, n_orders, revenue
+    FROM agg
+    UNION ALL
+    SELECT 'dv' AS strategy, o_orderpriority, n_orders, revenue
+    FROM agg
+    """,
+)
+def q_snapshot_merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE upsert at both granularities under the gate
+    (sources/snapshot_zone.py `snapshot_merge_upsert`): two zones
+    are built from the same base slice (o_orderkey < 2000); the
+    same update set (keys 1000–2999, o_totalprice shifted +1000 —
+    half matched updates, half fresh inserts) merges into one with
+    strategy="rewrite" (affected files rewritten, found via a
+    semi-join that shuffles only the update KEY set) and into the
+    other with strategy="dv" (superseded rows masked by a sidecar,
+    updates appended — O(|updates|) regardless of zone size). Both
+    read-backs aggregate to the same oracle reconstruction, so the
+    query simultaneously checks merge semantics AND
+    rewrite-vs-merge-on-read equivalence; a DV that masks the wrong
+    superseded row or a rewrite that drops a survivor diverges from
+    the plain-SQL branch with its strategy label."""
+    import tempfile
+
+    from etl_covid19_spark.sources import snapshot_zone as sz
+
+    base = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    updates = (
+        _t(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 3000)
+        )
+        .withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1000.0)
+        )
+    )
+
+    def build(strategy: str) -> DataFrame:
+        path = tempfile.mkdtemp(prefix=f"sz_merge_{strategy}_query_")
+        sz.snapshot_write(base.repartition(4), path, mode="overwrite")
+        sz.snapshot_merge_upsert(
+            spark, path, updates, keys=["o_orderkey"], strategy=strategy
+        )
+        live = sz.snapshot_read(spark, path)
+        return live.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+        ).select(
+            F.lit(strategy).alias("strategy"),
+            "o_orderpriority",
+            "n_orders",
+            "revenue",
+        )
+
+    return build("rewrite").unionByName(build("dv"))

@@ -30,6 +30,23 @@ COMMENTARY = {
         "read — multiplicity-exact, shuffles rows once per side; "
         "the registered output aggregates to tag counts."
     ),
+    "streaming_snapshot_sink_read": (
+        "Read-back after exactly-once streaming ingestion: the "
+        "epoch-ledger foreachBatch sink leaves plain data files, so "
+        "the registered plan is a bare multi-file parquet scan + "
+        "two-phase aggregate; the streaming write itself ran "
+        "upstream of this plan (one atomic snapshot commit per "
+        "micro-batch, replays skipped via the epoch ledger)."
+    ),
+    "snapshot_merge_upsert_read": (
+        "MERGE at both granularities: the rewrite zone's read is a "
+        "bare scan (survivors + updates rewritten into new files); "
+        "the dv zone's read carries the sidecar anti-join over the "
+        "masked originals plus appended update files. Both branches "
+        "collapse to the same two-phase aggregate before the union "
+        "— the semi-join that finds affected files shuffles only "
+        "the update KEY set, never the zone."
+    ),
     "snapshot_compact_vacuum_read": (
         "Post-compaction read: after snapshot_compact folds the DVs "
         "into rewritten files and vacuum drops the superseded "
