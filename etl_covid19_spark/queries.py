@@ -11932,3 +11932,124 @@ def q_snapshot_merge_upsert_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return build("rewrite").unionByName(build("dv"))
+
+
+@register(
+    "zone_mutation_read",
+    oracle="""
+    WITH survivors AS (
+      SELECT CASE WHEN event_type = 'purchase'
+                  THEN 'purchase_adj' ELSE event_type END AS event_type,
+             CASE WHEN event_type = 'purchase'
+                  THEN value + 100.0 ELSE value END AS value
+      FROM events WHERE event_type <> 'error'
+      UNION ALL
+      SELECT 'backfill' AS event_type, value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM survivors GROUP BY event_type
+    """,
+)
+def q_zone_mutation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-granularity zone mutations under the gate
+    (sources/parquet_zone.py — the reference's DELETE/MERGE shape,
+    quirk Q1's idempotent dynamic-partition overwrite): build a
+    ds-partitioned events zone → `delete_where` drops error events
+    (only partitions CONTAINING matches are rewritten — cost
+    proportional to affected data) → `merge_upsert` replaces every
+    purchase row (same event_id key, value +100, relabeled
+    purchase_adj) AND inserts a backfill copy under fresh ids —
+    WHEN MATCHED / WHEN NOT MATCHED in one call → `read_zone`
+    aggregates. The oracle reconstructs the final state as CASE +
+    UNION over the source parquet: a lost survivor, a superseded
+    row that outlives its update, or a dropped insert all drift the
+    per-type counts/sums. The +100.0 shift is exact double
+    arithmetic on both sides; sums DECIMAL-accumulate."""
+    import tempfile
+
+    from etl_covid19_spark.sources import parquet_zone as pz
+
+    path = tempfile.mkdtemp(prefix="pz_mut_query_")
+    base = (
+        _t(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd").alias("ds"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+    )
+    pz.write_zone(base, path, partition_by=("ds",))
+    pz.delete_where(spark, path, F.col("event_type") == "error")
+    purchases = pz.read_zone(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    updates = purchases.withColumn(
+        "event_type", F.lit("purchase_adj")
+    ).withColumn("value", F.col("value") + F.lit(100.0))
+    inserts = purchases.withColumn(
+        "event_id", F.col("event_id") + F.lit(10_000_000_000)
+    ).withColumn("event_type", F.lit("backfill"))
+    pz.merge_upsert(
+        spark, path, updates.unionByName(inserts), keys=["event_id"]
+    )
+    final = pz.read_zone(spark, path)
+    return final.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+
+@register(
+    "bucketed_join_agg",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+             AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_custkey % 7 = 0 AND o_custkey % 7 = 0
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-located (bucketed) join under the gate
+    (sources/bucketing.py): both sides are materialized as
+    catalog-tracked bucketed tables on the join key (16 buckets,
+    sorted within buckets), so the fact⋈dim join and the downstream
+    groupBy run WITHOUT shuffling either side — the write pays the
+    shuffle once, every later join/agg on that key is Exchange-free
+    (zero-Exchange plan pinned by test_bucketing; this query pins
+    the VALUES through the bucketed write+read round trip against
+    the plain join-agg oracle). The %7 slice keeps the rewritten
+    tables a fixed fraction of the input at any SF."""
+    from etl_covid19_spark.sources import bucketing as bk
+
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 7 == 0
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") % 7 == 0
+    )
+    bk.write_bucketed(
+        cust, "bkt_gate_customer", ["c_custkey"], sort_cols=["c_custkey"]
+    )
+    bk.write_bucketed(
+        orders, "bkt_gate_orders", ["o_custkey"], sort_cols=["o_custkey"]
+    )
+    c = bk.read_table(spark, "bkt_gate_customer")
+    o = bk.read_table(spark, "bkt_gate_orders")
+    joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("revenue"),
+    )
