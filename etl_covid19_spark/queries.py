@@ -12030,7 +12030,22 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     the VALUES through the bucketed write+read round trip against
     the plain join-agg oracle). The %7 slice keeps the rewritten
     tables a fixed fraction of the input at any SF."""
+    import shutil
+
     from etl_covid19_spark.sources import bucketing as bk
+
+    # A managed table's location OUTLIVES an in-memory catalog: a
+    # fresh session that re-runs this query would hit
+    # LOCATION_ALREADY_EXISTS on saveAsTable (the catalog forgot the
+    # table, the warehouse dir did not). Drop via the catalog when
+    # registered, then clear any stale unregistered location.
+    wh = spark.conf.get(
+        "spark.sql.warehouse.dir", ""
+    ).removeprefix("file:")
+    for t in ("bkt_gate_customer", "bkt_gate_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        if wh:
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
 
     cust = _t(spark, sf_dir, "customer").filter(
         F.col("c_custkey") % 7 == 0
