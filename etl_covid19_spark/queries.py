@@ -12068,3 +12068,119 @@ def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     )
+
+
+@register(
+    "export_roundtrip_read",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE doc_id % 5 = 0
+    GROUP BY lang
+    """,
+)
+def q_export_roundtrip_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data export round trip under the gate
+    (sources/export.py): a documents slice is exported as
+    deterministic sharded JSONL (shard = pmod(xxhash64(doc_id), 8) —
+    key-uniform without a global sort; ONE repartition pass writes
+    data AND the manifest's per-shard rows/tokens/order-invariant
+    checksums), `verify_jsonl_shards` re-aggregates the written
+    files against the manifest (raises on any corruption), and the
+    registered result re-reads the JSONL and aggregates per-lang
+    counts and character totals. The oracle runs the same aggregate
+    over the source parquet — so JSON escaping that mangles one
+    text body, a dropped shard, or a manifest drift all fail the
+    compare. Integer outputs only: the round trip is exact by
+    construction, no float tolerance needed."""
+    import tempfile
+
+    from etl_covid19_spark.sources import export as ex
+
+    out = tempfile.mkdtemp(prefix="export_query_")
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    ex.export_jsonl_shards(
+        docs, out, id_col="doc_id", text_col="text", n_shards=8
+    )
+    ex.verify_jsonl_shards(spark, out)
+    back = spark.read.option("basePath", out).json(f"{out}/shard=*")
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+
+
+@register(
+    "clustered_compact_read",
+    oracle="""
+    WITH slice AS (
+      SELECT user_id, value FROM events
+      WHERE user_id BETWEEN 40 AND 90
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               AS total_value
+      FROM slice
+    )
+    SELECT 'clustered' AS layout, n_events, total_value FROM agg
+    UNION ALL
+    SELECT 'compacted' AS layout, n_events, total_value FROM agg
+    """,
+)
+def q_clustered_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-layout governance under the gate
+    (sources/parquet_zone.py `clustered_write` / `compact_zone`):
+    the same events frame is written twice — once CLUSTERED on
+    user_id (range-repartition + in-partition sort → disjoint
+    per-file key ranges, the table-format-free OPTIMIZE ZORDER;
+    a point/range filter then skips files on footer stats alone),
+    and once as a deliberately fragmented ds-partitioned zone that
+    `compact_zone` rewrites to one file per partition (small-file
+    pathology → planning cost fix). Both layouts must read back the
+    identical filtered aggregate as the plain-parquet oracle — a
+    row lost in the range repartition or the compaction rewrite
+    flips its branch. The layout PROPERTIES (disjoint ranges, file
+    counts) are pinned separately in test_layout; this query pins
+    the values through both write paths."""
+    import tempfile
+
+    from etl_covid19_spark.sources import parquet_zone as pz
+
+    events = _t(spark, sf_dir, "events").select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("ds"),
+        "user_id",
+        "value",
+    )
+
+    clustered_path = tempfile.mkdtemp(prefix="pz_clustered_query_")
+    pz.clustered_write(
+        events, clustered_path, cluster_by=["user_id"], n_files=8
+    )
+
+    fragmented_path = tempfile.mkdtemp(prefix="pz_compact_query_")
+    pz.write_zone(
+        events.repartition(16), fragmented_path, partition_by=("ds",)
+    )
+    pz.compact_zone(spark, fragmented_path, target_files=1)
+
+    def agg(df: DataFrame, label: str) -> DataFrame:
+        return (
+            df.filter(F.col("user_id").between(40, 90))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,6)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(F.lit(label).alias("layout"), "n_events", "total_value")
+        )
+
+    return agg(
+        spark.read.parquet(clustered_path), "clustered"
+    ).unionByName(agg(spark.read.parquet(fragmented_path), "compacted"))
