@@ -30,6 +30,39 @@ COMMENTARY = {
         "read — multiplicity-exact, shuffles rows once per side; "
         "the registered output aggregates to tag counts."
     ),
+    "export_roundtrip_read": (
+        "JSONL export read-back: shard assignment is a map-side "
+        "xxhash64 projection; ONE repartition(shard) pass wrote the "
+        "files, so the registered plan is a JSON scan + two-phase "
+        "lang aggregate — manifest verification ran upstream as "
+        "its own bounded n_shards-row aggregate."
+    ),
+    "clustered_compact_read": (
+        "Layout-governance read-back: both branches are bare "
+        "parquet scans (range-clustered files / compacted "
+        "partitions) with the user_id filter pushed to footer "
+        "stats, each collapsing to a single-row aggregate before "
+        "the union — layout work is paid at write time, the read "
+        "plan carries none of it."
+    ),
+    "zone_mutation_read": (
+        "Partition-granularity DELETE+MERGE read-back: after the "
+        "dynamic-partition rewrites land, the registered plan is a "
+        "plain partitioned parquet scan + two-phase aggregate — "
+        "mutation cost lives in the rewrite jobs (affected "
+        "partitions only), never in the read path."
+    ),
+    "bucketed_join_agg": (
+        "Co-located join: both sides are bucketed saveAsTable "
+        "scans on the join key. At this SF the dim is under the "
+        "broadcast threshold, so AQE picks a BroadcastHashJoin "
+        "(bucketing moot but harmless); with broadcasts disabled — "
+        "the 100 TB shape — the SAME tables join as a "
+        "SortMergeJoin with ZERO Exchange on either input "
+        "(plan-pinned in test_bucketing). Either way the only "
+        "shuffle here is the final mktsegment aggregate's partial "
+        "states."
+    ),
     "streaming_snapshot_sink_read": (
         "Read-back after exactly-once streaming ingestion: the "
         "epoch-ledger foreachBatch sink leaves plain data files, so "
