@@ -60,3 +60,26 @@ def test_bucketed_join_matches_plain_join(bucketed):
     n_bucketed = li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey).count()
     n_plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
     assert n_bucketed == n_plain > 0
+
+
+def test_gate_query_survives_stale_warehouse_location(spark):
+    """Fresh-session rerun hazard (round 8): saveAsTable(overwrite)
+    raises LOCATION_ALREADY_EXISTS when the managed table's
+    warehouse directory survives from a previous PROCESS while the
+    new session's in-memory catalog has no such table — exactly how
+    the external gate runs queries. The registered query must clear
+    the stale location itself. Simulated here by planting an
+    unregistered directory at both table locations."""
+    import os
+
+    from etl_covid19_spark.queries import REGISTRY
+
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("bkt_gate_customer", "bkt_gate_orders"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")  # catalog forgets...
+        loc = os.path.join(wh, t)
+        os.makedirs(loc, exist_ok=True)  # ...but the location stays
+        with open(os.path.join(loc, "stale-part.parquet"), "wb") as f:
+            f.write(b"not a real parquet file")
+    out = REGISTRY["bucketed_join_agg"].fn(spark, SF).collect()
+    assert len(out) > 0
