@@ -12184,3 +12184,62 @@ def q_clustered_compact_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(
         spark.read.parquet(clustered_path), "clustered"
     ).unionByName(agg(spark.read.parquet(fragmented_path), "compacted"))
+
+
+@register(
+    "streaming_export_read",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             AS total_value
+    FROM events
+    WHERE user_id % 10 = 1
+    GROUP BY event_type
+    """,
+)
+def q_streaming_export_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay-safe streaming training export under the gate
+    (sources/export.py `streaming_export_sink`): a real Structured
+    Streaming run publishes each micro-batch as an epoch-stamped
+    JSONL shard set (epoch=<id>/shard=N/*.json + manifest) — a
+    retried epoch overwrites its own directory byte-identically
+    (deterministic xxhash64 shard assignment), the same idempotency
+    contract as the zone writer's dynamic partition overwrite.
+    `verify_export_epochs` re-aggregates every epoch's files against
+    its manifest checksums (raises on corruption), then the
+    registered result re-reads ALL epochs' JSONL and must reproduce
+    the oracle's plain aggregate over the source parquet: a dropped
+    epoch, a double-published batch, or JSON mangling of one value
+    all fail the compare. The double round trip is exact — Jackson
+    emits shortest-round-trip doubles, so the DECIMAL-accumulated
+    sum sees bit-identical operands on both sides."""
+    import tempfile
+
+    from etl_covid19_spark.sources import catalog
+    from etl_covid19_spark.sources import export as ex
+
+    out = tempfile.mkdtemp(prefix="stream_export_query_")
+    cp = tempfile.mkdtemp(prefix="stream_export_query_cp_")
+    src = catalog.events_stream(spark, sf_dir).filter(
+        F.col("user_id") % 10 == 1
+    )
+    q = (
+        src.writeStream.foreachBatch(
+            ex.streaming_export_sink(out, id_col="event_id", n_shards=4)
+        )
+        .option("checkpointLocation", cp)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    ex.verify_export_epochs(spark, out)
+    back = spark.read.option("basePath", out).json(
+        f"{out}/epoch=*/shard=*"
+    )
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("total_value"),
+    )

@@ -30,6 +30,14 @@ COMMENTARY = {
         "read — multiplicity-exact, shuffles rows once per side; "
         "the registered output aggregates to tag counts."
     ),
+    "streaming_export_read": (
+        "Replay-safe streaming export read-back: epoch publication "
+        "ran upstream (one overwrite-idempotent shard set per "
+        "micro-batch); the registered plan is a partitioned JSON "
+        "scan over epoch=*/shard=* + two-phase aggregate — the "
+        "epoch/shard layout rides in as partition columns, no "
+        "per-epoch union."
+    ),
     "export_roundtrip_read": (
         "JSONL export read-back: shard assignment is a map-side "
         "xxhash64 projection; ONE repartition(shard) pass wrote the "
