@@ -27,39 +27,82 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The external correctness gate samples the FIRST 50 exposed queries
 # every round. A curated static front (rounds 1-5) left the other
-# ~155 queries externally unverified forever; instead the front-50 is
-# now a SEEDED ROTATION over the whole registry: one fixed seeded
-# permutation of all query names, advanced by a 50-query window each
-# round (the round index is read off the driver's own
-# CORRECTNESS_r{N}.json artifacts), so every registered query lands
-# in the external sample within a handful of rounds — no hand-picked
-# visibility. All remaining queries follow in registration order; the
-# in-repo differential still covers all 200+ every round.
+# ~155 queries externally unverified forever. Rounds 6-8 used a
+# seeded index-shuffle of sorted(REGISTRY) advanced by a 50-query
+# window per round — but that order RE-PERMUTES whenever the registry
+# grows (the shuffle is positional), voiding the "every query sampled
+# within ⌈N/50⌉ rounds" guarantee every time a query lands (round-8
+# verdict ask #1). The scheme is now INSERTION-STABLE and
+# HISTORY-DRIVEN, derived only from committed artifacts:
+#
+#   1. Stable total order: names sort by blake2b(f"{seed}:{name}") —
+#      keyed on the NAME itself, so adding/removing queries never
+#      reorders the existing ones.
+#   2. Front-50: the queries the driver has sampled LEAST RECENTLY,
+#      read off the committed CORRECTNESS_r{N}.json artifacts
+#      (never-sampled queries, round 0, come first), ties broken by
+#      the stable order.
+#
+# This restores the hard guarantee regardless of registry growth:
+# every query is externally sampled within ⌈never_sampled/50⌉ rounds
+# of registration, and once all have been seen the front becomes a
+# pure least-recently-sampled rotation with period ⌈N/50⌉. The
+# selection is deterministic and auditable — recompute it from the
+# committed artifacts at any commit. All remaining queries follow in
+# stable order; the in-repo differential still covers all 200+ every
+# round.
 _WINDOW = 50
 _SEED = 20260815
 
 
-def _round_index() -> int:
+def _stable_order(names) -> list[str]:
+    """Insertion-stable seeded order: the sort key depends only on
+    each name, so the relative order of existing names is invariant
+    under registry insertions/removals (unit-pinned in
+    tests/test_rotation.py)."""
+    import hashlib
+
+    def key(n: str) -> tuple[str, str]:
+        h = hashlib.blake2b(
+            f"{_SEED}:{n}".encode(), digest_size=8
+        ).hexdigest()
+        return (h, n)
+
+    return sorted(names, key=key)
+
+
+def _sample_history() -> dict[str, int]:
+    """query name -> latest round whose committed driver artifact
+    (CORRECTNESS_r{N}.json: top-level keys are the sampled names)
+    contains it; absent = never externally sampled."""
+    import json
     import re
 
     repo = Path(__file__).resolve().parent
-    rounds = [
-        int(m.group(1))
-        for f in repo.glob("CORRECTNESS_r*.json")
-        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f.name))
-    ]
-    return max(rounds, default=0)
+    hist: dict[str, int] = {}
+    for f in repo.glob("CORRECTNESS_r*.json"):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            data = json.loads(f.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for n in data:
+            hist[n] = max(hist.get(n, 0), rnd)
+    return hist
 
 
 def _ordered_names() -> list[str]:
-    import random
-
-    names = sorted(REGISTRY)
-    random.Random(_SEED).shuffle(names)
-    start = (_round_index() * _WINDOW) % len(names)
-    front = [names[(start + i) % len(names)] for i in range(_WINDOW)]
+    ordered = _stable_order(REGISTRY)
+    pos = {n: i for i, n in enumerate(ordered)}
+    hist = _sample_history()
+    front = sorted(ordered, key=lambda n: (hist.get(n, 0), pos[n]))[:_WINDOW]
     seen = set(front)
-    rest = [n for n in REGISTRY if n not in seen]
+    rest = [n for n in ordered if n not in seen]
     return front + rest
 
 

@@ -52,7 +52,11 @@ def main() -> None:
     # resists a single stalled run in either direction, and the
     # spread column says which deltas are ambient before anyone
     # reads them as real.
-    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    # 9 warm runs (round-9 ask #6): at 5, rel_spread reached 0.6-0.7
+    # on scan-bound queries and ±3-15% round-over-round deltas were
+    # unreadable; the median of 9 cuts the spread roughly √2 further
+    # and makes a single stalled run irrelevant in either direction.
+    warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9"))
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}

@@ -27,7 +27,21 @@ def write_bucketed(
 ) -> None:
     """Materialize `df` bucketed (and optionally sorted) by key.
     Sorting within buckets lets the SortMergeJoin skip its sort as
-    well — the plan degenerates to a streaming merge."""
+    well — the plan degenerates to a streaming merge.
+
+    A managed table's warehouse directory OUTLIVES an in-memory
+    catalog: a fresh process re-creating the same table name hits
+    LOCATION_ALREADY_EXISTS on saveAsTable (the catalog forgot the
+    table, the directory did not). Clear both the catalog entry and
+    any stale unregistered location before writing, so the operation
+    is idempotent across process restarts."""
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "").removeprefix("file:")
+    if wh:
+        shutil.rmtree(f"{wh}/{table}", ignore_errors=True)
     writer = (
         df.write.mode("overwrite")
         .format("parquet")

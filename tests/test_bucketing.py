@@ -62,24 +62,47 @@ def test_bucketed_join_matches_plain_join(bucketed):
     assert n_bucketed == n_plain > 0
 
 
-def test_gate_query_survives_stale_warehouse_location(spark):
+def test_write_bucketed_survives_stale_warehouse_location(spark):
     """Fresh-session rerun hazard (round 8): saveAsTable(overwrite)
     raises LOCATION_ALREADY_EXISTS when the managed table's
     warehouse directory survives from a previous PROCESS while the
-    new session's in-memory catalog has no such table — exactly how
-    the external gate runs queries. The registered query must clear
-    the stale location itself. Simulated here by planting an
-    unregistered directory at both table locations."""
+    new session's in-memory catalog has no such table. write_bucketed
+    must clear the stale location itself. Simulated here by planting
+    an unregistered directory at the table location."""
     import os
 
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    table = "stale_loc_regression"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")  # catalog forgets...
+    loc = os.path.join(wh, table)
+    os.makedirs(loc, exist_ok=True)  # ...but the location stays
+    with open(os.path.join(loc, "stale-part.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    df = spark.read.parquet(f"{SF}/customer.parquet")
+    try:
+        write_bucketed(df, table, ["c_custkey"], 4)
+        assert read_table(spark, table).count() == df.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_gate_query_double_run_no_collision(spark):
+    """Round-9 ask #5: the gate query's tables are namespaced per
+    invocation, so two runs against the same warehouse never race on
+    drop/rmtree/saveAsTable. Both runs must succeed, agree, and use
+    disjoint table names (the first run's tables are still live —
+    its returned DataFrame reads them lazily — when the second run
+    writes its own)."""
     from etl_covid19_spark.queries import REGISTRY
 
-    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    for t in ("bkt_gate_customer", "bkt_gate_orders"):
-        spark.sql(f"DROP TABLE IF EXISTS {t}")  # catalog forgets...
-        loc = os.path.join(wh, t)
-        os.makedirs(loc, exist_ok=True)  # ...but the location stays
-        with open(os.path.join(loc, "stale-part.parquet"), "wb") as f:
-            f.write(b"not a real parquet file")
-    out = REGISTRY["bucketed_join_agg"].fn(spark, SF).collect()
-    assert len(out) > 0
+    before = {t.name for t in spark.catalog.listTables()}
+    df1 = REGISTRY["bucketed_join_agg"].fn(spark, SF)
+    mid = {t.name for t in spark.catalog.listTables()}
+    df2 = REGISTRY["bucketed_join_agg"].fn(spark, SF)
+    after = {t.name for t in spark.catalog.listTables()}
+    run1 = {t for t in mid - before if t.startswith("bkt_gate_")}
+    run2 = {t for t in after - mid if t.startswith("bkt_gate_")}
+    assert len(run1) == 2 and len(run2) == 2 and not (run1 & run2)
+    rows1 = sorted(map(tuple, df1.collect()))
+    rows2 = sorted(map(tuple, df2.collect()))
+    assert rows1 == rows2 and len(rows1) > 0
