@@ -58,6 +58,30 @@ def _write(out_dir: str, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows -> {path}")
 
 
+def _chunk_writer(out_dir: str, name: str):
+    """Multi-file variant of _write for tables too large to hold in
+    memory at once (sf100 lineitem is ~600M rows ≈ 50 GB of numpy
+    transients if generated in one shot). Files land inside a
+    `<name>.parquet/` DIRECTORY — Spark reads a directory of parquet
+    parts exactly like a single file, so the catalog needs no change.
+    Returns (append(table), close())."""
+    path = os.path.join(out_dir, f"{name}.parquet")
+    os.makedirs(path, exist_ok=True)
+    state = {"i": 0, "rows": 0}
+
+    def append(table: pa.Table) -> None:
+        part = os.path.join(path, f"part-{state['i']:05d}.parquet")
+        pq.write_table(table, part, version="2.6", compression="snappy")
+        state["i"] += 1
+        state["rows"] += table.num_rows
+
+    def close() -> None:
+        print(f"  {name}: {state['rows']} rows -> {path} "
+              f"({state['i']} files)")
+
+    return append, close
+
+
 def _ts_us(days: np.ndarray) -> pa.Array:
     return pa.array(days * _US_DAY, type=pa.timestamp("us"))
 
@@ -119,41 +143,72 @@ def gen(sf: float, out_dir: str) -> None:
     }))
 
     # -- orders: dates 1995-01-01 .. 2001-08-01 (the driver's span) --
-    odays = _ORDERS_EPOCH_DAYS + rng.integers(0, 2404, n_orders)
-    _write(out_dir, "orders", pa.table({
-        "o_orderkey": np.arange(n_orders, dtype=np.int64),
-        "o_custkey": rng.integers(0, n_cust, n_orders),
-        "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n_orders)],
-        "o_totalprice": np.round(rng.uniform(1000.0, 500_000.0, n_orders), 2),
-        "o_orderdate": _ts_us(odays),
-        "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n_orders)],
-    }))
-
     # -- lineitem: 1-7 lines per order, shipdate = orderdate + 1..95d --
-    lines_per = rng.integers(1, 8, n_orders)
-    lok = np.repeat(np.arange(n_orders, dtype=np.int64), lines_per)
-    n_li = len(lok)
-    lnum = (
-        np.arange(n_li, dtype=np.int64)
-        - np.repeat(np.cumsum(lines_per) - lines_per, lines_per)
-        + 1
-    )
-    qty = rng.integers(1, 51, n_li).astype(np.float64)
-    price = np.round(qty * rng.uniform(900.0, 2000.0, n_li), 2)
-    sdays = np.repeat(odays, lines_per) + rng.integers(1, 96, n_li)
-    _write(out_dir, "lineitem", pa.table({
-        "l_orderkey": lok,
-        "l_partkey": rng.integers(0, n_part, n_li),
-        "l_suppkey": rng.integers(0, n_supp, n_li),
-        "l_linenumber": pa.array(lnum, pa.int32()),
-        "l_quantity": qty,
-        "l_extendedprice": price,
-        "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
-        "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
-        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
-        "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
-        "l_shipdate": _ts_us(sdays),
-    }))
+    # Both are generated from the same per-order day vector. Above
+    # ~20M orders (sf≳13) the single-shot numpy transients would be
+    # tens of GB, so the generation CHUNKS over contiguous key ranges
+    # into multi-file parquet directories (same schema, same value
+    # domains; Spark reads them identically). At sf ≤ 10 the
+    # single-chunk path draws the rng in the exact original order, so
+    # the shipped sf1/sf10 warehouses stay byte-identical.
+    def _orders_chunk(okeys: np.ndarray) -> tuple[pa.Table, np.ndarray]:
+        n = len(okeys)
+        odays = _ORDERS_EPOCH_DAYS + rng.integers(0, 2404, n)
+        tbl = pa.table({
+            "o_orderkey": okeys,
+            "o_custkey": rng.integers(0, n_cust, n),
+            "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n)],
+            "o_totalprice": np.round(rng.uniform(1000.0, 500_000.0, n), 2),
+            "o_orderdate": _ts_us(odays),
+            "o_orderpriority": np.array(PRIORITIES)[rng.integers(0, 5, n)],
+        })
+        return tbl, odays
+
+    def _lineitem_chunk(okeys: np.ndarray, odays: np.ndarray) -> pa.Table:
+        lines_per = rng.integers(1, 8, len(okeys))
+        lok = np.repeat(okeys, lines_per)
+        n_li = len(lok)
+        lnum = (
+            np.arange(n_li, dtype=np.int64)
+            - np.repeat(np.cumsum(lines_per) - lines_per, lines_per)
+            + 1
+        )
+        qty = rng.integers(1, 51, n_li).astype(np.float64)
+        price = np.round(qty * rng.uniform(900.0, 2000.0, n_li), 2)
+        sdays = np.repeat(odays, lines_per) + rng.integers(1, 96, n_li)
+        return pa.table({
+            "l_orderkey": lok,
+            "l_partkey": rng.integers(0, n_part, n_li),
+            "l_suppkey": rng.integers(0, n_supp, n_li),
+            "l_linenumber": pa.array(lnum, pa.int32()),
+            "l_quantity": qty,
+            "l_extendedprice": price,
+            "l_discount": np.round(rng.integers(0, 11, n_li) / 100.0, 2),
+            "l_tax": np.round(rng.integers(0, 9, n_li) / 100.0, 2),
+            "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+            "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
+            "l_shipdate": _ts_us(sdays),
+        })
+
+    _ORDER_CHUNK = 15_000_000
+    if n_orders <= _ORDER_CHUNK:
+        tbl, odays = _orders_chunk(np.arange(n_orders, dtype=np.int64))
+        _write(out_dir, "orders", tbl)
+        _write(out_dir, "lineitem", _lineitem_chunk(
+            np.arange(n_orders, dtype=np.int64), odays
+        ))
+    else:
+        o_app, o_close = _chunk_writer(out_dir, "orders")
+        l_app, l_close = _chunk_writer(out_dir, "lineitem")
+        for lo in range(0, n_orders, _ORDER_CHUNK):
+            okeys = np.arange(
+                lo, min(lo + _ORDER_CHUNK, n_orders), dtype=np.int64
+            )
+            tbl, odays = _orders_chunk(okeys)
+            o_app(tbl)
+            l_app(_lineitem_chunk(okeys, odays))
+        o_close()
+        l_close()
 
     # -- events: 30-day stream --
     ts_us = np.sort(

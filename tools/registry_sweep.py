@@ -76,12 +76,22 @@ SLOW_BY_DESIGN = {
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
     # optional slice "start:end" over the registry (run long sweeps
-    # in chunks, merge the JSON lines with tools/merge_sweeps.py)
+    # in chunks, merge the JSON lines with tools/merge_sweeps.py), or
+    # a comma-separated name list for targeted spot-sweeps (the sf100
+    # scale-critical subset)
     lo, hi = 0, len(REGISTRY)
+    only: set[str] | None = None
     if len(sys.argv) > 2:
-        s, _, e = sys.argv[2].partition(":")
-        lo = int(s) if s else 0
-        hi = int(e) if e else len(REGISTRY)
+        arg = sys.argv[2]
+        if set(arg) <= set("0123456789:"):
+            s, _, e = arg.partition(":")
+            lo = int(s) if s else 0
+            hi = int(e) if e else len(REGISTRY)
+        else:
+            only = set(arg.split(","))
+            unknown = only - set(REGISTRY)
+            if unknown:
+                raise SystemExit(f"unknown queries: {sorted(unknown)}")
     spark = get_spark("registry_sweep")
     spark.sparkContext.setLogLevel("ERROR")
     big_sf = "sf1" in sf_dir or "sf10" in sf_dir
@@ -96,6 +106,8 @@ def main() -> None:
     from etl_covid19_spark.operators.df_cache import SHARED_CACHE
 
     for name, qd in list(REGISTRY.items())[lo:hi]:
+        if only is not None and name not in only:
+            continue
         if big_sf and name in skips:
             skipped.append(name)
             continue
