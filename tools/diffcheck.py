@@ -152,8 +152,19 @@ def driver_canon_error(rows, columns):
     return None
 
 
-def run(spark, sf_dir: str, only=None, verbose: bool = True):
-    """Differential sweep; returns [(query_name, problem), ...]."""
+def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None):
+    """Differential sweep; returns [(query_name, problem), ...].
+
+    When ``stats`` is a dict it is filled with one record per query
+    run: {name: {"status": ok|rows_only|fail, "rows": N,
+    "spark_sec": s, "oracle_sec": s}} — the committable artifact for
+    at-scale differential runs (DIFF_sf1.json), where the claim
+    "every oracle matched at sf1" needs per-query evidence, not an
+    exit code.
+    """
+    import os
+    import time
+
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -167,8 +178,12 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
     ):
+        # gen_sf chunks big tables into `<name>.parquet/` DIRECTORIES
+        # of part files (sf100 orders/lineitem); glob those for DuckDB
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')"
         )
 
     queries = entrymod.queries()
@@ -178,6 +193,10 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
     for name, fn in queries.items():
         if only and name not in only:
             continue
+        rec = {} if stats is not None else None
+        if rec is not None:
+            stats[name] = rec
+        t0 = time.perf_counter()
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -186,10 +205,17 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR {type(exc).__name__}: {exc}"))
             say(f"FAIL  {name}: spark error {exc}")
+            if rec is not None:
+                rec.update(status="fail", spark_sec=round(time.perf_counter() - t0, 3))
             continue
+        if rec is not None:
+            rec.update(rows=len(s_rows), spark_sec=round(time.perf_counter() - t0, 3))
         if name not in oracles:
             say(f"SKIP  {name}: no oracle (rows-only) — {len(s_rows)} rows")
+            if rec is not None:
+                rec["status"] = "rows_only"
             continue
+        t1 = time.perf_counter()
         try:
             rel = con.sql(oracles[name])
             d_cols = list(rel.columns)
@@ -198,7 +224,11 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {exc}"))
             say(f"FAIL  {name}: duckdb error {exc}")
+            if rec is not None:
+                rec.update(status="fail", oracle_sec=round(time.perf_counter() - t1, 3))
             continue
+        if rec is not None:
+            rec["oracle_sec"] = round(time.perf_counter() - t1, 3)
         problems = []
         for col, st in unsortable_columns(s_dtypes):
             problems.append(
@@ -239,20 +269,69 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True):
         if problems:
             failures.append((name, "; ".join(problems)))
             say(f"FAIL  {name}: {'; '.join(problems)}")
+            if rec is not None:
+                rec["status"] = "fail"
         else:
             say(f"OK    {name} ({len(s_rows)} rows)")
+            if rec is not None:
+                rec["status"] = "ok"
 
-    say(f"\n{len(failures)} failures / {len(queries)} queries")
+    n_ran = len(stats) if stats is not None else (
+        len(only) if only else len(queries)
+    )
+    say(f"\n{len(failures)} failures / {n_ran} queries run")
     return failures
 
 
 def main() -> int:
+    import json
+    import os
+    import subprocess
+
     from etl_covid19_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("diffcheck")
-    return 1 if run(spark, sf_dir, only or None) else 0
+    stats: dict = {}
+    failures = run(spark, sf_dir, only or None, stats=stats)
+    if json_out:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            capture_output=True,
+            text=True,
+        ).stdout.strip()
+        by_status: dict[str, int] = {}
+        for r in stats.values():
+            by_status[r.get("status", "?")] = by_status.get(r.get("status", "?"), 0) + 1
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "commit": commit,
+                    "n_run": len(stats),
+                    "counts": by_status,
+                    "failures": {n: p for n, p in failures},
+                    "total_spark_sec": round(
+                        sum(r.get("spark_sec", 0) for r in stats.values()), 2
+                    ),
+                    "total_oracle_sec": round(
+                        sum(r.get("oracle_sec", 0) for r in stats.values()), 2
+                    ),
+                    "queries": stats,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+    return 1 if failures else 0
 
 
 if __name__ == "__main__":
