@@ -86,7 +86,37 @@ def _ts_us(days: np.ndarray) -> pa.Array:
     return pa.array(days * _US_DAY, type=pa.timestamp("us"))
 
 
-def gen(sf: float, out_dir: str) -> None:
+ALL_TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def gen(sf: float, out_dir: str, tables: set[str] | None = None) -> None:
+    """Generate the warehouse at `sf` into `out_dir`.
+
+    `tables=None` (the default) writes every table with the shared
+    sequential rng — byte-identical to all previously generated
+    warehouses at the same sf. A subset SKIPS the excluded tables'
+    rng draws entirely, so subset output differs value-wise (not
+    schema- or distribution-wise) from a full run at the same sf;
+    it is still fully deterministic for a given (sf, subset). Used
+    for the sf100 spot-sweep, where generating the 600M-row
+    lineitem for queries that never read it would dominate the
+    cost. orders/lineitem share one day vector, so asking for
+    lineitem implies generating orders' draws too (orders is then
+    also written — it is free by comparison).
+    """
+    if tables is not None:
+        unknown = tables - set(ALL_TABLES)
+        if unknown:
+            raise ValueError(f"unknown tables: {sorted(unknown)}")
+        if "lineitem" in tables:
+            tables = tables | {"orders"}
+
+    def want(name: str) -> bool:
+        return tables is None or name in tables
+
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(SEED)
 
@@ -100,47 +130,52 @@ def gen(sf: float, out_dir: str) -> None:
     n_vecs = int(20_000 * sf)
 
     # -- region / nation (fixed small dims) --
-    _write(out_dir, "region", pa.table({
-        "r_regionkey": pa.array(range(5), pa.int32()),
-        "r_name": REGIONS,
-    }))
-    _write(out_dir, "nation", pa.table({
-        "n_nationkey": pa.array(range(25), pa.int32()),
-        "n_name": [f"NATION_{i}" for i in range(25)],
-        "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
-    }))
+    if want("region"):
+        _write(out_dir, "region", pa.table({
+            "r_regionkey": pa.array(range(5), pa.int32()),
+            "r_name": REGIONS,
+        }))
+    if want("nation"):
+        _write(out_dir, "nation", pa.table({
+            "n_nationkey": pa.array(range(25), pa.int32()),
+            "n_name": [f"NATION_{i}" for i in range(25)],
+            "n_regionkey": pa.array([i % 5 for i in range(25)], pa.int32()),
+        }))
 
     # -- customer --
-    ck = np.arange(n_cust, dtype=np.int64)
-    _write(out_dir, "customer", pa.table({
-        "c_custkey": ck,
-        "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
-        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
-        "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
-        "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, n_cust)],
-    }))
+    if want("customer"):
+        ck = np.arange(n_cust, dtype=np.int64)
+        _write(out_dir, "customer", pa.table({
+            "c_custkey": ck,
+            "c_name": [f"Customer#{i:09d}" for i in range(n_cust)],
+            "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+            "c_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_cust), 2),
+            "c_mktsegment": np.array(SEGMENTS)[rng.integers(0, 5, n_cust)],
+        }))
 
     # -- supplier --
-    _write(out_dir, "supplier", pa.table({
-        "s_suppkey": np.arange(n_supp, dtype=np.int64),
-        "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
-        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
-        "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
-    }))
+    if want("supplier"):
+        _write(out_dir, "supplier", pa.table({
+            "s_suppkey": np.arange(n_supp, dtype=np.int64),
+            "s_name": [f"Supplier#{i:09d}" for i in range(n_supp)],
+            "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+            "s_acctbal": np.round(rng.uniform(-999.99, 9999.99, n_supp), 2),
+        }))
 
     # -- part --
-    adj = np.array(PART_ADJ)[rng.integers(0, len(PART_ADJ), n_part)]
-    noun = np.array(PART_NOUN)[rng.integers(0, len(PART_NOUN), n_part)]
-    _write(out_dir, "part", pa.table({
-        "p_partkey": np.arange(n_part, dtype=np.int64),
-        "p_name": np.char.add(np.char.add(adj, " "), noun),
-        "p_brand": np.array(
-            [f"Brand#{i}" for i in range(1, 26)]
-        )[rng.integers(0, 25, n_part)],
-        "p_type": np.array(PART_TYPES)[rng.integers(0, len(PART_TYPES), n_part)],
-        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
-        "p_retailprice": np.round(rng.uniform(900.0, 2000.0, n_part), 2),
-    }))
+    if want("part"):
+        adj = np.array(PART_ADJ)[rng.integers(0, len(PART_ADJ), n_part)]
+        noun = np.array(PART_NOUN)[rng.integers(0, len(PART_NOUN), n_part)]
+        _write(out_dir, "part", pa.table({
+            "p_partkey": np.arange(n_part, dtype=np.int64),
+            "p_name": np.char.add(np.char.add(adj, " "), noun),
+            "p_brand": np.array(
+                [f"Brand#{i}" for i in range(1, 26)]
+            )[rng.integers(0, 25, n_part)],
+            "p_type": np.array(PART_TYPES)[rng.integers(0, len(PART_TYPES), n_part)],
+            "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+            "p_retailprice": np.round(rng.uniform(900.0, 2000.0, n_part), 2),
+        }))
 
     # -- orders: dates 1995-01-01 .. 2001-08-01 (the driver's span) --
     # -- lineitem: 1-7 lines per order, shipdate = orderdate + 1..95d --
@@ -191,108 +226,122 @@ def gen(sf: float, out_dir: str) -> None:
         })
 
     _ORDER_CHUNK = 15_000_000
-    if n_orders <= _ORDER_CHUNK:
-        tbl, odays = _orders_chunk(np.arange(n_orders, dtype=np.int64))
-        _write(out_dir, "orders", tbl)
-        _write(out_dir, "lineitem", _lineitem_chunk(
-            np.arange(n_orders, dtype=np.int64), odays
-        ))
-    else:
-        o_app, o_close = _chunk_writer(out_dir, "orders")
-        l_app, l_close = _chunk_writer(out_dir, "lineitem")
-        for lo in range(0, n_orders, _ORDER_CHUNK):
-            okeys = np.arange(
-                lo, min(lo + _ORDER_CHUNK, n_orders), dtype=np.int64
-            )
-            tbl, odays = _orders_chunk(okeys)
-            o_app(tbl)
-            l_app(_lineitem_chunk(okeys, odays))
-        o_close()
-        l_close()
+    if want("orders") or want("lineitem"):
+        if n_orders <= _ORDER_CHUNK:
+            tbl, odays = _orders_chunk(np.arange(n_orders, dtype=np.int64))
+            _write(out_dir, "orders", tbl)
+            if want("lineitem"):
+                _write(out_dir, "lineitem", _lineitem_chunk(
+                    np.arange(n_orders, dtype=np.int64), odays
+                ))
+        else:
+            o_app, o_close = _chunk_writer(out_dir, "orders")
+            if want("lineitem"):
+                l_app, l_close = _chunk_writer(out_dir, "lineitem")
+            for lo in range(0, n_orders, _ORDER_CHUNK):
+                okeys = np.arange(
+                    lo, min(lo + _ORDER_CHUNK, n_orders), dtype=np.int64
+                )
+                tbl, odays = _orders_chunk(okeys)
+                o_app(tbl)
+                if want("lineitem"):
+                    l_app(_lineitem_chunk(okeys, odays))
+            o_close()
+            if want("lineitem"):
+                l_close()
 
     # -- events: 30-day stream --
-    ts_us = np.sort(
-        _EVENTS_EPOCH_NS // 1000
-        + rng.integers(0, 30 * 86_400 * 1_000_000, n_events)
-    )
-    ks = rng.integers(0, 100, n_events)
-    _write(out_dir, "events", pa.table({
-        "event_id": np.arange(n_events, dtype=np.int64),
-        "ts": pa.array(ts_us, pa.timestamp("us")),
-        "user_id": rng.integers(1, n_users + 1, n_events),
-        "event_type": np.array(EVENT_TYPES)[
-            rng.choice(5, n_events, p=[0.4, 0.3, 0.1, 0.1, 0.1])
-        ],
-        "value": np.round(rng.exponential(50.0, n_events) + 0.01, 2),
-        "props": np.char.add(
-            np.char.add("{\"k\": ", ks.astype(str)), "}"
-        ),
-    }))
+    if want("events"):
+        ts_us = np.sort(
+            _EVENTS_EPOCH_NS // 1000
+            + rng.integers(0, 30 * 86_400 * 1_000_000, n_events)
+        )
+        ks = rng.integers(0, 100, n_events)
+        _write(out_dir, "events", pa.table({
+            "event_id": np.arange(n_events, dtype=np.int64),
+            "ts": pa.array(ts_us, pa.timestamp("us")),
+            "user_id": rng.integers(1, n_users + 1, n_events),
+            "event_type": np.array(EVENT_TYPES)[
+                rng.choice(5, n_events, p=[0.4, 0.3, 0.1, 0.1, 0.1])
+            ],
+            "value": np.round(rng.exponential(50.0, n_events) + 0.01, 2),
+            "props": np.char.add(
+                np.char.add("{\"k\": ", ks.astype(str)), "}"
+            ),
+        }))
 
     # -- documents: word salad + injected exact/near duplicates so the
     #    dedup family has real work (mirrors the driver's ~0.2% exact
     #    and discoverable near-dup structure) --
-    base_words = rng.integers(20, 101, n_docs)
-    vocab = np.array(VOCAB)
-    texts: list[str] = []
-    for i in range(n_docs):
-        w = vocab[rng.integers(0, len(vocab), base_words[i])]
-        texts.append(" ".join(w))
-    # 1% near-duplicates: copy an earlier doc, perturb one word
-    n_near = n_docs // 100
-    near_src = rng.integers(0, n_docs, n_near)
-    near_dst = rng.integers(0, n_docs, n_near)
-    for s, d in zip(near_src, near_dst):
-        if s == d:
-            continue
-        ws = texts[s].split()
-        ws[int(rng.integers(0, len(ws)))] = str(vocab[rng.integers(0, len(vocab))])
-        texts[d] = " ".join(ws)
-    # 0.2% exact duplicates
-    n_exact = max(n_docs // 500, 1)
-    ex_src = rng.integers(0, n_docs, n_exact)
-    ex_dst = rng.integers(0, n_docs, n_exact)
-    for s, d in zip(ex_src, ex_dst):
-        if s != d:
-            texts[d] = texts[s]
-    _write(out_dir, "documents", pa.table({
-        "doc_id": np.arange(n_docs, dtype=np.int64),
-        "text": texts,
-        "lang": np.array(LANGS)[
-            rng.choice(5, n_docs, p=[0.5, 0.15, 0.15, 0.1, 0.1])
-        ],
-        "source": np.array([f"src{i}" for i in range(20)])[
-            rng.integers(0, 20, n_docs)
-        ],
-        "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
-    }))
+    if want("documents"):
+        base_words = rng.integers(20, 101, n_docs)
+        vocab = np.array(VOCAB)
+        texts: list[str] = []
+        for i in range(n_docs):
+            w = vocab[rng.integers(0, len(vocab), base_words[i])]
+            texts.append(" ".join(w))
+        # 1% near-duplicates: copy an earlier doc, perturb one word
+        n_near = n_docs // 100
+        near_src = rng.integers(0, n_docs, n_near)
+        near_dst = rng.integers(0, n_docs, n_near)
+        for s, d in zip(near_src, near_dst):
+            if s == d:
+                continue
+            ws = texts[s].split()
+            ws[int(rng.integers(0, len(ws)))] = str(vocab[rng.integers(0, len(vocab))])
+            texts[d] = " ".join(ws)
+        # 0.2% exact duplicates
+        n_exact = max(n_docs // 500, 1)
+        ex_src = rng.integers(0, n_docs, n_exact)
+        ex_dst = rng.integers(0, n_docs, n_exact)
+        for s, d in zip(ex_src, ex_dst):
+            if s != d:
+                texts[d] = texts[s]
+        _write(out_dir, "documents", pa.table({
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": np.array(LANGS)[
+                rng.choice(5, n_docs, p=[0.5, 0.15, 0.15, 0.1, 0.1])
+            ],
+            "source": np.array([f"src{i}" for i in range(20)])[
+                rng.integers(0, 20, n_docs)
+            ],
+            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+        }))
 
     # -- embeddings: 10 clusters, unit-norm 64-dim + ~3% near-dups --
-    dim, n_labels = 64, 10
-    centers = rng.normal(0, 1, (n_labels, dim))
-    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
-    labels = rng.integers(0, n_labels, n_vecs)
-    vecs = centers[labels] + rng.normal(0, 0.35, (n_vecs, dim))
-    n_nd = n_vecs * 3 // 100
-    nd_src = rng.integers(0, n_vecs, n_nd)
-    nd_dst = rng.integers(0, n_vecs, n_nd)
-    mask = nd_src != nd_dst
-    vecs[nd_dst[mask]] = (
-        vecs[nd_src[mask]] + rng.normal(0, 0.01, (mask.sum(), dim))
-    )
-    labels_arr = labels.copy()
-    labels_arr[nd_dst[mask]] = labels[nd_src[mask]]
-    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
-    _write(out_dir, "embeddings", pa.table({
-        "vec_id": np.arange(n_vecs, dtype=np.int64),
-        "embedding": pa.array(
-            list(vecs.astype(np.float32)), pa.list_(pa.float32())
-        ),
-        "label": pa.array(labels_arr, pa.int32()),
-    }))
+    if want("embeddings"):
+        dim, n_labels = 64, 10
+        centers = rng.normal(0, 1, (n_labels, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        labels = rng.integers(0, n_labels, n_vecs)
+        vecs = centers[labels] + rng.normal(0, 0.35, (n_vecs, dim))
+        n_nd = n_vecs * 3 // 100
+        nd_src = rng.integers(0, n_vecs, n_nd)
+        nd_dst = rng.integers(0, n_vecs, n_nd)
+        mask = nd_src != nd_dst
+        vecs[nd_dst[mask]] = (
+            vecs[nd_src[mask]] + rng.normal(0, 0.01, (mask.sum(), dim))
+        )
+        labels_arr = labels.copy()
+        labels_arr[nd_dst[mask]] = labels[nd_src[mask]]
+        vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+        _write(out_dir, "embeddings", pa.table({
+            "vec_id": np.arange(n_vecs, dtype=np.int64),
+            "embedding": pa.array(
+                list(vecs.astype(np.float32)), pa.list_(pa.float32())
+            ),
+            "label": pa.array(labels_arr, pa.int32()),
+        }))
 
 
 if __name__ == "__main__":
-    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
-    out = sys.argv[2] if len(sys.argv) > 2 else f"/tmp/sfgen/sf{sys.argv[1]}"
-    gen(sf, out)
+    argv = list(sys.argv[1:])
+    tables = None
+    if "--tables" in argv:
+        i = argv.index("--tables")
+        tables = {t for t in argv[i + 1].split(",") if t}
+        del argv[i : i + 2]
+    sf = float(argv[0]) if argv else 1.0
+    out = argv[1] if len(argv) > 1 else f"/tmp/sfgen/sf{argv[0]}"
+    gen(sf, out, tables)
