@@ -152,22 +152,68 @@ def driver_canon_error(rows, columns):
     return None
 
 
-def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None):
+def _with_budget(thunk, cancel, budget: float | None):
+    """Run thunk; if it raises after `budget` seconds armed `cancel`
+    fired, report (None, True) instead of propagating — the caller
+    records a timeout and keeps sweeping."""
+    import threading
+
+    if budget is None:
+        return thunk(), False
+    fired = threading.Event()
+    done = threading.Event()
+
+    def _cancel():
+        # the done flag shrinks the race where the timer fires just
+        # after a successful return — a stale con.interrupt() would
+        # otherwise cancel the NEXT query on the same connection
+        if done.is_set():
+            return
+        fired.set()
+        cancel()
+
+    timer = threading.Timer(budget, _cancel)
+    timer.start()
+    try:
+        result = thunk()
+        done.set()
+        return result, False
+    except Exception:
+        done.set()
+        if fired.is_set():
+            return None, True
+        raise
+    finally:
+        timer.cancel()
+
+
+def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
+        query_budget: float | None = None):
     """Differential sweep; returns [(query_name, problem), ...].
 
     When ``stats`` is a dict it is filled with one record per query
-    run: {name: {"status": ok|rows_only|fail, "rows": N,
+    run: {name: {"status": ok|rows_only|fail|timeout, "rows": N,
     "spark_sec": s, "oracle_sec": s}} — the committable artifact for
     at-scale differential runs (DIFF_sf1.json), where the claim
     "every oracle matched at sf1" needs per-query evidence, not an
     exit code.
+
+    ``query_budget`` (seconds, per SIDE per query) arms a watchdog for
+    at-scale runs: the Spark side is cancelled via its job group (the
+    registry_sweep pattern), the DuckDB side via ``con.interrupt()``.
+    A blown budget records the query as ``timeout`` and the sweep
+    keeps going — one degenerate oracle at sf1 cannot eat the run.
     """
     import os
+    import threading
     import time
 
     import duckdb
 
     import __spark_entry__ as entrymod
+
+    def with_budget(label, thunk, cancel):
+        return _with_budget(thunk, cancel, query_budget)
 
     def say(msg: str) -> None:
         if verbose:
@@ -197,17 +243,39 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None):
         if rec is not None:
             stats[name] = rec
         t0 = time.perf_counter()
-        try:
+        group = f"diff_{name}"
+        spark.sparkContext.setJobGroup(group, name, True)
+
+        def spark_side():
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_dtypes = sdf.dtypes
-            s_rows = [tuple(r) for r in sdf.collect()]
+            return (
+                sdf.columns,
+                sdf.dtypes,
+                [tuple(r) for r in sdf.collect()],
+            )
+
+        try:
+            got, timed_out = with_budget(
+                name, spark_side,
+                lambda: spark.sparkContext.cancelJobGroup(group),
+            )
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"SPARK ERROR {type(exc).__name__}: {exc}"))
             say(f"FAIL  {name}: spark error {exc}")
             if rec is not None:
                 rec.update(status="fail", spark_sec=round(time.perf_counter() - t0, 3))
             continue
+        finally:
+            spark.sparkContext.setJobGroup("", "", False)
+        if timed_out:
+            failures.append(
+                (name, f"SPARK TIMEOUT after {query_budget}s")
+            )
+            say(f"TIMEOUT  {name}: spark side blew {query_budget}s")
+            if rec is not None:
+                rec.update(status="timeout", spark_sec=round(time.perf_counter() - t0, 3))
+            continue
+        s_cols, s_dtypes, s_rows = got
         if rec is not None:
             rec.update(rows=len(s_rows), spark_sec=round(time.perf_counter() - t0, 3))
         if name not in oracles:
@@ -216,17 +284,30 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None):
                 rec["status"] = "rows_only"
             continue
         t1 = time.perf_counter()
-        try:
+
+        def oracle_side():
             rel = con.sql(oracles[name])
-            d_cols = list(rel.columns)
-            d_types = list(rel.types)
-            d_rows = rel.fetchall()
+            return list(rel.columns), list(rel.types), rel.fetchall()
+
+        try:
+            got, timed_out = with_budget(
+                name, oracle_side, con.interrupt
+            )
         except Exception as exc:  # noqa: BLE001
             failures.append((name, f"DUCKDB ERROR: {exc}"))
             say(f"FAIL  {name}: duckdb error {exc}")
             if rec is not None:
                 rec.update(status="fail", oracle_sec=round(time.perf_counter() - t1, 3))
             continue
+        if timed_out:
+            failures.append(
+                (name, f"ORACLE TIMEOUT after {query_budget}s")
+            )
+            say(f"TIMEOUT  {name}: oracle side blew {query_budget}s")
+            if rec is not None:
+                rec.update(status="timeout", oracle_sec=round(time.perf_counter() - t1, 3))
+            continue
+        d_cols, d_types, d_rows = got
         if rec is not None:
             rec["oracle_sec"] = round(time.perf_counter() - t1, 3)
         problems = []
@@ -296,11 +377,18 @@ def main() -> int:
         i = argv.index("--json")
         json_out = argv[i + 1]
         del argv[i : i + 2]
+    budget = None
+    if "--budget" in argv:
+        i = argv.index("--budget")
+        budget = float(argv[i + 1])
+        del argv[i : i + 2]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     only = set(argv[1:])
     spark = get_spark("diffcheck")
     stats: dict = {}
-    failures = run(spark, sf_dir, only or None, stats=stats)
+    failures = run(
+        spark, sf_dir, only or None, stats=stats, query_budget=budget
+    )
     if json_out:
         commit = subprocess.run(
             ["git", "rev-parse", "--short", "HEAD"],
@@ -317,6 +405,7 @@ def main() -> int:
                     "sf_dir": sf_dir,
                     "commit": commit,
                     "n_run": len(stats),
+                    "query_budget_sec": budget,
                     "counts": by_status,
                     "failures": {n: p for n, p in failures},
                     "total_spark_sec": round(

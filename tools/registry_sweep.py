@@ -166,6 +166,9 @@ def main() -> None:
                 "sf_dir": sf_dir,
                 "commit": commit,
                 "n_queries": len(REGISTRY),
+                # for subset sweeps (name-list / slice), how many
+                # actually ran vs the registry size above
+                "n_run": len(times) + len(failures) + len(timeouts),
                 "total_sec": round(sum(times.values()), 2),
                 "failures": failures,
                 "timeouts": timeouts,
