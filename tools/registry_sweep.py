@@ -94,6 +94,34 @@ def main() -> None:
                 raise SystemExit(f"unknown queries: {sorted(unknown)}")
     spark = get_spark("registry_sweep")
     spark.sparkContext.setLogLevel("ERROR")
+
+    # Control the two ambient variables that made round-over-round
+    # sweep totals incomparable (round-9 finding: star_join_revenue
+    # read 9.4 s in one sweep and 42.5 s in the next with identical
+    # code, data, and final plan):
+    #  1. JVM/codegen warmup — the FIRST query in the session paid
+    #     ~10 s that every other query didn't; run one trivial scan
+    #     before the loop so query #1 measures the query.
+    #  2. OS page cache — whichever query touched a big table first
+    #     paid its cold I/O, and whether the warehouse was generated
+    #     minutes or hours before the sweep silently swung totals
+    #     ±30%+. Pre-touch every warehouse file once (sequential
+    #     read, dropped immediately) so every query measures COMPUTE
+    #     on the same footing. SWEEP_COLD=1 opts back into ambient
+    #     cache state; the JSON records which protocol ran.
+    cache_mode = "ambient" if os.environ.get("SWEEP_COLD") else "page-warmed"
+    if cache_mode == "page-warmed":
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                with open(os.path.join(root, f), "rb") as fh:
+                    while fh.read(1 << 24):
+                        pass
+    # date_dimension reads no warehouse table, so the warmup works
+    # for subset warehouses (sf100) too
+    REGISTRY["date_dimension"].fn(spark, sf_dir).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
     big_sf = "sf1" in sf_dir or "sf10" in sf_dir
     skips = set(QUADRATIC_BASELINES)
     if "sf10" in sf_dir:
@@ -174,6 +202,7 @@ def main() -> None:
                 "timeouts": timeouts,
                 "query_budget_sec": budget,
                 "isolation": "pool-cleared per query (cold incl. own pool builds)",
+                "cache": cache_mode,
                 "skipped_baselines": skipped,
                 "slow_by_design": {
                     n: r
