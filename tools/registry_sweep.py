@@ -127,6 +127,14 @@ def main() -> None:
     if "sf10" in sf_dir:
         skips |= SF10_QUADRATIC_OUTPUT
     budget = float(os.environ.get("SWEEP_QUERY_BUDGET", "120"))
+    # SWEEP_RUNS=N (default 1): per-query MEDIAN of N isolated runs.
+    # This shared-tenant host has sporadic contention windows where
+    # everything runs 3-7x slower (round 9: star_join_revenue flapped
+    # 9.4<->45 s across same-protocol sweeps with an identical final
+    # plan, while CPU steal read ~0 between windows) — any number
+    # that will be ADJUDICATED round-over-round should be a median of
+    # >=3; the full-registry coverage pass stays at 1 for wall-clock.
+    runs = max(1, int(os.environ.get("SWEEP_RUNS", "1")))
     times: dict[str, float] = {}
     failures: dict[str, str] = {}
     timeouts: list[str] = []
@@ -148,31 +156,36 @@ def main() -> None:
         # Every number below is therefore per-query COLD including
         # its own pool builds; the headline bench still measures the
         # warm shared-pool path.
-        SHARED_CACHE.clear()
-        group = f"sweep_{name}"
-        spark.sparkContext.setJobGroup(group, name, True)
-        fired = threading.Event()
+        samples: list[float] = []
+        for _attempt in range(runs):
+            SHARED_CACHE.clear()
+            group = f"sweep_{name}"
+            spark.sparkContext.setJobGroup(group, name, True)
+            fired = threading.Event()
 
-        def cancel():
-            fired.set()
-            spark.sparkContext.cancelJobGroup(group)
+            def cancel():
+                fired.set()
+                spark.sparkContext.cancelJobGroup(group)
 
-        timer = threading.Timer(budget, cancel)
-        timer.start()
-        t0 = time.perf_counter()
-        try:
-            qd.fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            times[name] = round(time.perf_counter() - t0, 3)
-        except Exception as e:  # keep sweeping; report at the end
-            if fired.is_set():
-                timeouts.append(name)
-            else:
-                failures[name] = str(e).split("\n")[0][:200]
-        finally:
-            timer.cancel()
-            spark.sparkContext.setJobGroup("", "", False)
+            timer = threading.Timer(budget, cancel)
+            timer.start()
+            t0 = time.perf_counter()
+            try:
+                qd.fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                samples.append(time.perf_counter() - t0)
+            except Exception as e:  # keep sweeping; report at the end
+                if fired.is_set():
+                    timeouts.append(name)
+                else:
+                    failures[name] = str(e).split("\n")[0][:200]
+                break
+            finally:
+                timer.cancel()
+                spark.sparkContext.setJobGroup("", "", False)
+        if samples and name not in timeouts and name not in failures:
+            times[name] = round(sorted(samples)[len(samples) // 2], 3)
         tag = times.get(name)
         if tag is None:
             tag = "TIMEOUT" if name in timeouts else "FAIL"
@@ -203,6 +216,7 @@ def main() -> None:
                 "query_budget_sec": budget,
                 "isolation": "pool-cleared per query (cold incl. own pool builds)",
                 "cache": cache_mode,
+                "runs_per_query": runs,
                 "skipped_baselines": skipped,
                 "slow_by_design": {
                     n: r
