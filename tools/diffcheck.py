@@ -188,7 +188,7 @@ def _with_budget(thunk, cancel, budget: float | None):
 
 
 def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
-        query_budget: float | None = None):
+        query_budget: float | None = None, checkpoint=None):
     """Differential sweep; returns [(query_name, problem), ...].
 
     When ``stats`` is a dict it is filled with one record per query
@@ -236,6 +236,12 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
     oracles = entrymod.oracle_sql()
     only = set(only) if only else None
     failures = []
+
+    def ckpt():
+        # flush per-query evidence after EVERY query so a killed or
+        # crashed at-scale run still leaves a committable artifact
+        if checkpoint is not None:
+            checkpoint(stats, failures)
     for name, fn in queries.items():
         if only and name not in only:
             continue
@@ -264,6 +270,7 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
             say(f"FAIL  {name}: spark error {exc}")
             if rec is not None:
                 rec.update(status="fail", spark_sec=round(time.perf_counter() - t0, 3))
+            ckpt()
             continue
         finally:
             spark.sparkContext.setJobGroup("", "", False)
@@ -274,6 +281,7 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
             say(f"TIMEOUT  {name}: spark side blew {query_budget}s")
             if rec is not None:
                 rec.update(status="timeout", spark_sec=round(time.perf_counter() - t0, 3))
+            ckpt()
             continue
         s_cols, s_dtypes, s_rows = got
         if rec is not None:
@@ -282,6 +290,7 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
             say(f"SKIP  {name}: no oracle (rows-only) — {len(s_rows)} rows")
             if rec is not None:
                 rec["status"] = "rows_only"
+            ckpt()
             continue
         t1 = time.perf_counter()
 
@@ -298,6 +307,7 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
             say(f"FAIL  {name}: duckdb error {exc}")
             if rec is not None:
                 rec.update(status="fail", oracle_sec=round(time.perf_counter() - t1, 3))
+            ckpt()
             continue
         if timed_out:
             failures.append(
@@ -306,6 +316,7 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
             say(f"TIMEOUT  {name}: oracle side blew {query_budget}s")
             if rec is not None:
                 rec.update(status="timeout", oracle_sec=round(time.perf_counter() - t1, 3))
+            ckpt()
             continue
         d_cols, d_types, d_rows = got
         if rec is not None:
@@ -356,6 +367,7 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
             say(f"OK    {name} ({len(s_rows)} rows)")
             if rec is not None:
                 rec["status"] = "ok"
+        ckpt()
 
     n_ran = len(stats) if stats is not None else (
         len(only) if only else len(queries)
@@ -386,41 +398,47 @@ def main() -> int:
     only = set(argv[1:])
     spark = get_spark("diffcheck")
     stats: dict = {}
-    failures = run(
-        spark, sf_dir, only or None, stats=stats, query_budget=budget
-    )
-    if json_out:
-        commit = subprocess.run(
-            ["git", "rev-parse", "--short", "HEAD"],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-            capture_output=True,
-            text=True,
-        ).stdout.strip()
+    commit = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True,
+        text=True,
+    ).stdout.strip()
+
+    def write_json(st, fl):
         by_status: dict[str, int] = {}
-        for r in stats.values():
+        for r in st.values():
             by_status[r.get("status", "?")] = by_status.get(r.get("status", "?"), 0) + 1
         with open(json_out, "w") as f:
             json.dump(
                 {
                     "sf_dir": sf_dir,
                     "commit": commit,
-                    "n_run": len(stats),
+                    "n_run": len(st),
                     "query_budget_sec": budget,
                     "counts": by_status,
-                    "failures": {n: p for n, p in failures},
+                    "failures": {n: p for n, p in fl},
                     "total_spark_sec": round(
-                        sum(r.get("spark_sec", 0) for r in stats.values()), 2
+                        sum(r.get("spark_sec", 0) for r in st.values()), 2
                     ),
                     "total_oracle_sec": round(
-                        sum(r.get("oracle_sec", 0) for r in stats.values()), 2
+                        sum(r.get("oracle_sec", 0) for r in st.values()), 2
                     ),
-                    "queries": stats,
+                    "queries": st,
                 },
                 f,
                 indent=1,
                 sort_keys=True,
             )
+
+    failures = run(
+        spark, sf_dir, only or None, stats=stats, query_budget=budget,
+        checkpoint=write_json if json_out else None,
+    )
+    if json_out:
+        write_json(stats, failures)
     return 1 if failures else 0
+
 
 
 if __name__ == "__main__":
