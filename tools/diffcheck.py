@@ -220,6 +220,15 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
             print(msg)
 
     con = duckdb.connect()
+    # Cap the oracle engine's resources: an oracle whose plan explodes
+    # at scale (round 9: triangle_count's 3-way self-join spilled
+    # >70 GB of hash-join temp at sf1 and ran the DISK out, risking
+    # every later query in the run) must abort with its own error,
+    # not take the host down. 24 GB memory / 24 GB spill is far above
+    # anything a well-shaped oracle needs at sf1-sf10.
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_diff_spill'")
+    con.execute("SET max_temp_directory_size='24GB'")
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()
@@ -303,10 +312,31 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
                 name, oracle_side, con.interrupt
             )
         except Exception as exc:  # noqa: BLE001
-            failures.append((name, f"DUCKDB ERROR: {exc}"))
-            say(f"FAIL  {name}: duckdb error {exc}")
-            if rec is not None:
-                rec.update(status="fail", oracle_sec=round(time.perf_counter() - t1, 3))
+            msg = str(exc)
+            resource = any(
+                t in msg
+                for t in (
+                    "Out of Memory", "No space left",
+                    "max_temp_directory_size", "OutOfMemoryException",
+                )
+            )
+            if resource:
+                # the ORACLE's plan is resource-infeasible at this SF
+                # (e.g. an uncapped self-join the engine-side query
+                # avoids by construction) — an at-scale-check
+                # limitation, not an engine failure; distinct from
+                # `fail` so a DIFF artifact reader can adjudicate
+                say(f"RESOURCE  {name}: oracle exhausted limits — {msg[:120]}")
+                if rec is not None:
+                    rec.update(
+                        status="oracle_resource",
+                        oracle_sec=round(time.perf_counter() - t1, 3),
+                    )
+            else:
+                failures.append((name, f"DUCKDB ERROR: {exc}"))
+                say(f"FAIL  {name}: duckdb error {exc}")
+                if rec is not None:
+                    rec.update(status="fail", oracle_sec=round(time.perf_counter() - t1, 3))
             ckpt()
             continue
         if timed_out:
