@@ -517,11 +517,17 @@ def dsir_importance(
             )
 
     staged = proj2.mapInArrow(score_kernel, score_schema)
+    # + 0.0 canonicalizes IEEE negative zero: a doc whose weight sum
+    # is a tiny negative (< 0.5e-6) rounds to -0.0, which formats as
+    # "-0" in some canonicalizers while the oracle's equally-tiny
+    # POSITIVE sum formats as "0" (surfaced by the sf1 differential:
+    # two 50k-doc rows flipped sign below the rounding grain). IEEE
+    # -0.0 + 0.0 = +0.0, so both sides land on one rendering.
     return staged.select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         "n_features",
-        F.round(F.col("_wsum"), 6).alias("log_importance"),
+        (F.round(F.col("_wsum"), 6) + F.lit(0.0)).alias("log_importance"),
     )
 
 

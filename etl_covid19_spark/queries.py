@@ -8011,7 +8011,7 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY x.doc_id
     )
     SELECT t.doc_id, t.lang, CAST(len(t.b) AS INT) AS n_features,
-           round(COALESCE(d.s, 0.0), 6) AS log_importance
+           round(COALESCE(d.s, 0.0), 6) + 0.0 AS log_importance
     FROM t LEFT JOIN d USING (doc_id)
     """,
 )
