@@ -7375,7 +7375,13 @@ def q_equidepth_histogram_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     conventions and DuckDB's quantile_disc agree at test SFs), so
     the compare is hash-exact here while the operator stays a sketch
     (±n/accuracy ranks) at 100 TB, where the exact ntile form cannot
-    run at all. Bucket edges differ from ntile's by design: binning
+    run at all. Above the compression threshold the exact-rank
+    oracle diverges BY DESIGN — the sf1 differential (DIFF_sf1.json,
+    1M events vs accuracy=100k) recorded the expected sub-0.1%-rank
+    boundary drift; the approximate regime's contract is the GK rank
+    bound, pinned in tests/test_statistics.py::
+    test_equidepth_approx_error_bound_above_compression_threshold.
+    Bucket edges differ from ntile's by design: binning
     is by VALUE cuts (ties share a bucket), the property selectivity
     estimation actually wants."""
     from etl_covid19_spark.operators import timeseries as ts
