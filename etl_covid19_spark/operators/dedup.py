@@ -369,6 +369,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 128,
     bands: int = 32,
     threshold: float = 0.8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """MinHash + LSH near-dup pairs, exact-verified.
 
@@ -381,6 +382,21 @@ def minhash_lsh_pairs(
     key); exact verification re-joins the (8-byte) shingle postings
     semi-filtered to candidate docs, so no per-doc payload is ever
     shuffled per band and no shingle set is materialized per row.
+
+    `max_bucket` caps the band-bucket size before the candidate
+    self-join — the standard production LSH guard (a bucket of s
+    docs contributes s²/2 candidates; one degenerate band key must
+    not turn the equi-join quadratic). The round-9 sf100 sweep hit
+    exactly this: 5M synthetic docs over a ~30-word vocabulary
+    concentrate the per-band minima into mega-buckets, and the
+    uncapped candidate join spilled >70 GB before dying. Recall
+    cost: a true pair is lost only if EVERY one of its 32 bands
+    lands in a >max_bucket bucket, which requires an
+    exact-dup-class-scale cluster (thousands of docs sharing the
+    same 4 consecutive minima in every band) — a regime exact /
+    normalized dedup already handles upstream. Measured bucket
+    maxima: 90 at sf1 (p99.9 = 2), so 4096 is invisible at every
+    oracle-checked SF.
     """
     rows = num_hashes // bands
     corpus_key = _corpus_key(df)
@@ -403,9 +419,15 @@ def minhash_lsh_pairs(
     banded = sigs.selectExpr(
         "doc_id", f"explode(array({band_keys})) AS band_key"
     )
-    a, b = banded.alias("a"), banded.alias("b")
-
     def _build_cands() -> DataFrame:
+        ok_buckets = (
+            banded.groupBy("band_key")
+            .agg(F.count(F.lit(1)).alias("_bs"))
+            .where(F.col("_bs") <= F.lit(max_bucket))
+            .select("band_key")
+        )
+        pruned = banded.join(ok_buckets, on="band_key", how="left_semi")
+        a, b = pruned.alias("a"), pruned.alias("b")
         return (
             a.join(
                 b,
@@ -423,7 +445,10 @@ def minhash_lsh_pairs(
     # final verification); pooling it bounds the persisted footprint
     # and unpersists on eviction instead of leaking per invocation.
     cands = _DF_CACHE.get_or_build(
-        ("lsh_cands", corpus_key, text_col, id_col, n, num_hashes, bands),
+        (
+            "lsh_cands", corpus_key, text_col, id_col, n, num_hashes,
+            bands, max_bucket,
+        ),
         _build_cands,
     )
     # Exact-Jaccard verification on the candidate subset only: the
