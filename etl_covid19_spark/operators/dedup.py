@@ -1543,6 +1543,7 @@ def minhash_lsh_pairs_incremental(
     num_hashes: int = 96,
     bands: int = 24,
     threshold: float = 0.8,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Near-dups of DELTA documents against the existing CORPUS
     without re-deduping the corpus: the daily-ingest shape — at
@@ -1551,7 +1552,15 @@ def minhash_lsh_pairs_incremental(
     corpus×delta band-key equi-join (never corpus² and never
     delta², unlike rerunning full dedup per day); verification is
     exact Jaccard on the candidate subset, same discipline as
-    `minhash_lsh_pairs`. Assumes disjoint id spaces (snapshots)."""
+    `minhash_lsh_pairs`. Assumes disjoint id spaces (snapshots).
+
+    `max_bucket` caps the CORPUS side's band buckets before the
+    join, same guard and same rationale as `minhash_lsh_pairs`: a
+    mega-bucket (thousands of corpus docs sharing one band key —
+    boilerplate minima) multiplies every delta hit by the bucket
+    size; the sf100 sweep measured the uncapped form exhausting the
+    host's disk. Invisible at every oracle-checked SF (sf1 bucket
+    max is 90)."""
     rows = num_hashes // bands
     posts_c = shingle_postings_cached(corpus, text_col, id_col, n)
     posts_d = shingle_postings_cached(delta, text_col, id_col, n)
@@ -1569,8 +1578,19 @@ def minhash_lsh_pairs_incremental(
             df, posts, text_col, id_col, n, num_hashes
         ).selectExpr("doc_id", f"explode(array({band_keys})) AS band_key")
 
+    corpus_banded = banded(corpus, posts_c)
+    ok_buckets = (
+        corpus_banded.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("_bs"))
+        .where(F.col("_bs") <= F.lit(max_bucket))
+        .select("band_key")
+    )
+    corpus_banded = corpus_banded.join(
+        ok_buckets, on="band_key", how="left_semi"
+    )
+
     cands = (
-        banded(corpus, posts_c)
+        corpus_banded
         .alias("a")
         .join(
             banded(delta, posts_d).alias("b"),
