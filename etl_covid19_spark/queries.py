@@ -10986,11 +10986,23 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercase → strip non-alphanumerics → collapse whitespace, then
     group identical normalized bodies. Catches the near-identical
     variants plain exact dedup misses (case, punctuation,
-    reflowing) at exact-dedup cost: a hash groupBy on
-    (xxhash64(norm), length(norm)) — document bodies shuffle only
-    within dup classes, never corpus-wide; `n_raw_variants > 1`
-    rows are exactly the value-add over `dedup_exact`. Top-50
-    classes by size with deterministic tiebreak."""
+    reflowing); `n_raw_variants > 1` rows are exactly the value-add
+    over `dedup_exact`. Top-50 classes by size, deterministic
+    tiebreak.
+
+    Shuffle discipline (round-9 sf100 finding): the original
+    `countDistinct(raw)` shuffled every distinct normalized BODY
+    corpus-wide (398.7 s at 5M docs), and a two-pass
+    semi-join-the-dup-classes variant was WORSE once the class list
+    outgrew broadcast (SMJ re-shuffled the bodies anyway, >900 s).
+    The scale-stable form counts distinct raw variants through
+    `xxhash64(raw)` — an 8-byte stand-in for the body — so the one
+    aggregate shuffles a constant ~32-byte row (class key, doc_id,
+    raw hash) regardless of document size, with no broadcast
+    assumption on the number of dup classes. A 64-bit collision
+    (P ≈ n²·2⁻⁶⁴ within one class) could undercount variants by
+    one; the oracle's COUNT(DISTINCT raw) agrees whenever no
+    collision occurs, i.e. always in practice."""
     d = _t(spark, sf_dir, "documents")
     ntext = F.trim(
         F.regexp_replace(
@@ -11000,12 +11012,17 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     g = (
-        d.select("doc_id", F.col("text").alias("raw"), ntext.alias("n"))
-        .groupBy(F.xxhash64("n").alias("_h"), F.length("n").alias("_l"))
+        d.select(
+            "doc_id",
+            F.xxhash64("text").alias("_raw_h"),
+            F.xxhash64(ntext).alias("_h"),
+            F.length(ntext).alias("_l"),
+        )
+        .groupBy("_h", "_l")
         .agg(
             F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.countDistinct("raw").cast("bigint").alias("n_raw_variants"),
+            F.countDistinct("_raw_h").cast("bigint").alias("n_raw_variants"),
         )
         .where(F.col("n_docs") > 1)
     )
