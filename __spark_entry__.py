@@ -51,6 +51,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # committed artifacts at any commit. All remaining queries follow in
 # stable order; the in-repo differential still covers all 200+ every
 # round.
+#
+# RED ROWS RE-ENTER THE FRONT (round-9 verdict ask #1): a query
+# whose LATEST driver row FAILED (err, or any match flag False) is
+# ranked round -1 — ahead of never-sampled — so it is re-verified
+# the very next round. The previous scheme counted mere PRESENCE in
+# an artifact as "sampled", which buried round-9's one red row
+# (`zone_mutation_read`) behind ~170 older timestamps for ~4 rounds.
+# Rows-only-by-design queries (err == "no_oracle" with rows
+# returned) count as sampled-green; they are not failures.
 _WINDOW = 50
 _SEED = 20260815
 
@@ -71,29 +80,63 @@ def _stable_order(names) -> list[str]:
     return sorted(names, key=key)
 
 
+def _row_passed(row) -> bool:
+    """Did a driver artifact row PASS? err must be absent (or the
+    documented rows-only "no_oracle" with rows actually returned)
+    and no match flag may be False. A red row must NOT count as
+    sampled — it has to re-enter the very next front-50."""
+    if not isinstance(row, dict):
+        return False
+    err = row.get("err")
+    if err == "no_oracle":
+        return row.get("spark_rows") is not None
+    if err is not None:
+        return False
+    return all(
+        row.get(k) is not False
+        for k in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _history_from_artifacts(
+    artifacts: dict[int, dict],
+) -> dict[str, int]:
+    """Pure selection-key computation from {round: artifact dict}.
+
+    name -> -1 if the LATEST round that sampled the name recorded a
+    FAILED row (red rows outrank even never-sampled names, so they
+    are re-verified next round); else the latest round whose row
+    passed. Absent = never externally sampled (key 0 at selection
+    time, after red's -1, before any green round ≥ 1)."""
+    latest: dict[str, tuple[int, bool]] = {}
+    for rnd in sorted(artifacts):
+        data = artifacts[rnd]
+        if not isinstance(data, dict):
+            continue
+        for n, row in data.items():
+            latest[n] = (rnd, _row_passed(row))
+    return {n: (rnd if ok else -1) for n, (rnd, ok) in latest.items()}
+
+
 def _sample_history() -> dict[str, int]:
-    """query name -> latest round whose committed driver artifact
-    (CORRECTNESS_r{N}.json: top-level keys are the sampled names)
-    contains it; absent = never externally sampled."""
+    """query name -> selection key read off the committed
+    CORRECTNESS_r{N}.json artifacts (top-level keys are the sampled
+    names); see `_history_from_artifacts` for the key semantics."""
     import json
     import re
 
     repo = Path(__file__).resolve().parent
-    hist: dict[str, int] = {}
+    artifacts: dict[int, dict] = {}
     for f in repo.glob("CORRECTNESS_r*.json"):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", f.name)
         if not m:
             continue
-        rnd = int(m.group(1))
         try:
             data = json.loads(f.read_text())
         except (OSError, ValueError):
             continue
-        if not isinstance(data, dict):
-            continue
-        for n in data:
-            hist[n] = max(hist.get(n, 0), rnd)
-    return hist
+        artifacts[int(m.group(1))] = data
+    return _history_from_artifacts(artifacts)
 
 
 def _ordered_names() -> list[str]:

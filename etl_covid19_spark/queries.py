@@ -12051,7 +12051,14 @@ def q_zone_mutation_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value",
         )
     )
-    pz.write_zone(base, path, partition_by=("ds",))
+    # Write-layout-aligned shuffle before the partitioned write: the
+    # unaligned form emitted tasks×days files (hundreds at gate SF),
+    # which is both a file-count bug and the widest exposure to
+    # transient task-side write failures — round 9's sole red driver
+    # row was a FileFormatWriter task error in exactly this write.
+    pz.write_zone(
+        base.repartition(F.col("ds")), path, partition_by=("ds",)
+    )
     pz.delete_where(spark, path, F.col("event_type") == "error")
     purchases = pz.read_zone(spark, path).filter(
         F.col("event_type") == "purchase"

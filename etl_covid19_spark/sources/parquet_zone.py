@@ -72,6 +72,29 @@ def read_zone(
     return df
 
 
+_REWRITE_FAN = 4
+
+
+def _align_rewrite(df: DataFrame, partition_col: str) -> DataFrame:
+    """Shuffle a partition-rewrite slice into write-layout-aligned
+    tasks before a dynamic-partition overwrite: without this, every
+    upstream task holding rows for k partitions opens k writers and
+    the rewrite emits tasks×partitions files — hundreds of tiny
+    files per mutation on a many-day zone, and (as round 9's one red
+    driver row showed) the widest possible exposure to transient
+    task-side write failures. Hashing on (partition, salt) bounds
+    output to `_REWRITE_FAN` files per rewritten partition while
+    keeping a skewed hot day from serializing through one task."""
+    salt = F.pmod(
+        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
+        F.lit(_REWRITE_FAN),
+    )
+    n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return df.repartition(
+        int(n_parts), F.col(partition_col), salt
+    )
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
@@ -105,7 +128,11 @@ def delete_where(
     try:
         n_deleted = slice_df.filter(predicate).count()
         kept = slice_df.filter(~predicate)
-        write_zone(kept, path, partition_by=(partition_col,))
+        write_zone(
+            _align_rewrite(kept, partition_col),
+            path,
+            partition_by=(partition_col,),
+        )
     finally:
         slice_df.unpersist(blocking=False)
     return n_deleted
@@ -141,7 +168,11 @@ def merge_upsert(
     merged = current.join(
         updates.select(*keys), on=keys, how="left_anti"
     ).unionByName(updates.select(*current.columns))
-    write_zone(merged, path, partition_by=(partition_col,))
+    write_zone(
+        _align_rewrite(merged, partition_col),
+        path,
+        partition_by=(partition_col,),
+    )
 
 
 def clustered_write(

@@ -90,3 +90,78 @@ def test_queries_and_oracles_follow_the_rotation():
     assert list(qs)[:_WINDOW] == _ordered_names()[:_WINDOW]
     sql = entry_mod.oracle_sql()
     assert set(sql) <= set(qs)
+
+
+# ---- red rows re-enter the front next round (round-9 ask #1) ----
+
+_history_from_artifacts = entry_mod._history_from_artifacts
+_row_passed = entry_mod._row_passed
+
+_GREEN = {
+    "rows_match": True,
+    "schema_match": True,
+    "hash_match": True,
+    "spark_rows": 5,
+    "oracle_rows": 5,
+    "err": None,
+}
+_RED_ERR = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": None,
+    "oracle_rows": None,
+    "err": "SparkException: task failed",
+}
+_RED_MISMATCH = dict(_GREEN, hash_match=False)
+_ROWS_ONLY = {
+    "rows_match": None,
+    "schema_match": None,
+    "hash_match": None,
+    "spark_rows": 7,
+    "oracle_rows": None,
+    "err": "no_oracle",
+}
+
+
+def test_row_passed_classification():
+    assert _row_passed(_GREEN)
+    assert _row_passed(_ROWS_ONLY)  # rows-only by design is a pass
+    assert not _row_passed(_RED_ERR)
+    assert not _row_passed(_RED_MISMATCH)
+    # rows-only that returned NOTHING is not a pass
+    assert not _row_passed(dict(_ROWS_ONLY, spark_rows=None))
+
+
+def test_red_latest_row_gets_priority_key():
+    """A query whose most recent driver row failed must rank BEFORE
+    never-sampled names (-1 < 0 < any green round)."""
+    hist = _history_from_artifacts(
+        {
+            8: {"q_old_green": _GREEN, "q_flaky": _GREEN},
+            9: {"q_flaky": _RED_ERR, "q_fresh_green": _GREEN},
+        }
+    )
+    assert hist["q_flaky"] == -1  # red in its latest sample
+    assert hist["q_old_green"] == 8
+    assert hist["q_fresh_green"] == 9
+    assert "q_never" not in hist  # never-sampled key is 0 downstream
+    assert hist["q_flaky"] < 0 < hist["q_old_green"]
+
+
+def test_red_then_green_clears_the_flag():
+    """A later green sample supersedes an older red one."""
+    hist = _history_from_artifacts(
+        {7: {"q": _RED_ERR}, 9: {"q": _GREEN}}
+    )
+    assert hist["q"] == 9
+
+
+def test_zone_mutation_read_reenters_r10_front():
+    """The one red row of CORRECTNESS_r09.json must be in round 10's
+    externally-sampled front-50 (this reads the real committed
+    artifacts — if a future round greens it, the name may rotate out
+    again, so guard on its recorded state)."""
+    hist = _sample_history()
+    if hist.get("zone_mutation_read") == -1:
+        assert "zone_mutation_read" in _ordered_names()[:_WINDOW]
