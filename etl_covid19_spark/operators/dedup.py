@@ -379,9 +379,10 @@ def minhash_lsh_pairs(
     of the signature) — never |docs|².
 
     Shuffle discipline: the band join carries only (doc_id, band
-    key); exact verification re-joins the (8-byte) shingle postings
-    semi-filtered to candidate docs, so no per-doc payload is ever
-    shuffled per band and no shingle set is materialized per row.
+    key); exact verification is PAIR-LOCAL (`_verify_pairs_exact`) —
+    each candidate pair joins to its two per-doc shingle arrays and
+    intersects in one codegen'd expression, so verification work and
+    shuffle are linear in the candidate count with no Σ_sh df² term.
 
     `max_bucket` caps the band-bucket size before the candidate
     self-join — the standard production LSH guard (a bucket of s
@@ -451,55 +452,87 @@ def minhash_lsh_pairs(
         ),
         _build_cands,
     )
-    # Exact-Jaccard verification on the candidate subset only: the
-    # postings are semi-joined down to candidate docs (tiny vs the
-    # corpus), pair-counted with the same shingle-key join the
-    # Jaccard operator uses (declarative count agg — no object-hash
-    # collect_set), then semi-filtered back to LSH candidates. The
-    # candidate frames carry NO broadcast hints (they grow with the
-    # corpus); AQE broadcasts them while they measure under the
-    # session threshold and shuffles them past it.
-    cand_ids = (
-        cands.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cands.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # PAIR-LOCAL exact-Jaccard verification (round-10 fix for the
+    # measured sf100 disk-killer): the previous form re-joined the
+    # shingle POSTINGS of candidate docs on `sh`, which emits one
+    # row per co-shingled doc pair per shared shingle — Σ_sh df²
+    # over candidate postings. On low-entropy corpora (sf100's 27k
+    # shingle types over 5M docs push per-shingle df to ~10⁴) that
+    # join explodes REGARDLESS of banding: >70 GB of spill, disk
+    # death, twice. Pair-local verification instead joins each
+    # candidate PAIR to its two per-doc shingle ARRAYS and
+    # intersects per row — work and shuffle are LINEAR in the
+    # candidate count the band-bucket cap already bounds, with no
+    # df² term anywhere. Same exact semantics: postings hold each
+    # doc's distinct shingle hashes, so |array_intersect| is exactly
+    # the shared-shingle count the postings join aggregated.
+    return _verify_pairs_exact(
+        posts, cands, ("doc_a", "doc_b"), threshold
     )
-    cposts = posts.join(cand_ids, on="doc_id", how="left_semi")
-    pa, pb = cposts.alias("pa"), cposts.alias("pb")
-    # The candidate-pair semi-join runs BEFORE the pair aggregate,
-    # not after: the sh equi-join emits one row per co-shingled doc
-    # pair per shared shingle (Σ df² over candidate postings — 222M
-    # rows at sf10 for 1.47M candidate pairs), and an unfiltered
-    # groupBy would hold partial-agg state for EVERY co-shingled
-    # pair (measured 1.65 GB of shuffled partials, the dominant
-    # stage warm and cold). Filtering each row against the broadcast
-    # candidate set first bounds the aggregate's key space — and its
-    # shuffle — by the LSH candidate volume the banding already
-    # guarantees.
-    verified = (
-        pa.join(pb, on="sh")
-        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
-        .join(
-            cands.select(
-                F.col("doc_a").alias("_ca"), F.col("doc_b").alias("_cb")
-            ),
-            on=(F.col("pa.doc_id") == F.col("_ca"))
-            & (F.col("pb.doc_id") == F.col("_cb")),
-            how="left_semi",
-        )
-        .groupBy(
-            F.col("pa.doc_id").alias("doc_a"),
-            F.col("pb.doc_id").alias("doc_b"),
-            F.col("pa.n_shingles").alias("na"),
-            F.col("pb.n_shingles").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+
+
+def _shingle_arrays(posts: DataFrame, ids: DataFrame) -> DataFrame:
+    """(doc_id, n_shingles, shs array<long>) for the docs in `ids` —
+    the pair-local verification's per-doc shingle sets, rebuilt from
+    the (cached) postings with one linear semi-join + groupBy. Array
+    width is a document's distinct-shingle count (bounded by doc
+    length), never a corpus statistic."""
     return (
-        verified.withColumn("jaccard", jac)
+        posts.join(ids, on="doc_id", how="left_semi")
+        .groupBy("doc_id", "n_shingles")
+        .agg(F.collect_list("sh").alias("shs"))
+    )
+
+
+def _verify_pairs_exact(
+    posts: DataFrame,
+    cands: DataFrame,
+    pair_cols: tuple[str, str],
+    threshold: float,
+    posts_right: DataFrame | None = None,
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs, linear in the
+    candidate count: two equi-joins attach each side's shingle array
+    to the pair row, `array_intersect` computes the shared-shingle
+    count per row (O(|a|+|b|) hash-set probe inside codegen — the
+    "join each candidate pair to its two shingle arrays" design from
+    ROADMAP #2). A doc in k candidate pairs replicates its array k
+    times through the join — bounded by the band-bucket cap, and
+    each row is one doc's shingles, never a df² blowup.
+
+    `posts_right` supports the incremental (corpus×delta) shape
+    where the two pair columns draw from different postings frames.
+    Output: (pair_cols..., jaccard) for pairs at/above threshold —
+    byte-identical semantics to the postings-join form (test-pinned
+    equality in tests/test_dedup_similarity.py)."""
+    ca, cb = pair_cols
+    left_ids = cands.select(F.col(ca).alias("doc_id")).distinct()
+    right_ids = cands.select(F.col(cb).alias("doc_id")).distinct()
+    arr_l = _shingle_arrays(posts, left_ids)
+    arr_r = _shingle_arrays(
+        posts if posts_right is None else posts_right, right_ids
+    )
+    paired = cands.join(
+        arr_l.select(
+            F.col("doc_id").alias(ca),
+            F.col("n_shingles").alias("na"),
+            F.col("shs").alias("_sa"),
+        ),
+        on=ca,
+    ).join(
+        arr_r.select(
+            F.col("doc_id").alias(cb),
+            F.col("n_shingles").alias("nb"),
+            F.col("shs").alias("_sb"),
+        ),
+        on=cb,
+    )
+    n_common = F.size(F.array_intersect("_sa", "_sb"))
+    jac = n_common / (F.col("na") + F.col("nb") - n_common)
+    return (
+        paired.withColumn("jaccard", jac)
         .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select(ca, cb, "jaccard")
     )
 
 
@@ -1578,19 +1611,30 @@ def minhash_lsh_pairs_incremental(
             df, posts, text_col, id_col, n, num_hashes
         ).selectExpr("doc_id", f"explode(array({band_keys})) AS band_key")
 
-    corpus_banded = banded(corpus, posts_c)
+    # The corpus-side banded lineage is consumed TWICE (bucket-size
+    # aggregate + the candidate join's left side) — pool it so the
+    # full corpus signature computation, the cost the daily-ingest
+    # rationale is built around, runs once per (corpus, params) and
+    # is reused across daily invocations (ADVICE round 9).
+    corpus_banded = _DF_CACHE.get_or_build(
+        (
+            "inc_lsh_banded", _corpus_key(corpus), text_col, id_col,
+            n, num_hashes, bands,
+        ),
+        lambda: banded(corpus, posts_c),
+    )
     ok_buckets = (
         corpus_banded.groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("_bs"))
         .where(F.col("_bs") <= F.lit(max_bucket))
         .select("band_key")
     )
-    corpus_banded = corpus_banded.join(
+    capped_banded = corpus_banded.join(
         ok_buckets, on="band_key", how="left_semi"
     )
 
     cands = (
-        corpus_banded
+        capped_banded
         .alias("a")
         .join(
             banded(delta, posts_d).alias("b"),
@@ -1603,45 +1647,16 @@ def minhash_lsh_pairs_incremental(
         )
         .dropDuplicates(["corpus_doc", "delta_doc"])
     )
-    cp = posts_c.join(
-        cands.select(F.col("corpus_doc").alias("doc_id")).distinct(),
-        on="doc_id",
-        how="left_semi",
-    ).alias("pa")
-    dp = posts_d.join(
-        cands.select(F.col("delta_doc").alias("doc_id")).distinct(),
-        on="doc_id",
-        how="left_semi",
-    ).alias("pb")
-    # Same discipline as minhash_lsh_pairs: the candidate semi-join
-    # runs BEFORE the pair aggregate, so the groupBy's key space (and
-    # its shuffled partial state) is bounded by the LSH candidate
-    # volume, not by every corpus×delta doc pair that happens to
-    # share one shingle (Σ df² of the joined postings).
-    verified = (
-        cp.join(dp, on="sh")
-        .join(
-            cands.select(
-                F.col("corpus_doc").alias("_cc"),
-                F.col("delta_doc").alias("_cd"),
-            ),
-            on=(F.col("pa.doc_id") == F.col("_cc"))
-            & (F.col("pb.doc_id") == F.col("_cd")),
-            how="left_semi",
-        )
-        .groupBy(
-            F.col("pa.doc_id").alias("corpus_doc"),
-            F.col("pb.doc_id").alias("delta_doc"),
-            F.col("pa.n_shingles").alias("na"),
-            F.col("pb.n_shingles").alias("nb"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        verified.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("corpus_doc", "delta_doc", "jaccard")
+    # Pair-local verification, same round-10 rewrite as
+    # minhash_lsh_pairs: each (corpus, delta) candidate pair joins
+    # to its two shingle arrays and intersects — linear in candidate
+    # count, no Σ_sh df² postings blowup on low-entropy corpora.
+    return _verify_pairs_exact(
+        posts_c,
+        cands,
+        ("corpus_doc", "delta_doc"),
+        threshold,
+        posts_right=posts_d,
     )
 
 
