@@ -849,10 +849,11 @@ def knn_graph_ivf(
     vec_col: str,
     id_col: str,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = 16,
     n_probe: int = 2,
     max_bucket: int = 100_000,
     cents=None,
+    cell_target: int = 4000,
 ) -> DataFrame:
     """Cluster-blocked (IVF-partitioned) kNN graph — the scale twin
     of `knn_graph` for corpora where sign-band LSH floors at
@@ -889,12 +890,32 @@ def knn_graph_ivf(
     provable-superset discipline as `knn_graph.bucket_topk`),
     global dedup + per-src window merge. Shuffle is n_probe·n
     vector rows; nothing pairwise ever ships."""
+    import math
+
     import numpy as np
     import pyarrow as pa
 
     from pyspark.sql import types as T
 
     if cents is None:
+        if n_centroids is None:
+            # CELL-SIZE-TARGETED sizing (round-10 fix for the sf100
+            # timeout): a FIXED centroid count makes cell size grow
+            # linearly with the corpus, so the per-cell
+            # probers×members block is O((n/n_c)²)·d — the measured
+            # 900 s blowout at 2M vectors with 16 cells. Scaling the
+            # CELL COUNT as n/cell_target instead holds cell size
+            # ~constant, making block work n_probe·n·cell_target·d
+            # (linear in n) and assignment n·(n/cell_target)·d — the
+            # BLAS pass that stays trivial through sf100 (2M×500
+            # centroids) and is replaced by trained hierarchical
+            # centroids (`cents=`) long before it matters at 100 TB.
+            # floor 16 keeps every oracle-gate SF on the historical
+            # plan (≤64k vectors → 16 centroids → byte-identical
+            # output to the fixed-16 form).
+            n_centroids = max(
+                16, math.ceil(emb.count() / cell_target)
+            )
         cents = [
             (int(r["cid"]), [float(x) for x in r["cv"]])
             for r in emb.orderBy(id_col)

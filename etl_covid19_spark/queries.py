@@ -4680,16 +4680,19 @@ _FOLD_COS = """
 
 def _knn_graph_ivf_oracle(
     k: int = 5,
-    n_centroids: int = 16,
+    cell_target: int = 4000,
     n_probe: int = 2,
     max_bucket: int = 100_000,
 ) -> str:
     """GENERATED oracle for the IVF-blocked kNN graph twin: the
-    deterministic first-k-by-id centroids, fold-order centroid
-    cosines ranked (cos DESC, cid DESC) — rank 1 is the assignment,
-    ranks ≤ n_probe the probes — bucket membership capped at
-    max_bucket by ascending id, candidates = probers × members, and
-    the same exact-fold top-k window as the sign-band graph."""
+    deterministic first-k-by-id centroids — k sized adaptively as
+    GREATEST(16, CEIL(n/cell_target)) to mirror the operator's
+    cell-size-targeted scaling (identical plan at every gate SF,
+    where n/cell_target < 16) — fold-order centroid cosines ranked
+    (cos DESC, cid DESC) — rank 1 is the assignment, ranks ≤
+    n_probe the probes — bucket membership capped at max_bucket by
+    ascending id, candidates = probers × members, and the same
+    exact-fold top-k window as the sign-band graph."""
     cent_cos = _FOLD_COS.format(a="e.v", b="c.cv")
     pair_cos = _FOLD_COS.format(a="x.v", b="y.v")
     return f"""
@@ -4698,7 +4701,13 @@ def _knn_graph_ivf_oracle(
       FROM embeddings
     ),
     cents AS (
-      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}
+      SELECT cid, cv FROM (
+        SELECT vec_id AS cid, v AS cv,
+               ROW_NUMBER() OVER (ORDER BY vec_id) AS rn,
+               COUNT(*) OVER () AS nn
+        FROM e
+      ) WHERE rn <= GREATEST(
+        16, CAST(CEIL(nn / {cell_target}.0) AS BIGINT))
     ),
     cscore AS (
       SELECT e.vec_id, c.cid, {cent_cos} AS cos
@@ -4747,13 +4756,16 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_probe·max_bucket), so total work is n_probe·n·(n/n_centroids)
     regardless of how isotropic the embedding space is. Same
     exact/capped-twin convention as the dedup family: deterministic
-    first-16 centroids keep it oracle-reproducible; k-means centers
+    first-N-by-id centroids keep it oracle-reproducible, with N
+    sized as max(16, ceil(n/4000)) so cell size stays ~constant at
+    scale (the round-10 fix for the sf100 O((n/16)²) timeout — the
+    oracle computes the identical formula in SQL); k-means centers
     slot into the identical dataflow via `cents=`."""
     from etl_covid19_spark.operators.similarity import knn_graph_ivf
 
     return knn_graph_ivf(
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-        k=5, n_centroids=16, n_probe=2,
+        k=5, n_centroids=None, n_probe=2,
     )
 
 
@@ -11692,13 +11704,16 @@ def q_snapshot_zone_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
              AS total_acctbal
-    FROM customer WHERE c_custkey % 2 = 0
+    FROM customer
+    WHERE c_custkey % 2 = 0 AND c_custkey BETWEEN 40 AND 100000
     UNION ALL
     SELECT 'live' AS version_label,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE)
              AS total_acctbal
-    FROM customer WHERE c_mktsegment <> 'BUILDING'
+    FROM customer
+    WHERE c_mktsegment <> 'BUILDING'
+      AND c_custkey BETWEEN 40 AND 100000
     """,
 )
 def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -11709,19 +11724,32 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     append or deletion vector that bleeds into an old manifest shows
     up as a count/balance drift against the oracle's plain-filter
     reconstruction; the default read must see the post-append,
-    post-delete state. Both reads aggregate through the same
-    DECIMAL-accumulate so float order can't flake the compare."""
+    post-delete state.
+
+    Round-10 scale fix: BOTH reads route through the manifest
+    min/max file-skip (`snapshot_read(prune=...)`) over a bounded
+    custkey slice, and the writes are range-partitioned so per-file
+    stats have pruning power — the unpruned form re-scanned the
+    whole base slice per versioned read (12.6× slope at sf100 while
+    `snapshot_prune_read` stayed flat). Pruning a TIME-TRAVEL read
+    is the same code path as pruning the live read — version just
+    selects which manifest's stats to skip against (pruned ≡
+    unpruned equality is pinned in tests/test_snapshot_zone.py).
+    Both reads aggregate through the same DECIMAL-accumulate so
+    float order can't flake the compare."""
     from etl_covid19_spark.sources import snapshot_zone as sz
 
     path = _gate_tmpdir("sz_tt_query_")
     cust = _t(spark, sf_dir, "customer")
     sz.snapshot_write(
-        cust.filter(F.col("c_custkey") % 2 == 0).repartition(2),
+        cust.filter(F.col("c_custkey") % 2 == 0)
+        .repartitionByRange(8, "c_custkey"),
         path,
         mode="overwrite",
     )
     sz.snapshot_write(
-        cust.filter(F.col("c_custkey") % 2 == 1).repartition(2),
+        cust.filter(F.col("c_custkey") % 2 == 1)
+        .repartitionByRange(8, "c_custkey"),
         path,
         mode="append",
     )
@@ -11730,7 +11758,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def agg(df: DataFrame, label: str) -> DataFrame:
-        return df.agg(
+        return df.filter(F.col("c_custkey").between(40, 100_000)).agg(
             F.lit(label).alias("version_label"),
             F.count(F.lit(1)).alias("n_rows"),
             F.sum(F.col("c_acctbal").cast("decimal(18,4)"))
@@ -11738,8 +11766,9 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_acctbal"),
         )
 
-    v0 = sz.snapshot_read(spark, path, version=0)
-    live = sz.snapshot_read(spark, path)
+    rng = {"c_custkey": (40, 100_000)}
+    v0 = sz.snapshot_read(spark, path, version=0, prune=rng)
+    live = sz.snapshot_read(spark, path, prune=rng)
     return agg(v0, "v0").unionByName(agg(live, "live"))
 
 

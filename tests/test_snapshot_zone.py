@@ -288,6 +288,46 @@ def test_manifest_stats_prune_files_without_footer_io(spark, tmp_path):
     ) == sorted(r.id for r in full.collect())
 
 
+def test_time_travel_prune_equals_unpruned(spark, tmp_path):
+    """Pruning a TIME-TRAVEL read is the same manifest min/max skip
+    as pruning the live read — version only selects whose stats to
+    skip against (round-10 scale fix: the unpruned version-0 read
+    re-scanned the whole base slice at sf100). Pinned: pruned v0 +
+    real filter ≡ unpruned v0 + real filter, files actually skip,
+    and a later append/DV never bleeds into the pruned v0 read."""
+    path = str(tmp_path / "ttprune")
+    sz.snapshot_write(
+        spark.range(300).selectExpr("id", "id % 7 AS k")
+        .repartitionByRange(6, "id"),
+        path,
+        mode="overwrite",
+    )
+    sz.snapshot_write(
+        spark.range(300, 600).selectExpr("id", "id % 7 AS k")
+        .repartitionByRange(6, "id"),
+        path,
+        mode="append",
+    )
+    sz.snapshot_delete_where(spark, path, F.col("k") == 3, strategy="dv")
+
+    rng = {"id": (100, 149)}
+    pruned = sz.snapshot_read(spark, path, version=0, prune=rng)
+    full = sz.snapshot_read(spark, path, version=0)
+    m0 = sz._read_manifest(path, 0)
+    assert len(
+        {os.path.basename(f) for f in pruned.inputFiles()}
+    ) < len(m0["files"]), "v0 read must skip files on manifest stats"
+    got = sorted(
+        r.id for r in pruned.filter("id BETWEEN 100 AND 149").collect()
+    )
+    want = sorted(
+        r.id for r in full.filter("id BETWEEN 100 AND 149").collect()
+    )
+    assert got == want == list(range(100, 150))
+    # the live DV delete must not leak into the versioned read
+    assert full.filter("k = 3").count() > 0
+
+
 def test_prune_can_skip_everything_and_carries_through_mutations(
     spark, tmp_path
 ):
