@@ -185,7 +185,12 @@ def main() -> None:
                 timer.cancel()
                 spark.sparkContext.setJobGroup("", "", False)
         if samples and name not in timeouts and name not in failures:
-            times[name] = round(sorted(samples)[len(samples) // 2], 3)
+            # true median (even run counts average the middle two —
+            # sorted()[n//2] was the upper-middle element, biasing
+            # adjudicated comparisons upward; ADVICE round 9)
+            import statistics
+
+            times[name] = round(statistics.median(samples), 3)
         tag = times.get(name)
         if tag is None:
             tag = "TIMEOUT" if name in timeouts else "FAIL"
