@@ -43,13 +43,20 @@ def test_ngram_jaccard_finds_planted_pair(docs):
 
 
 def test_minhash_lsh_matches_exact_jaccard(docs):
-    exact = {(r.doc_a, r.doc_b) for r in
+    """Pair SET and per-pair jaccard VALUES must match the exact
+    postings-join Jaccard operator — this is the semantic pin for
+    the pair-local verification rewrite (`_verify_pairs_exact`): the
+    array-intersect count must equal the postings-aggregate count
+    for every surviving pair, not just select the same pairs."""
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in
              dedup.ngram_jaccard_pairs(docs, "text", "doc_id",
                                        threshold=0.8).collect()}
-    lsh = {(r.doc_a, r.doc_b) for r in
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in
            dedup.minhash_lsh_pairs(docs, "text", "doc_id",
                                    threshold=0.8).collect()}
-    assert lsh == exact and exact  # non-empty and identical
+    assert set(lsh) == set(exact) and exact  # non-empty, same pairs
+    for pair, j in lsh.items():
+        assert j == exact[pair]  # identical exact-Jaccard values
 
 
 def test_simhash_ranks_near_dups_closest(docs):
