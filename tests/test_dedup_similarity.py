@@ -59,6 +59,50 @@ def test_minhash_lsh_matches_exact_jaccard(docs):
         assert j == exact[pair]  # identical exact-Jaccard values
 
 
+def test_minhash_recall_on_planted_entropic_corpus(spark, tmp_path):
+    """END-TO-END recall pin on a generated realistic-entropy corpus
+    (tools/gen_fatdocs.gen_entropic — the 10k-word Zipf regime the
+    sf100 stretch sweep measures): ground truth is known by
+    construction (exact dups are byte-copies of base docs; near-dups
+    carry ~1% token substitutions → 3-gram Jaccard ≈ 0.9+), so this
+    pins that the banded candidate generation + pair-local exact
+    verification recover planted duplicates, not just that the two
+    stages agree with each other."""
+    from tools.gen_fatdocs import (
+        EXACT_DUP_FRAC,
+        NEAR_DUP_FRAC,
+        gen_entropic,
+    )
+
+    n_docs = 2000
+    gen_entropic(
+        n_docs, str(tmp_path / "entropic"), str(tmp_path / "nosrc")
+    )
+    corpus = spark.read.parquet(
+        str(tmp_path / "entropic" / "documents.parquet")
+    ).select("doc_id", "text")
+    n_base = int(n_docs * (1 - EXACT_DUP_FRAC - NEAR_DUP_FRAC))
+    n_planted = n_docs - n_base
+    # dup row i (doc_id = n_base + i) copies/edits base doc i % n_planted
+    # (base_cache holds the first n_planted base texts in id order)
+    truth = {
+        (i % n_planted, n_base + i) for i in range(n_planted)
+    }
+    found = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            corpus, "text", "doc_id", threshold=0.8
+        ).collect()
+    }
+    exact_truth = {
+        p for p in truth if p[1] < n_base + int(n_docs * EXACT_DUP_FRAC)
+    }
+    near_truth = truth - exact_truth
+    assert exact_truth <= found, "every planted exact dup must surface"
+    near_recall = len(near_truth & found) / len(near_truth)
+    assert near_recall >= 0.9, f"near-dup recall {near_recall:.2f} < 0.9"
+
+
 def test_simhash_ranks_near_dups_closest(docs):
     fps = {r.doc_id: r.simhash for r in
            dedup.simhash(docs, "text", "doc_id").collect()}

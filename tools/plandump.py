@@ -18,11 +18,17 @@ COMMENTARY = {
         "no BNLJ, no driver-side vector state."
     ),
     "snapshot_time_travel": (
-        "Versioned reads: the v0 branch is a bare scan of the "
-        "manifest-0 file list (no DV anti-join — the later deletion "
-        "vector is invisible to old manifests by construction); the "
-        "live branch carries the DV anti-join. Both collapse to "
-        "single-row aggregates before the union."
+        "Versioned reads (manifest-stats pruned, round 10): the v0 "
+        "branch scans only the manifest-0 files whose [min,max] "
+        "overlap the custkey slice (no DV anti-join — the later "
+        "deletion vector is invisible to old manifests by "
+        "construction); the live branch prunes against the live "
+        "manifest's stats and carries the DV anti-join. Range-"
+        "partitioned writes give each file a disjoint key range, so "
+        "both reads skip most files without footer I/O (the unpruned "
+        "v0 read re-scanned the whole base slice — 12.6× slope at "
+        "sf100). Both collapse to single-row aggregates before the "
+        "union."
     ),
     "snapshot_change_feed": (
         "Row-exact CDF: snapshot_row_diff is two exceptAll passes "
@@ -137,13 +143,16 @@ COMMENTARY = {
     "dedup_minhash_lsh": (
         "Postings (Arrow gram kernel, fan_out-guarded) → signatures "
         "straight from the kernel (no wide min aggregate) → banded "
-        "self-join on a single long band key → exact verification whose "
-        "pair aggregate is PRE-filtered by the broadcast candidate set "
-        "(round 4: unfiltered, the sh equi-join's Σ df² co-shingled "
-        "rows — 222M at sf10 — shuffled 1.65 GB of partial-agg state "
-        "for 1.47M real candidate pairs; the semi-join before the "
-        "groupBy bounds agg keys by the banding guarantee). Every "
-        "shuffle carries ids/hashes only."
+        "self-join on a single long band key, bucket-size-capped → "
+        "PAIR-LOCAL exact verification (round 10): each candidate "
+        "pair equi-joins to its two per-doc shingle arrays "
+        "(collect_list over candidate-semi-joined postings — linear) "
+        "and array_intersect computes the shared count per row. The "
+        "prior form re-joined postings on the shingle key — Σ_sh df² "
+        "rows (222M at sf10; disk death at sf100 on a 27k-type "
+        "corpus); now NOTHING in the plan scales with df², and the "
+        "only payload wider than a hash is each doc's own shingle "
+        "array riding once per candidate pair."
     ),
     "filter_funnel": (
         "The removal-cascade datacard is ONE corpus pass: per-doc rule "
@@ -156,9 +165,12 @@ COMMENTARY = {
         "C4-style canonicalized dedup at exact-dedup cost: the "
         "normalization chain (lower → strip non-alnum → collapse "
         "whitespace) is map-side; the only shuffle is the hash groupBy "
-        "on (xxhash64(norm), length(norm)) — normalized bodies shuffle "
-        "only within dup classes, and TakeOrderedAndProject caps the "
-        "driver at 50 rows."
+        "on (xxhash64(norm), length(norm)) with raw-variant counting "
+        "through countDistinct(xxhash64(raw)) — every shuffled row is "
+        "a constant ~32 bytes regardless of document size (the round-9 "
+        "rewrite; the original countDistinct(raw) shuffled full "
+        "bodies corpus-wide, 398.7 s at sf100), and "
+        "TakeOrderedAndProject caps the driver at 50 rows."
     ),
     "attribution_linear": (
         "Linear multi-touch attribution with NO event-to-event range "
@@ -282,13 +294,16 @@ COMMENTARY = {
         "BroadcastNestedLoopJoin, no global sort."
     ),
     "knn_graph_ivf": (
-        "IVF-blocked kNN twin (round 6): one multi-probe Arrow "
-        "assignment pass (centroids are collected model literals — "
-        "map-side, zero shuffle), ONE Exchange on the probed bucket "
-        "id into the per-bucket probers×members kernel, dedup + rank "
-        "window. Total work is n_probe·n·(n/n_centroids) BY "
-        "CONSTRUCTION — the twin that survives isotropic corpora "
-        "where sign-band buckets floor at Σ bucket² ≈ n²."
+        "IVF-blocked kNN twin (round 6; cell sizing fixed round 10): "
+        "one multi-probe Arrow assignment pass (centroids are "
+        "collected model literals — map-side, zero shuffle), ONE "
+        "Exchange on the probed bucket id into the per-bucket "
+        "probers×members kernel, dedup + rank window. Centroid count "
+        "now scales as max(16, ceil(n/4000)) — fixed cell SIZE — so "
+        "the per-cell block is n_probe·n·cell_target·d, LINEAR in n "
+        "(the fixed-16 form was O((n/16)²)d and blew the 900 s sf100 "
+        "budget); identical plan at every gate SF where the floor "
+        "binds."
     ),
     "embedding_near_dup_tight": (
         "Tight-threshold hyperplane near-dup (round 5 per-bucket "
