@@ -171,6 +171,22 @@ ORACLE_RESOURCE_ALLOWLIST = {
     # the engine side completes in ~11 s and the same compare is
     # green at sf0.01 where the driver gate runs
     "pagerank_similarity",
+    # adjudicated round 10: the near-dup stage of this oracle is a
+    # raw Σ_sh df² postings self-join (`p a JOIN p b ON a.sh=b.sh`)
+    # — the exact shape the ENGINE eliminated this round with
+    # pair-local verification. On the low-entropy sf1 corpus (~900
+    # distinct bigrams over ~20k survivors, df ~10³) DuckDB spills
+    # >60 GB (measured with a raised cap; round-9's 222.96 s green
+    # row was borderline under ambient conditions). Green at the
+    # sf0.01 driver gate; engine side 20.6 s at sf1.
+    "corpus_curation",
+    # adjudicated round 10 (round-9 DIFF recorded the same class as
+    # an oracle TIMEOUT): the sign-band kNN graph oracle's candidate
+    # reconstruction — band cross join + exact top-k window over all
+    # candidate pairs — exceeds either the 300 s/side budget or the
+    # spill cap at sf1 depending on ambient state. Green at the
+    # sf0.01 driver gate.
+    "knn_graph",
 }
 
 
