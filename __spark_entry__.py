@@ -83,8 +83,12 @@ def _stable_order(names) -> list[str]:
 def _row_passed(row) -> bool:
     """Did a driver artifact row PASS? err must be absent (or the
     documented rows-only "no_oracle" with rows actually returned)
-    and no match flag may be False. A red row must NOT count as
-    sampled — it has to re-enter the very next front-50."""
+    and the oracle comparison must have actually concluded green. A
+    red row must NOT count as sampled — it has to re-enter the very
+    next front-50. Only err == "no_oracle" rows legitimately carry
+    all-None match flags; an err=None row with None flags is a
+    malformed / partially-written artifact and must NOT count as
+    sampled-green either (it re-enters the front window)."""
     if not isinstance(row, dict):
         return False
     err = row.get("err")
@@ -92,9 +96,13 @@ def _row_passed(row) -> bool:
         return row.get("spark_rows") is not None
     if err is not None:
         return False
-    return all(
-        row.get(k) is not False
-        for k in ("rows_match", "schema_match", "hash_match")
+    # A concluded oracle comparison records explicit booleans for
+    # rows_match and hash_match (schema_match may be tri-state on
+    # some driver versions, so None is tolerated there only).
+    return (
+        row.get("rows_match") is True
+        and row.get("hash_match") is True
+        and row.get("schema_match") is not False
     )
 
 

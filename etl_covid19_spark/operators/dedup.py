@@ -504,7 +504,13 @@ def _verify_pairs_exact(
     where the two pair columns draw from different postings frames.
     Output: (pair_cols..., jaccard) for pairs at/above threshold —
     byte-identical semantics to the postings-join form (test-pinned
-    equality in tests/test_dedup_similarity.py)."""
+    equality in tests/test_dedup_similarity.py). The `n_common >= 1`
+    guard preserves that equivalence at ALL thresholds: the postings
+    form could only ever emit pairs sharing at least one shingle, so
+    a threshold <= 0 must not admit zero-overlap candidate pairs
+    here either (ADVICE round 10 — latent, every caller uses
+    >= 0.8, but the docstring's equivalence claim should hold
+    unconditionally)."""
     ca, cb = pair_cols
     left_ids = cands.select(F.col(ca).alias("doc_id")).distinct()
     right_ids = cands.select(F.col(cb).alias("doc_id")).distinct()
@@ -528,10 +534,11 @@ def _verify_pairs_exact(
         on=cb,
     )
     n_common = F.size(F.array_intersect("_sa", "_sb"))
-    jac = n_common / (F.col("na") + F.col("nb") - n_common)
+    jac = F.col("_nc") / (F.col("na") + F.col("nb") - F.col("_nc"))
     return (
-        paired.withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
+        paired.withColumn("_nc", n_common)
+        .withColumn("jaccard", jac)
+        .where((F.col("_nc") >= 1) & (F.col("jaccard") >= threshold))
         .select(ca, cb, "jaccard")
     )
 

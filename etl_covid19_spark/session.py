@@ -114,6 +114,15 @@ def get_spark(
             "spark.driver.memory",
             os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
         )
+        # Embedded Derby (JDBC wire tests / any derby-backed
+        # metastore) writes `derby.log` into the process CWD by
+        # default — route it to tmp so test runs never drop files
+        # at the repo root. Static JVM property, so it must ride
+        # extraJavaOptions at session build time.
+        conf.setdefault(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.stream.error.file=/tmp/derby.log",
+        )
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

@@ -85,14 +85,35 @@ def _align_rewrite(df: DataFrame, partition_col: str) -> DataFrame:
     task-side write failures. Hashing on (partition, salt) bounds
     output to `_REWRITE_FAN` files per rewritten partition while
     keeping a skewed hot day from serializing through one task."""
-    salt = F.pmod(
-        F.xxhash64(F.struct(*[F.col(c) for c in df.columns])),
-        F.lit(_REWRITE_FAN),
-    )
-    n_parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    return df.repartition(
-        int(n_parts), F.col(partition_col), salt
-    )
+    # Salt only over HASHABLE columns: xxhash64 rejects MapType (maps
+    # are unorderable in Spark), and a zone is allowed to carry one.
+    # Dropping unhashable columns from the salt only affects how rows
+    # spread across the ≤ _REWRITE_FAN files per partition, never
+    # which rows land in which partition directory.
+    def _hashable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _hashable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_hashable(f.dataType) for f in dt.fields)
+        return True
+
+    salt_cols = [
+        F.col(f.name) for f in df.schema.fields if _hashable(f.dataType)
+    ] or [F.lit(0)]
+    salt = F.pmod(F.xxhash64(F.struct(*salt_cols)), F.lit(_REWRITE_FAN))
+    # spark.sql.shuffle.partitions may be non-numeric on managed
+    # platforms (e.g. "auto" under Databricks AQE) — fall back to the
+    # slice's current parallelism rather than hard-failing the DELETE.
+    raw = df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    try:
+        n_parts = int(raw)
+    except (TypeError, ValueError):
+        n_parts = max(df.rdd.getNumPartitions(), _REWRITE_FAN)
+    return df.repartition(n_parts, F.col(partition_col), salt)
 
 
 def delete_where(
