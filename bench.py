@@ -30,6 +30,13 @@ def run_query(spark, fn, sf_dir: str) -> float:
 
 
 def main() -> None:
+    # Exclusive measure lock: bench numbers are adjudicated
+    # round-over-round, so they must never be contended by the
+    # repo's own pytest sessions (shared holders of the same lock).
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
+    from registry_sweep import acquire_measure_lock
+
+    _lock_fd, _lock_wait = acquire_measure_lock(exclusive=True)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None

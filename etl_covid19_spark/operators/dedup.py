@@ -287,7 +287,19 @@ def ngram_jaccard_pairs_capped(
     shingle's contribution at max_df², making join volume linear in
     corpus size (≤ |postings|·max_df). The hot set itself is
     provably small (≤ |postings|/max_df entries), so it ships as a
-    broadcast anti-join — no extra shuffle on the postings."""
+    broadcast anti-join — no extra shuffle on the postings.
+
+    Candidates come from the EXACT prefix filter
+    (`_prefix_candidates` — zero recall loss by the prefix
+    principle, so results are byte-identical to the old postings
+    self-join form at every threshold) with Jaccard's two lossless
+    prunes: a qualifying pair needs overlap ≥ 2t/(1+t)·na (from
+    J = c/(na+nb−c) ≥ t with nb ≥ na) and size ratio nb ≤ na/t;
+    verification is the pair-local `array_intersect` pass — linear
+    in the candidate count, no Σ df² term anywhere (the round-10
+    MinHash discipline applied to the postings-join family, which
+    the sf100 entropic sweep measured at 482 s in its old shape
+    because a rich vocabulary makes the df-cap drop nothing)."""
     posts = shingle_postings_cached(df, text_col, id_col, n)
     hot = (
         posts.groupBy("sh")
@@ -299,29 +311,21 @@ def ngram_jaccard_pairs_capped(
         "doc_id", "sh"
     )
     sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_capped"))
-    a, b = capped.alias("a"), capped.alias("b")
-    common = (
-        a.join(b, on="sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    frac = 2.0 * threshold / (1.0 + threshold)
+    cands = _prefix_candidates(
+        capped,
+        sizes,
+        lambda pn: F.ceil(pn * F.lit(frac) - F.lit(1e-9)),
+        extra_pred=(
+            F.col("fn") * F.lit(threshold)
+            <= F.col("pn") + F.lit(1e-6)
+        ),
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_capped").alias("na")
+    posts_c = capped.join(sizes, "doc_id").select(
+        "doc_id", "sh", F.col("n_capped").alias("n_shingles")
     )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_capped").alias("nb")
-    )
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
-        .where(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+    return _verify_pairs_exact(
+        posts_c, cands, ("doc_a", "doc_b"), threshold
     )
 
 
@@ -490,6 +494,7 @@ def _verify_pairs_exact(
     pair_cols: tuple[str, str],
     threshold: float,
     posts_right: DataFrame | None = None,
+    metric: str = "jaccard",
 ) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs, linear in the
     candidate count: two equi-joins attach each side's shingle array
@@ -502,7 +507,10 @@ def _verify_pairs_exact(
 
     `posts_right` supports the incremental (corpus×delta) shape
     where the two pair columns draw from different postings frames.
-    Output: (pair_cols..., jaccard) for pairs at/above threshold —
+    `metric` picks the score: "jaccard" = |A∩B|/|A∪B| (default) or
+    "containment" = |A∩B|/min(|A|,|B|) — same pair-local dataflow,
+    only the denominator and the output column name change.
+    Output: (pair_cols..., <metric>) for pairs at/above threshold —
     byte-identical semantics to the postings-join form (test-pinned
     equality in tests/test_dedup_similarity.py). The `n_common >= 1`
     guard preserves that equivalence at ALL thresholds: the postings
@@ -534,13 +542,102 @@ def _verify_pairs_exact(
         on=cb,
     )
     n_common = F.size(F.array_intersect("_sa", "_sb"))
-    jac = F.col("_nc") / (F.col("na") + F.col("nb") - F.col("_nc"))
+    if metric == "containment":
+        score = F.col("_nc") / F.least(F.col("na"), F.col("nb"))
+    else:
+        score = F.col("_nc") / (
+            F.col("na") + F.col("nb") - F.col("_nc")
+        )
     return (
         paired.withColumn("_nc", n_common)
-        .withColumn("jaccard", jac)
-        .where((F.col("_nc") >= 1) & (F.col("jaccard") >= threshold))
-        .select(ca, cb, "jaccard")
+        .withColumn(metric, score)
+        .where((F.col("_nc") >= 1) & (F.col(metric) >= threshold))
+        .select(ca, cb, metric)
     )
+
+
+def _prefix_candidates(
+    capped: DataFrame,
+    sizes: DataFrame,
+    min_overlap,
+    extra_pred=None,
+) -> DataFrame:
+    """EXACT prefix-filter candidate pairs over a (df-capped)
+    postings frame — the Bayardo/Chaudhuri "Scaling Up All Pairs"
+    prefix principle, NOT a probabilistic band filter: if a pair
+    must share at least α shingles, then the smaller doc's first
+    (n − α + 1) shingles under ANY fixed global shingle order must
+    intersect the larger doc's full set (otherwise at most α − 1
+    shared elements remain). So joining each doc's PREFIX postings
+    against the corpus's FULL postings, restricted to
+    (prefix side strictly smaller, ties by lower id), yields a
+    candidate superset with zero recall loss — exactness never
+    depends on the order chosen; the order only controls how FEW
+    candidates survive.
+
+    We order shingles by (capped doc-frequency ASC, sh ASC): rarest
+    first, so prefixes carry the most selective shingles. On a rich
+    (entropic) vocabulary most prefix shingles have df ≈ 1 and the
+    candidate join collapses to almost nothing — exactly the regime
+    where the raw postings self-join did its Σ df² worst (sf100
+    entropic 482 s, the biggest number on the round-10 board). On
+    an adversarial low-entropy corpus the join stays bounded by
+    |prefix postings|·max_df — a strict subset of the old
+    |postings|·max_df.
+
+    `min_overlap(pn)` maps the SMALLER doc's capped size to the
+    minimum shared-shingle count a qualifying pair must have (a
+    Column expression; callers subtract a 1e-9 slack inside their
+    ceil so float boundary error can only LENGTHEN a prefix, never
+    shorten it — completeness is never at the mercy of float
+    rounding). `extra_pred` adds an optional pruning predicate over
+    (pn, fn) pair sizes (e.g. Jaccard's nb ≤ na/t) — again only
+    ever a provable consequence of the threshold, so pruning is
+    lossless.
+
+    Shuffle inventory (all linear in |capped postings|): df join on
+    sh, sizes join + per-doc window on doc_id (rows per group
+    bounded by doc length), then the prefix×full equi-join on sh.
+    Returns DISTINCT (doc_a, doc_b) with doc_a < doc_b."""
+    from pyspark.sql import Window
+
+    dfs = capped.groupBy("sh").agg(
+        F.count(F.lit(1)).alias("sdf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("sdf").asc(), F.col("sh").asc()
+    )
+    ranked = (
+        capped.join(dfs, "sh")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    prefix = ranked.where(
+        F.col("rn")
+        <= F.col("n_capped") - min_overlap(F.col("n_capped")) + 1
+    ).select(
+        F.col("doc_id").alias("pid"),
+        "sh",
+        F.col("n_capped").alias("pn"),
+    )
+    full = capped.join(sizes, "doc_id").select(
+        F.col("doc_id").alias("fid"),
+        "sh",
+        F.col("n_capped").alias("fn"),
+    )
+    j = prefix.join(full, "sh").where(
+        (F.col("pn") < F.col("fn"))
+        | (
+            (F.col("pn") == F.col("fn"))
+            & (F.col("pid") < F.col("fid"))
+        )
+    )
+    if extra_pred is not None:
+        j = j.where(extra_pred)
+    return j.select(
+        F.least("pid", "fid").alias("doc_a"),
+        F.greatest("pid", "fid").alias("doc_b"),
+    ).distinct()
 
 
 def simhash(df: DataFrame, text_col: str, id_col: str, bits: int = 30) -> DataFrame:
@@ -1529,12 +1626,23 @@ def containment_pairs_capped(
     intersection and the min-set-size denominator are recomputed
     over the capped shingle universe, so the ratio is exact over
     that universe and the SQL oracle mirrors it shingle-for-
-    shingle. Join volume is bounded at |postings|·max_df — the
-    round-5 sweep measured the exact form's Σ df² aggregate at
-    ~35 s for sf1 (349M co-shingle rows from 2.9M postings) and
-    that product is unbounded under boilerplate skew, so this is
-    the form that survives 100 TB; the exact query stays registered
-    as its semantic baseline."""
+    shingle. The round-5 sweep measured the exact form's Σ df²
+    aggregate at ~35 s for sf1 (349M co-shingle rows from 2.9M
+    postings) and that product is unbounded under boilerplate skew,
+    so this is the form that survives 100 TB; the exact query stays
+    registered as its semantic baseline.
+
+    Candidates come from the EXACT prefix filter
+    (`_prefix_candidates`, zero recall loss): containment ≥ t means
+    the pair shares ≥ ⌈t·min(na,nb)⌉ shingles, so the smaller doc's
+    (na − ⌈t·na⌉ + 1)-prefix must hit the larger doc's postings.
+    No size-ratio prune exists for containment (a tiny doc fully
+    inside a huge one is precisely the relationship the metric is
+    FOR), but the prefix is short — 1 − t of the smaller doc — and
+    carries the rarest shingles, so on rich vocabularies (the sf100
+    entropic regime that measured 482 s on the old self-join) the
+    candidate join collapses. Verification is the pair-local
+    `array_intersect` pass, linear in candidates."""
     posts = shingle_postings_cached(df, text_col, id_col, n)
     hot = (
         posts.groupBy("sh")
@@ -1548,29 +1656,20 @@ def containment_pairs_capped(
     sizes = capped.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_capped")
     )
-    a, b = capped.alias("a"), capped.alias("b")
-    common = (
-        a.join(b, on="sh")
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    cands = _prefix_candidates(
+        capped,
+        sizes,
+        lambda pn: F.ceil(pn * F.lit(threshold) - F.lit(1e-9)),
     )
-    sa = sizes.select(
-        F.col("doc_id").alias("doc_a"), F.col("n_capped").alias("na")
+    posts_c = capped.join(sizes, "doc_id").select(
+        "doc_id", "sh", F.col("n_capped").alias("n_shingles")
     )
-    sb = sizes.select(
-        F.col("doc_id").alias("doc_b"), F.col("n_capped").alias("nb")
-    )
-    cont = F.col("n_common") / F.least(F.col("na"), F.col("nb"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("containment", cont)
-        .where(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", "containment")
+    return _verify_pairs_exact(
+        posts_c,
+        cands,
+        ("doc_a", "doc_b"),
+        threshold,
+        metric="containment",
     )
 
 

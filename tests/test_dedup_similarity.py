@@ -1136,3 +1136,86 @@ def test_knn_graph_ivf_recall_and_budget(spark):
         expect = topk_rows(mask, S[s])[: min(k, len(cand))]
         got_sorted = [d for _, d in sorted(got2.get(s, []))]
         assert got_sorted == expect, f"src {s}"
+
+
+def test_prefix_filter_equivalent_to_postings_selfjoin(spark):
+    """The exact prefix filter (`_prefix_candidates`) must produce
+    BYTE-IDENTICAL results to the old postings self-join form of
+    both capped twins, across thresholds INCLUDING low ones where
+    prefixes are long and the size-ratio prune is weak — the
+    completeness claim is mathematical (Bayardo's prefix principle),
+    so any threshold where they diverge is a bug, full stop.
+    Baseline reimplemented inline from the pre-round-11 shape."""
+    from etl_covid19_spark.operators.dedup import (
+        containment_pairs_capped,
+        ngram_jaccard_pairs_capped,
+        shingle_postings_cached,
+    )
+    from etl_covid19_spark.sources.catalog import load_table
+
+    docs = load_table(spark, "documents", "/root/testdata/sf0.001")
+    posts = shingle_postings_cached(docs, "text", "doc_id")
+
+    def baseline(threshold, max_df, metric):
+        hot = (
+            posts.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("doc_freq"))
+            .where(F.col("doc_freq") > max_df)
+            .select("sh")
+        )
+        capped = posts.join(hot, "sh", "left_anti").select(
+            "doc_id", "sh"
+        )
+        sizes = capped.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_capped")
+        )
+        a, b = capped.alias("a"), capped.alias("b")
+        common = (
+            a.join(b, on="sh")
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+        sa = sizes.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("n_capped").alias("na"),
+        )
+        sb = sizes.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("n_capped").alias("nb"),
+        )
+        if metric == "containment":
+            score = F.col("n_common") / F.least("na", "nb")
+        else:
+            score = F.col("n_common") / (
+                F.col("na") + F.col("nb") - F.col("n_common")
+            )
+        return {
+            (r.doc_a, r.doc_b, round(r.s, 12))
+            for r in common.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .withColumn("s", score)
+            .where(F.col("s") >= threshold)
+            .select("doc_a", "doc_b", "s")
+            .collect()
+        }
+
+    for threshold in (0.2, 0.4, 0.8):
+        got_j = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in ngram_jaccard_pairs_capped(
+                docs, "text", "doc_id", threshold=threshold, max_df=5
+            ).collect()
+        }
+        assert got_j == baseline(threshold, 5, "jaccard"), threshold
+        got_c = {
+            (r.doc_a, r.doc_b, round(r.containment, 12))
+            for r in containment_pairs_capped(
+                docs, "text", "doc_id",
+                threshold=threshold, max_df=100,
+            ).collect()
+        }
+        assert got_c == baseline(threshold, 100, "containment"), threshold

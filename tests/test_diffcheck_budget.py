@@ -63,3 +63,32 @@ def test_late_cancel_suppressed_after_success():
     assert got == ("done", False)
     time.sleep(0.15)
     assert not fired
+
+
+def test_gk_bound_checker_accepts_within_and_rejects_beyond():
+    """The machine-checked GK adjudicator: bucket counts within
+    2n/accuracy+1 of the exact-rank oracle pass (status
+    ok_within_bound), a genuine violation or total mismatch fails."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from diffcheck import _gk_equidepth_bound
+
+    cols = ["bin", "n_rows", "lo", "hi"]
+    n = 1_000_000  # tol = 2*1e6/1e5 + 1 = 21
+    base = [(b, n // 10, 0.0, 1.0) for b in range(10)]
+    drift = [
+        (b, n // 10 + (21 if b == 0 else (-21 if b == 1 else 0)), 0.0, 1.0)
+        for b in range(10)
+    ]
+    ok, note = _gk_equidepth_bound(cols, drift, cols, base)
+    assert ok and "holds" in note, note
+    bad = [
+        (b, n // 10 + (22 if b == 0 else (-22 if b == 1 else 0)), 0.0, 1.0)
+        for b in range(10)
+    ]
+    ok, note = _gk_equidepth_bound(cols, bad, cols, base)
+    assert not ok and "VIOLATED" in note, note
+    short = [(b, n // 10, 0.0, 1.0) for b in range(9)]
+    ok, note = _gk_equidepth_bound(cols, short, cols, base)
+    assert not ok and "total rows differ" in note, note

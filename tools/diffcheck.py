@@ -161,6 +161,58 @@ def driver_canon_error(rows, columns):
 # regression that newly pushes a previously-verified oracle over the
 # caps must not silently drop that query's verification (ADVICE
 # round 9). Extend this list only with an adjudication note.
+def _gk_equidepth_bound(s_cols, s_rows, d_cols, d_rows):
+    """Machine-check the Greenwald-Khanna contract for
+    `equidepth_histogram_sketch` when the exact-rank oracle and the
+    sketch diverge (n > accuracy — the approximate regime, where
+    divergence is the DESIGN, pinned in tests/test_statistics.py::
+    test_equidepth_approx_error_bound_above_compression_threshold):
+    each cut's rank error is ≤ n/accuracy, so each bucket count may
+    differ from the oracle's by at most 2n/accuracy (+1 for the two
+    ceil conventions), and totals must agree exactly. accuracy is
+    the registered query's 100_000. Returns (ok, note)."""
+    accuracy = 100_000
+    try:
+        si = {c: i for i, c in enumerate(s_cols)}
+        di = {c: i for i, c in enumerate(d_cols)}
+        s_counts = {
+            int(r[si["bin"]]): int(r[si["n_rows"]]) for r in s_rows
+        }
+        d_counts = {
+            int(r[di["bin"]]): int(r[di["n_rows"]]) for r in d_rows
+        }
+    except (KeyError, TypeError, ValueError) as exc:
+        return False, f"bound check could not parse rows: {exc}"
+    n_s, n_d = sum(s_counts.values()), sum(d_counts.values())
+    if n_s != n_d:
+        return False, f"total rows differ: {n_s} != {n_d}"
+    tol = 2 * n_s // accuracy + 1
+    worst = max(
+        abs(s_counts.get(b, 0) - d_counts.get(b, 0))
+        for b in set(s_counts) | set(d_counts)
+    )
+    if worst <= tol:
+        return True, (
+            f"GK rank bound holds: max bucket-count deviation "
+            f"{worst} <= 2n/accuracy+1 = {tol} (n={n_s}, "
+            f"accuracy={accuracy})"
+        )
+    return False, (
+        f"GK rank bound VIOLATED: max bucket-count deviation "
+        f"{worst} > {tol} (n={n_s}, accuracy={accuracy})"
+    )
+
+
+# Queries whose oracle is exact-by-construction only below a sketch
+# threshold: above it, values diverge by design and the contract is
+# an ERROR BOUND — checked by code here, never by prose allowlist.
+# status becomes `ok_within_bound` (with the measured deviation in
+# `note`) instead of `fail`.
+BOUNDED_COMPARE = {
+    "equidepth_histogram_sketch": _gk_equidepth_bound,
+}
+
+
 ORACLE_RESOURCE_ALLOWLIST = {
     "triangle_count",
     # adjudicated round 10: the oracle's iterative PageRank
@@ -480,10 +532,30 @@ def run(spark, sf_dir: str, only=None, verbose: bool = True, stats=None,
         if sorted(s_cols) == sorted(d_cols) and len(s_rows) == len(d_rows):
             ns, nd = normalize(s_rows, s_cols), normalize(d_rows, d_cols)
             if ns != nd:
+                bounded = BOUNDED_COMPARE.get(name)
+                ok_bound, bnote = (
+                    bounded(s_cols, s_rows, d_cols, d_rows)
+                    if bounded
+                    else (False, "")
+                )
+                if ok_bound:
+                    # values diverge from the exact-rank oracle BY
+                    # DESIGN (sketch regime) but the operator's
+                    # pinned error bound holds — machine-checked,
+                    # not prose-adjudicated (VERDICT r10 ask #4)
+                    say(f"BOUND  {name}: {bnote}")
+                    if rec is not None:
+                        rec.update(
+                            status="ok_within_bound", note=bnote
+                        )
+                    ckpt()
+                    continue
                 diff = [
                     (a, b) for a, b in zip(ns, nd) if a != b
                 ][:3]
                 problems.append(f"values differ, first diffs: {diff}")
+                if bounded:
+                    problems.append(f"bound check also failed: {bnote}")
             err = driver_canon_error(s_rows, s_cols)
             if err:
                 problems.append(err)

@@ -73,7 +73,37 @@ SLOW_BY_DESIGN = {
 }
 
 
+_MEASURE_LOCK = "/tmp/spark_graft_measure.lock"
+
+
+def acquire_measure_lock(exclusive: bool = True):
+    """Serialize MEASUREMENT runs against the repo's own processes:
+    sweeps/bench take this lock EXCLUSIVE; the pytest session
+    fixture takes it SHARED (tests may overlap each other, never a
+    measurement). Round-10's committed sf100 MinHash headline had to
+    be replaced by a solo re-run because pytest ran concurrently
+    with the sweep (SWEEP_sf100_subset.json `reruns`) — with the
+    lock, sweep numbers come from the sweep itself. Blocks until
+    granted; returns (fd, waited_sec) — keep the fd alive for the
+    run (the lock dies with the process, so a crashed sweep can
+    never wedge later runs)."""
+    import fcntl
+
+    fd = os.open(_MEASURE_LOCK, os.O_CREAT | os.O_RDWR, 0o666)
+    t0 = time.perf_counter()
+    fcntl.flock(
+        fd, fcntl.LOCK_EX if exclusive else fcntl.LOCK_SH
+    )
+    return fd, round(time.perf_counter() - t0, 3)
+
+
 def main() -> None:
+    _lock_fd, lock_wait = acquire_measure_lock(exclusive=True)
+    if lock_wait > 1:
+        print(
+            f"waited {lock_wait}s for the measure lock",
+            file=sys.stderr,
+        )
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sfgen/sf1"
     # optional slice "start:end" over the registry (run long sweeps
     # in chunks, merge the JSON lines with tools/merge_sweeps.py), or
@@ -222,6 +252,9 @@ def main() -> None:
                 "isolation": "pool-cleared per query (cold incl. own pool builds)",
                 "cache": cache_mode,
                 "runs_per_query": runs,
+                # exclusive measure lock held for the whole sweep —
+                # pytest sessions (shared holders) cannot overlap it
+                "measure_lock_wait_sec": lock_wait,
                 "skipped_baselines": skipped,
                 "slow_by_design": {
                     n: r
