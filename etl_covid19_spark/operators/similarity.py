@@ -168,6 +168,30 @@ def ivf_topk_trained(
     return _ivf_search(emb, queries, cents, vec_col, id_col, k, n_probe)
 
 
+def ivf_topk_trained_fixedpoint(
+    emb: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF top-k with ORACLE-REPRODUCIBLE trained centroids: the
+    `train_centroids_fixedpoint` one-Lloyd-step quantizer (exact
+    int64 fixed-point means — a SQL twin recomputes every centroid
+    component bit-for-bit, where `ivf_topk_trained`'s Spark ML
+    k-means cannot be expressed in ANSI SQL) feeding the identical
+    `_ivf_search` assign/probe/rank dataflow. The trained-and-
+    verified sibling of `ivf_topk`'s deterministic-seed stub: same
+    fixed centroid COUNT (assignment linear in n forever), better
+    cell placement than raw id-ordered seeds."""
+    cents = train_centroids_fixedpoint(
+        emb, vec_col, id_col, n_centroids=n_centroids
+    )
+    return _ivf_search(emb, queries, cents, vec_col, id_col, k, n_probe)
+
+
 def _ivf_search(
     emb: DataFrame,
     queries: DataFrame,

@@ -28,6 +28,25 @@ from etl_covid19_spark.operators import relational as R
 from etl_covid19_spark.plans import star
 from etl_covid19_spark.sources.catalog import load_table
 
+# Sequential per-dim float64 cosine fold (ANSI list_reduce) — the
+# identical IEEE op sequence as `vectors.cosine` / the Arrow kernels,
+# shared by every vector oracle. Defined before the first generated
+# oracle that formats it at import time.
+_FOLD_COS = """
+             CASE WHEN sqrt(list_reduce(list_transform({a}, q -> q * q),
+                                        (q, w) -> q + w))
+                     * sqrt(list_reduce(list_transform({b}, q -> q * q),
+                                        (q, w) -> q + w)) = 0
+                  THEN 0.0
+                  ELSE list_reduce(list_transform(list_zip({a}, {b}),
+                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
+                         (q, w) -> q + w)
+                       / (sqrt(list_reduce(list_transform({a}, q -> q * q),
+                                           (q, w) -> q + w))
+                          * sqrt(list_reduce(list_transform({b}, q -> q * q),
+                                             (q, w) -> q + w)))
+             END"""
+
 
 @dataclass(frozen=True)
 class QueryDef:
@@ -1931,6 +1950,113 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     return ivf_topk(
+        emb,
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+        "embedding", "vec_id", k=10, n_centroids=8, n_probe=2,
+    )
+
+
+def _ann_ivf_topk_trained_oracle(
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    scale: int = 1_000_000,
+) -> str:
+    """GENERATED oracle for trained-quantizer IVF retrieval: the
+    `knn_graph_ivf_trained` training CTEs (one Lloyd step from
+    first-N-by-id seeds, exact fixed-point means) feeding the
+    `ann_ivf_topk` assign/probe/rank shape (queries = vec_id 8..15,
+    self excluded, ties cosine DESC / neighbor ASC)."""
+    seed_cos = _FOLD_COS.format(a="e.v", b="s.cv")
+    cent_cos = _FOLD_COS.format(a="e.v", b="t.cv")
+    pair_cos = _FOLD_COS.format(a="q.v", b="n.v")
+    return f"""
+    WITH e AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {n_centroids}
+    ),
+    sscore AS (
+      SELECT e.vec_id, s.cid, {seed_cos} AS cos
+      FROM e CROSS JOIN seeds s
+    ),
+    assign0 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cid DESC) AS rn
+        FROM sscore
+      ) WHERE rn = 1
+    ),
+    comp AS (
+      SELECT a.cid, r.i - 1 AS d,
+             SUM(CAST(FLOOR(e.v[r.i] * {scale}) AS BIGINT)) AS s,
+             COUNT(*) AS n
+      FROM assign0 a JOIN e USING (vec_id),
+           unnest(range(1, len(e.v) + 1)) r(i)
+      GROUP BY a.cid, r.i
+    ),
+    trained AS (
+      SELECT cid,
+             list(CAST(s AS DOUBLE) / (CAST(n AS DOUBLE) * {scale}.0)
+                  ORDER BY d) AS cv
+      FROM comp GROUP BY cid
+    ),
+    ec AS (
+      SELECT e.vec_id, t.cid, {cent_cos} AS cos
+      FROM e CROSS JOIN trained t
+    ),
+    assign AS (
+      SELECT vec_id AS neighbor_id, cid AS bucket
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec)
+      WHERE rn = 1
+    ),
+    probe AS (
+      SELECT vec_id AS query_id, cid AS bucket
+      FROM (SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid DESC) AS rn
+            FROM ec WHERE vec_id BETWEEN 8 AND 15)
+      WHERE rn <= {n_probe}
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id, {pair_cos} AS cosine
+      FROM probe p
+      JOIN assign a ON p.bucket = a.bucket
+      JOIN e q ON q.vec_id = p.query_id
+      JOIN e n ON n.vec_id = a.neighbor_id
+      WHERE p.query_id <> a.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank, cosine
+    FROM (SELECT query_id, neighbor_id,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                      ORDER BY cosine DESC, neighbor_id ASC) AS INT) AS rank,
+                 cosine
+          FROM scored)
+    WHERE rank <= {k}
+    """
+
+
+@register("ann_ivf_topk_trained", oracle=_ann_ivf_topk_trained_oracle())
+def q_ann_ivf_topk_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-quantizer IVF retrieval, fully oracle-checked — the
+    retrieval sibling of `knn_graph_ivf_trained`: the fixed-point
+    one-Lloyd-step trainer (`train_centroids_fixedpoint`) replaces
+    `ann_ivf_topk`'s raw id-ordered centroid stub while keeping a
+    CONSTANT centroid count (assignment linear in n at any scale;
+    `ivf_topk_trained`'s Spark ML k-means stays the production
+    training path, this is its externally-verified twin)."""
+    from etl_covid19_spark.operators.similarity import (
+        ivf_topk_trained_fixedpoint,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ivf_topk_trained_fixedpoint(
         emb,
         emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
         "embedding", "vec_id", k=10, n_centroids=8, n_probe=2,
@@ -4660,22 +4786,6 @@ def q_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "embedding", "vec_id",
         k=5, band_bits=4, n_bands=16,
     )
-
-
-_FOLD_COS = """
-             CASE WHEN sqrt(list_reduce(list_transform({a}, q -> q * q),
-                                        (q, w) -> q + w))
-                     * sqrt(list_reduce(list_transform({b}, q -> q * q),
-                                        (q, w) -> q + w)) = 0
-                  THEN 0.0
-                  ELSE list_reduce(list_transform(list_zip({a}, {b}),
-                         p -> struct_extract(p, 1) * struct_extract(p, 2)),
-                         (q, w) -> q + w)
-                       / (sqrt(list_reduce(list_transform({a}, q -> q * q),
-                                           (q, w) -> q + w))
-                          * sqrt(list_reduce(list_transform({b}, q -> q * q),
-                                             (q, w) -> q + w)))
-             END"""
 
 
 def _knn_graph_ivf_oracle(
