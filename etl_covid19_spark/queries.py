@@ -4881,7 +4881,7 @@ def q_knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _knn_graph_ivf_trained_oracle(
     k: int = 5,
-    n_centroids: int = 32,
+    n_centroids: int = 512,
     n_probe: int = 2,
     max_bucket: int = 100_000,
     scale: int = 1_000_000,
@@ -4984,11 +4984,17 @@ def q_knn_graph_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     Here `train_centroids_fixedpoint` learns a CONSTANT number of
     centers (one deterministic Lloyd step from first-N-by-id seeds,
     exact int64 fixed-point means — reproducible by the SQL twin
-    bit-for-bit), so assignment is n·32·d and per-cell work is
-    bounded by max_bucket: linear in n forever. Same downstream
-    dataflow (`cents=` slot), same top-k semantics as knn_graph_ivf.
-    At 100 TB the trainer runs on a sample and n_centroids scales
-    with the CLUSTER STRUCTURE of the corpus, never with n."""
+    bit-for-bit), so assignment is n·512·d and per-cell work is
+    bounded by max_bucket: linear in n forever. 512 is a DEPLOYMENT
+    constant — sized to the cell budget you want (sf100's 2M vectors
+    → ~3.9k-wide cells, the same cell size the adaptive form
+    targets), trained on a sample at 100 TB, and never a function of
+    n inside the pipeline. At SFs below 512 vectors every vector
+    seeds its own cell and the graph degenerates to nearest-seed
+    edges — still oracle-exact (the SQL twin computes the identical
+    LIMIT), the scale behavior is what the sf100 sweep measures.
+    Same downstream dataflow (`cents=` slot), same top-k semantics
+    as knn_graph_ivf."""
     from etl_covid19_spark.operators.similarity import (
         knn_graph_ivf,
         train_centroids_fixedpoint,
@@ -4996,7 +5002,7 @@ def q_knn_graph_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     cents = train_centroids_fixedpoint(
-        emb, "embedding", "vec_id", n_centroids=32
+        emb, "embedding", "vec_id", n_centroids=512
     )
     return knn_graph_ivf(
         emb, "embedding", "vec_id", k=5, cents=cents, n_probe=2
