@@ -219,9 +219,49 @@ COMMENTARY = {
         "key; join degree = bucket size, not corpus size."
     ),
     "dedup_ngram_jaccard_capped": (
-        "Skew-hardened Jaccard: the stop-shingle set (df > cap) is "
-        "broadcast as an anti-join filter before the postings self-join, "
-        "bounding every shuffle key's contribution at cap² pairs."
+        "Skew-hardened Jaccard (prefix-filter form, round 11): the "
+        "stop-shingle set (df > cap) is broadcast as an anti-join "
+        "filter, then candidates come from the EXACT Bayardo prefix "
+        "filter — each doc's rarest-first prefix postings equi-joined "
+        "against the full capped postings (zero recall loss by the "
+        "prefix principle) — and verification is the pair-local "
+        "array_intersect pass. No postings self-join and no Σ df² "
+        "term anywhere: on a rich vocabulary most prefix shingles "
+        "have df ≈ 1 and the candidate join collapses; on the "
+        "adversarial corpus it stays a strict subset of the old "
+        "|postings|·max_df volume."
+    ),
+    "dedup_containment_capped": (
+        "Containment twin of the prefix-filter rewrite: the smaller "
+        "doc's (na − ⌈t·na⌉ + 1)-prefix must hit the larger doc's "
+        "postings, so the same rarest-first prefix×full equi-join "
+        "generates candidates and the pair-local array_intersect "
+        "verifies — the sf100 entropic regime where the df-cap "
+        "dropped nothing (482 s postings self-join) now pays only "
+        "prefix-sized join volume."
+    ),
+    "knn_graph_ivf_trained": (
+        "Trained fixed-count-centroid kNN graph (round 11): "
+        "train_centroids_fixedpoint runs one deterministic Lloyd "
+        "step from first-N-by-id seeds with exact int64 fixed-point "
+        "means (bit-for-bit SQL-reproducible), sized as a deployment "
+        "constant (512) — the centroid count never tracks n, so the "
+        "assignment pass is n·512·d forever, replacing the adaptive "
+        "form's n·(n/4000)·d term that goes quadratic past sf100. "
+        "Same assign/probe/rank dataflow as knn_graph_ivf: map-side "
+        "Arrow assignment against collected model literals, ONE "
+        "Exchange on the probed bucket id, per-bucket BLAS kernel, "
+        "dedup + rank window."
+    ),
+    "ann_ivf_topk_trained": (
+        "Trained-quantizer IVF retrieval twin: the same fixed-point "
+        "one-Lloyd-step trainer feeds _ivf_search's assign/probe/"
+        "rank pipeline — broadcast equi-join on the coarse bucket, "
+        "WindowGroupLimit partial+final top-k — giving the trained "
+        "centroid route an externally verified RETRIEVAL path next "
+        "to the kNN-graph one (ivf_topk_trained with Spark ML "
+        "k-means stays the production training path this twin "
+        "verifies)."
     ),
     "ann_ivf_pq_topk": (
         "IVF-PQ: corpus encode (coarse bucket + m PQ codes) is an "
