@@ -300,32 +300,38 @@ def ngram_jaccard_pairs_capped(
     MinHash discipline applied to the postings-join family, which
     the sf100 entropic sweep measured at 482 s in its old shape
     because a rich vocabulary makes the df-cap drop nothing)."""
+    corpus_key = _corpus_key(df)
     posts = shingle_postings_cached(df, text_col, id_col, n)
-    hot = (
-        posts.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .where(F.col("doc_freq") > max_df)
-        .select("sh")
+    ranked = _capped_ranked_cached(
+        posts, corpus_key, text_col, id_col, n, max_df
     )
-    capped = posts.join(hot, "sh", "left_anti").select(
-        "doc_id", "sh"
-    )
-    sizes = capped.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_capped"))
     frac = 2.0 * threshold / (1.0 + threshold)
-    cands = _prefix_candidates(
-        capped,
-        sizes,
-        lambda pn: F.ceil(pn * F.lit(frac) - F.lit(1e-9)),
-        extra_pred=(
-            F.col("fn") * F.lit(threshold)
-            <= F.col("pn") + F.lit(1e-6)
+    # Pool the candidate frame like the LSH path pools its band
+    # candidates: verification references it from THREE plan branches
+    # (the two id-union scans + the pair join), and without the
+    # persist each branch re-executes the whole prefix join
+    # (round-11: the unpooled form re-ran it 3× — a 4× bench
+    # regression at sf0.1 on the dataflow whose sf100 shape win was
+    # the point).
+    cands = _DF_CACHE.get_or_build(
+        (
+            "prefix_cands", "jaccard", corpus_key, text_col, id_col,
+            n, threshold, max_df, SHINGLE_BACKEND,
+        ),
+        lambda: _prefix_candidates(
+            ranked,
+            lambda pn: F.ceil(pn * F.lit(frac) - F.lit(1e-9)),
+            extra_pred=(
+                F.col("fn") * F.lit(threshold)
+                <= F.col("pn") + F.lit(1e-6)
+            ),
         ),
     )
-    posts_c = capped.join(sizes, "doc_id").select(
-        "doc_id", "sh", F.col("n_capped").alias("n_shingles")
+    arrs = _capped_arrays_cached(
+        ranked, corpus_key, text_col, id_col, n, max_df
     )
-    return _verify_pairs_exact(
-        posts_c, cands, ("doc_a", "doc_b"), threshold
+    return _score_pairs(
+        arrs, arrs, cands, ("doc_a", "doc_b"), threshold
     )
 
 
@@ -520,12 +526,41 @@ def _verify_pairs_exact(
     >= 0.8, but the docstring's equivalence claim should hold
     unconditionally)."""
     ca, cb = pair_cols
-    left_ids = cands.select(F.col(ca).alias("doc_id")).distinct()
-    right_ids = cands.select(F.col(cb).alias("doc_id")).distinct()
-    arr_l = _shingle_arrays(posts, left_ids)
-    arr_r = _shingle_arrays(
-        posts if posts_right is None else posts_right, right_ids
-    )
+    if posts_right is None:
+        # both pair columns draw from the same postings frame: build
+        # the per-doc arrays ONCE over the union of candidate ids —
+        # one semi-join + collect_list pass serves both join sides
+        # (round-11: halves the verification stage count vs the
+        # original per-side build).
+        ids = (
+            cands.select(F.col(ca).alias("doc_id"))
+            .union(cands.select(F.col(cb).alias("doc_id")))
+            .distinct()
+        )
+        arr_l = arr_r = _shingle_arrays(posts, ids)
+    else:
+        left_ids = cands.select(F.col(ca).alias("doc_id")).distinct()
+        right_ids = cands.select(F.col(cb).alias("doc_id")).distinct()
+        arr_l = _shingle_arrays(posts, left_ids)
+        arr_r = _shingle_arrays(posts_right, right_ids)
+    return _score_pairs(arr_l, arr_r, cands, pair_cols, threshold, metric)
+
+
+def _score_pairs(
+    arr_l: DataFrame,
+    arr_r: DataFrame,
+    cands: DataFrame,
+    pair_cols: tuple[str, str],
+    threshold: float,
+    metric: str = "jaccard",
+) -> DataFrame:
+    """The pair-scoring tail of `_verify_pairs_exact`: attach each
+    side's (n_shingles, shs) array to the pair row by equi-join and
+    score with `array_intersect` — factored out so callers that
+    already hold a pooled per-doc arrays frame (the capped prefix
+    twins) skip the per-invocation semi-join + collect_list build
+    entirely."""
+    ca, cb = pair_cols
     paired = cands.join(
         arr_l.select(
             F.col("doc_id").alias(ca),
@@ -556,33 +591,119 @@ def _verify_pairs_exact(
     )
 
 
+def _capped_ranked(posts: DataFrame, max_df: int) -> DataFrame:
+    """(doc_id, sh, sdf, n_capped, rn) — the df-capped postings with
+    every per-doc statistic the prefix-filter family needs, derived
+    in the MINIMUM number of exchanges (round-11 optimization: the
+    first prefix-filter shape recomputed the cap/sizes/order as four
+    separate aggregate+join passes — 15 exchanges at sf0.1, a 4×
+    bench regression on a dataflow whose sf100 win was the point).
+
+    ONE aggregate on sh computes each shingle's doc-frequency; the
+    cap keeps sh with sdf ≤ max_df (identical membership to the old
+    hot-set anti-join — the anti dropped df > max_df), and because
+    the aggregate and the postings⋈df join partition identically,
+    the planner REUSES the Exchange(sh) — postings cross the wire
+    once for df + cap + order together. ONE (doc_id) window exchange
+    then derives both the capped per-doc size (count over the
+    partition — the old separate groupBy+join) and the rarest-first
+    rank rn (row_number over (sdf ASC, sh ASC) — deterministic:
+    shingles are distinct within a doc). Downstream consumers
+    (prefix slice, full side, verification arrays) all hang off this
+    one frame, so their identical exchange subtrees are planned as
+    ReusedExchange instead of recomputation."""
+    from pyspark.sql import Window
+
+    shdf = posts.groupBy("sh").agg(F.count(F.lit(1)).alias("sdf"))
+    capped = posts.select("doc_id", "sh").join(
+        shdf.where(F.col("sdf") <= max_df), "sh"
+    )
+    wp = Window.partitionBy("doc_id")
+    wo = wp.orderBy(F.col("sdf").asc(), F.col("sh").asc())
+    return capped.withColumn(
+        "n_capped", F.count(F.lit(1)).over(wp)
+    ).withColumn("rn", F.row_number().over(wo))
+
+
+def _capped_ranked_cached(
+    posts: DataFrame,
+    corpus_key: tuple,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int,
+) -> DataFrame:
+    """Pooled `_capped_ranked`: the frame is linear in the capped
+    postings (same size class as the postings pool entry) and is
+    referenced from the prefix side, the full side AND the
+    verification-array branch of both capped twins — persisting it
+    turns three full join+window recomputations into one build plus
+    in-memory scans, under the pool's bounded/evict/invalidate
+    rules."""
+    return _DF_CACHE.get_or_build(
+        (
+            "capped_ranked", corpus_key, text_col, id_col, n, max_df,
+            SHINGLE_BACKEND,
+        ),
+        lambda: _capped_ranked(posts, max_df),
+    )
+
+
+def _capped_arrays_cached(
+    ranked: DataFrame,
+    corpus_key: tuple,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_df: int,
+) -> DataFrame:
+    """Pooled per-doc capped shingle arrays (doc_id, n_shingles,
+    shs) for the prefix twins' verification: `ranked` is already
+    hash-partitioned by doc_id (the window exchange), so this
+    regroup is EXCHANGE-FREE — one map-side-satisfiable aggregate,
+    linear in the capped postings, built once per (corpus, cap) and
+    reused by every verification join. The semi-join-per-invocation
+    alternative (`_shingle_arrays`) re-runs an ids-exchange + probe
+    + collect_list every call; with the arrays pooled the warm
+    verification plan is just cands ⋈ arrays ⋈ arrays."""
+    return _DF_CACHE.get_or_build(
+        (
+            "capped_arrays", corpus_key, text_col, id_col, n, max_df,
+            SHINGLE_BACKEND,
+        ),
+        lambda: ranked.groupBy("doc_id").agg(
+            F.max("n_capped").alias("n_shingles"),
+            F.collect_list("sh").alias("shs"),
+        ),
+    )
+
+
 def _prefix_candidates(
-    capped: DataFrame,
-    sizes: DataFrame,
+    ranked: DataFrame,
     min_overlap,
     extra_pred=None,
 ) -> DataFrame:
-    """EXACT prefix-filter candidate pairs over a (df-capped)
-    postings frame — the Bayardo/Chaudhuri "Scaling Up All Pairs"
-    prefix principle, NOT a probabilistic band filter: if a pair
-    must share at least α shingles, then the smaller doc's first
-    (n − α + 1) shingles under ANY fixed global shingle order must
-    intersect the larger doc's full set (otherwise at most α − 1
-    shared elements remain). So joining each doc's PREFIX postings
-    against the corpus's FULL postings, restricted to
-    (prefix side strictly smaller, ties by lower id), yields a
-    candidate superset with zero recall loss — exactness never
-    depends on the order chosen; the order only controls how FEW
-    candidates survive.
+    """EXACT prefix-filter candidate pairs over a df-capped, ranked
+    postings frame (`_capped_ranked`) — the Bayardo/Chaudhuri
+    "Scaling Up All Pairs" prefix principle, NOT a probabilistic
+    band filter: if a pair must share at least α shingles, then the
+    smaller doc's first (n − α + 1) shingles under ANY fixed global
+    shingle order must intersect the larger doc's full set
+    (otherwise at most α − 1 shared elements remain). So joining
+    each doc's PREFIX postings against the corpus's FULL postings,
+    restricted to (prefix side strictly smaller, ties by lower id),
+    yields a candidate superset with zero recall loss — exactness
+    never depends on the order chosen; the order only controls how
+    FEW candidates survive.
 
-    We order shingles by (capped doc-frequency ASC, sh ASC): rarest
-    first, so prefixes carry the most selective shingles. On a rich
-    (entropic) vocabulary most prefix shingles have df ≈ 1 and the
-    candidate join collapses to almost nothing — exactly the regime
-    where the raw postings self-join did its Σ df² worst (sf100
-    entropic 482 s, the biggest number on the round-10 board). On
-    an adversarial low-entropy corpus the join stays bounded by
-    |prefix postings|·max_df — a strict subset of the old
+    Shingles are ordered by (capped doc-frequency ASC, sh ASC):
+    rarest first, so prefixes carry the most selective shingles. On
+    a rich (entropic) vocabulary most prefix shingles have df ≈ 1
+    and the candidate join collapses to almost nothing — exactly the
+    regime where the raw postings self-join did its Σ df² worst
+    (sf100 entropic 482 s, the biggest number on the round-10
+    board). On an adversarial low-entropy corpus the join stays
+    bounded by |prefix postings|·max_df — a strict subset of the old
     |postings|·max_df.
 
     `min_overlap(pn)` maps the SMALLER doc's capped size to the
@@ -595,23 +716,10 @@ def _prefix_candidates(
     ever a provable consequence of the threshold, so pruning is
     lossless.
 
-    Shuffle inventory (all linear in |capped postings|): df join on
-    sh, sizes join + per-doc window on doc_id (rows per group
-    bounded by doc length), then the prefix×full equi-join on sh.
+    Shuffle inventory (all linear in |capped postings|): the shared
+    Exchange(sh) + Exchange(doc_id) inside `_capped_ranked` (reused
+    across both join sides), then the prefix×full equi-join on sh.
     Returns DISTINCT (doc_a, doc_b) with doc_a < doc_b."""
-    from pyspark.sql import Window
-
-    dfs = capped.groupBy("sh").agg(
-        F.count(F.lit(1)).alias("sdf")
-    )
-    w = Window.partitionBy("doc_id").orderBy(
-        F.col("sdf").asc(), F.col("sh").asc()
-    )
-    ranked = (
-        capped.join(dfs, "sh")
-        .join(sizes, "doc_id")
-        .withColumn("rn", F.row_number().over(w))
-    )
     prefix = ranked.where(
         F.col("rn")
         <= F.col("n_capped") - min_overlap(F.col("n_capped")) + 1
@@ -620,7 +728,7 @@ def _prefix_candidates(
         "sh",
         F.col("n_capped").alias("pn"),
     )
-    full = capped.join(sizes, "doc_id").select(
+    full = ranked.select(
         F.col("doc_id").alias("fid"),
         "sh",
         F.col("n_capped").alias("fn"),
@@ -1643,29 +1751,28 @@ def containment_pairs_capped(
     entropic regime that measured 482 s on the old self-join) the
     candidate join collapses. Verification is the pair-local
     `array_intersect` pass, linear in candidates."""
+    corpus_key = _corpus_key(df)
     posts = shingle_postings_cached(df, text_col, id_col, n)
-    hot = (
-        posts.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("doc_freq"))
-        .where(F.col("doc_freq") > max_df)
-        .select("sh")
+    ranked = _capped_ranked_cached(
+        posts, corpus_key, text_col, id_col, n, max_df
     )
-    capped = posts.join(hot, "sh", "left_anti").select(
-        "doc_id", "sh"
+    # pooled for the same three-branch reuse as the Jaccard twin
+    cands = _DF_CACHE.get_or_build(
+        (
+            "prefix_cands", "containment", corpus_key, text_col,
+            id_col, n, threshold, max_df, SHINGLE_BACKEND,
+        ),
+        lambda: _prefix_candidates(
+            ranked,
+            lambda pn: F.ceil(pn * F.lit(threshold) - F.lit(1e-9)),
+        ),
     )
-    sizes = capped.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_capped")
+    arrs = _capped_arrays_cached(
+        ranked, corpus_key, text_col, id_col, n, max_df
     )
-    cands = _prefix_candidates(
-        capped,
-        sizes,
-        lambda pn: F.ceil(pn * F.lit(threshold) - F.lit(1e-9)),
-    )
-    posts_c = capped.join(sizes, "doc_id").select(
-        "doc_id", "sh", F.col("n_capped").alias("n_shingles")
-    )
-    return _verify_pairs_exact(
-        posts_c,
+    return _score_pairs(
+        arrs,
+        arrs,
         cands,
         ("doc_a", "doc_b"),
         threshold,
