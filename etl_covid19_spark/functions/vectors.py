@@ -16,14 +16,44 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+# When both inputs are plain column NAMES (every hot caller), the
+# expressions below are assembled as ONE parsed SQL string instead of
+# py4j Column objects: each lambda-built HOF costs ~10-30 driver⇄JVM
+# roundtrips (30-70 ms per call, re-paid on every query build — the
+# same serial-driver-time tax `hyperplane_signature` and ivf_pq's
+# distance table shed). The string parses to the IDENTICAL expression
+# tree (same casts, same left-to-right fold order), so executed plans
+# and values are bit-for-bit unchanged; Column inputs keep the lambda
+# path.
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with(`{a}`, `{b}`, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return (
+        f"sqrt(aggregate(`{a}`, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+
+
 def dot(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ in float64 (left-to-right, matching ANSI SQL reduce
     order so oracle engines agree bit-for-bit)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
 def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(
         F.aggregate(
             _c(a), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
@@ -33,12 +63,24 @@ def norm(a: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs (ANSI-safe)."""
+    if isinstance(a, str) and isinstance(b, str):
+        denom = f"({_norm_sql(a)} * {_norm_sql(b)})"
+        return F.expr(
+            f"CASE WHEN {denom} = 0 THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE {_dot_sql(a, b)} / {denom} END"
+        )
     d = dot(a, b)
     denom = norm(a) * norm(b)
     return F.when(denom == 0, F.lit(0.0)).otherwise(d / denom)
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(
+            f"sqrt(aggregate(zip_with(`{a}`, `{b}`, "
+            "(x, y) -> power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "
+            "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d))"
+        )
     diffs = F.zip_with(
         _c(a), _c(b), lambda x, y: (x.cast("double") - y.cast("double")) ** 2
     )

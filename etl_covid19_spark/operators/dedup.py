@@ -476,8 +476,20 @@ def minhash_lsh_pairs(
     # df² term anywhere. Same exact semantics: postings hold each
     # doc's distinct shingle hashes, so |array_intersect| is exactly
     # the shared-shingle count the postings join aggregated.
-    return _verify_pairs_exact(
-        posts, cands, ("doc_a", "doc_b"), threshold
+    # Round 11: the per-doc arrays frame is POOLED (one linear
+    # regroup of the pooled postings, same size class) instead of
+    # being rebuilt per invocation via ids-semi-join + collect_list,
+    # so the steady-state verification plan is just
+    # cands ⋈ arrays ⋈ arrays.
+    arrs = _DF_CACHE.get_or_build(
+        ("shingle_arrays", corpus_key, text_col, id_col, n,
+         SHINGLE_BACKEND),
+        lambda: posts.groupBy("doc_id", "n_shingles").agg(
+            F.collect_list("sh").alias("shs")
+        ),
+    )
+    return _score_pairs(
+        arrs, arrs, cands, ("doc_a", "doc_b"), threshold
     )
 
 

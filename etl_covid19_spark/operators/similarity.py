@@ -55,27 +55,34 @@ def hyperplane_signature(vec_col: str, planes: list[list[float]]) -> F.Column:
     terms for 8 planes × 64 dims) was measured 3× SLOWER at sf0.1
     (5.5 s vs 1.4 s warm) — the giant expression tree falls out of
     whole-stage codegen, while the HOF fold stays a tight interpreted
-    loop over primitive arrays."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(x) for x in plane]),
-                    lambda v, p: v.cast("double") * p,
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            > 0,
-            F.lit(1),
-        ).otherwise(F.lit(0))
-        for plane in planes
-    ]
-    sig = F.lit(0)
-    for b in bits:
-        sig = sig * 2 + b
-    return sig
+    loop over primitive arrays.
+
+    Assembled as ONE parsed SQL string, not py4j Column objects
+    (round 11): the Column form issued ~3,200 driver⇄JVM roundtrips
+    per invocation (one per plane-component `lit` plus the lambda
+    plumbing) — 0.45 s of serial driver time per query build,
+    re-paid on every invocation. The string parses in the JVM in
+    milliseconds to the IDENTICAL expression tree (CAST('repr' AS
+    DOUBLE) literals round-trip bit-exactly), so the executed plan
+    and every signature value are unchanged — the same lesson
+    `ivf_pq_topk`'s distance table and the MinHash signature
+    aggregate already carry."""
+
+    def _bit(plane: list[float]) -> str:
+        arr = "array(" + ",".join(
+            f"CAST('{x!r}' AS DOUBLE)" for x in plane
+        ) + ")"
+        dot = (
+            f"aggregate(zip_with(`{vec_col}`, {arr}, "
+            "(v, p) -> CAST(v AS DOUBLE) * p), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        return f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END)"
+
+    sig = "0"
+    for plane in planes:
+        sig = f"({sig} * 2 + {_bit(plane)})"
+    return F.expr(sig)
 
 
 def make_planes(dim: int, n_planes: int = 8, seed: int = 7) -> list[list[float]]:
@@ -293,6 +300,7 @@ def _assign_buckets_arrow(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
         )
+    
     )
 
     def kernel(batches):
@@ -798,6 +806,7 @@ def _probe_buckets_arrow(
         emb.select(
             F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
         )
+    
     )
 
     def kernel(batches):
@@ -1784,6 +1793,7 @@ def hyperplane_buckets_arrow(
             F.col(id_col).cast("long").alias(id_name),
             F.col(vec_col).alias(vec_name),
         )
+    
     )
 
     def kernel(batches):
@@ -1976,6 +1986,7 @@ def hyperplane_near_dup_pairs(
             F.col(id_col).cast("long").alias("doc"),
             F.col(vec_col).alias("_v"),
         )
+    
     )
 
     def kernel(batches):

@@ -77,10 +77,58 @@ def _normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     return df
 
 
+# Driver-side schema cache — what a real metastore/catalog provides.
+# `spark.read.parquet(path)` re-infers the schema from the footer on
+# EVERY call (~80 ms per table on this host: file listing + footer
+# fetch + merge); passing the schema explicitly skips that (~13 ms).
+# Queries re-read their tables on every invocation, so the inference
+# tax was paid 25+ times per bench pass. Keyed on a stat() snapshot
+# of the backing file(s) — size + mtime_ns — so rewriting a parquet
+# at the same path misses the cache instead of serving a stale
+# schema (same invalidation idea as operators/df_cache). This caches
+# METADATA only, never data or results: every scan still reads the
+# parquet.
+_SCHEMA_CACHE: dict[tuple, object] = {}
+_SCHEMA_CACHE_MAX = 512
+
+
+def _local_fingerprint(path: str):
+    """(size, mtime_ns) snapshot of a local file, or the sorted
+    per-entry snapshot of a local directory; None when the path is
+    not local-stat-able (object stores / HDFS: schema caching is
+    skipped, Spark infers as before)."""
+    if "://" in path and not path.startswith("file:"):
+        return None
+    p = path.removeprefix("file://").removeprefix("file:")
+    try:
+        if os.path.isdir(p):
+            with os.scandir(p) as it:
+                return tuple(sorted(
+                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
+                    for e in it
+                ))
+        st = os.stat(p)
+        return (st.st_size, st.st_mtime_ns)
+    except OSError:
+        return None
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Columnar scan of one warehouse table (predicate/column pushdown free)."""
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    fp = _local_fingerprint(path)
+    if fp is None:
+        df = spark.read.parquet(path)
+    else:
+        key = (path, fp)
+        schema = _SCHEMA_CACHE.get(key)
+        if schema is None:
+            schema = spark.read.parquet(path).schema
+            if len(_SCHEMA_CACHE) >= _SCHEMA_CACHE_MAX:
+                _SCHEMA_CACHE.clear()
+            _SCHEMA_CACHE[key] = schema
+        df = spark.read.schema(schema).parquet(path)
     if name == "events":
         df = _normalize_ts(df)
     return df
