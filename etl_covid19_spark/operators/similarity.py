@@ -1399,7 +1399,17 @@ def ivf_pq_topk(
     # measured 6.7 s of serial DRIVER time per call (plan
     # construction + analysis), vs milliseconds for a string the JVM
     # parses once — the same lesson the MinHash signature aggregate
-    # carries (`dedup._signatures_from_postings`).
+    # carries (`dedup._signatures_from_postings`). Beyond parse cost,
+    # the EXPRESSION TREE SIZE itself is a per-transformation driver
+    # tax: PySpark analyzes eagerly on every Dataset hop, so a
+    # 128-fold expansion (one aggregate machinery per (s, p) cell,
+    # ~6k nodes) re-pays ~0.2-0.3 s of analysis at each of the ~7
+    # downstream transformations. The model constants therefore ride
+    # as ONE literal nested array and the machinery as ONE lambda
+    # (`zip_with(cb, sequence, ...) -> transform -> aggregate`):
+    # same casts, same left-to-right fold order, bit-identical
+    # values (pinned in tests/test_curation.py::TestIvfPq), 3×
+    # cheaper analysis measured at m=8, ks=16.
     def _dlit(x: float) -> str:
         return f"CAST('{x!r}' AS DOUBLE)"
 
@@ -1408,36 +1418,29 @@ def ivf_pq_topk(
 
     vexpr = f"`{vec_col}`"
 
-    def _l2sq_sql(vec_expr: str, lits: list[float]) -> str:
-        return (
-            f"aggregate(zip_with({vec_expr}, {_darr(lits)}, "
-            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-            "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
-        )
-
-    def _cos_sql(vec_expr: str, lits: list[float]) -> str:
-        dot = (
-            f"aggregate(zip_with({vec_expr}, {_darr(lits)}, "
-            "(x, y) -> CAST(x AS DOUBLE) * y), "
-            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
-        )
-        nv = (
-            f"sqrt(aggregate({vec_expr}, CAST(0.0 AS DOUBLE), "
-            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-        )
-        nc = (
-            f"sqrt(aggregate({_darr(lits)}, CAST(0.0 AS DOUBLE), "
-            "(acc, x) -> acc + x * x))"
-        )
-        return (
-            f"CASE WHEN {nv} * {nc} = CAST(0.0 AS DOUBLE) "
-            f"THEN CAST(0.0 AS DOUBLE) ELSE {dot} / ({nv} * {nc}) END"
-        )
-
-    coarse_sql = "array(" + ",".join(
-        f"named_struct('cos', {_cos_sql(vexpr, cv)}, 'cid', {cid})"
+    cents_lit = "array(" + ",".join(
+        f"named_struct('cid', {cid}, 'cv', {_darr(cv)})"
         for cid, cv in cents
     ) + ")"
+    _dot = (
+        f"aggregate(zip_with({vexpr}, c.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
+    _nv = (
+        f"sqrt(aggregate({vexpr}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    _nc = (
+        "sqrt(aggregate(c.cv, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x))"
+    )
+    coarse_sql = (
+        f"transform({cents_lit}, c -> named_struct("
+        f"'cos', CASE WHEN {_nv} * {_nc} = CAST(0.0 AS DOUBLE) "
+        f"THEN CAST(0.0 AS DOUBLE) ELSE {_dot} / ({_nv} * {_nc}) END, "
+        "'cid', c.cid))"
+    )
 
     # Corpus-side encode (coarse bucket + m PQ codes) is pure
     # SELECTION — argmax/argmin indices, no value flows to the
@@ -1491,15 +1494,17 @@ def ivf_pq_topk(
     c = fan_out(emb.select(F.col(id_col), F.col(vec_col))).mapInPandas(
         _encode, schema="neighbor_id bigint, bucket int, codes array<int>"
     )
-    dtab_sql = "array(" + ",".join(
-        "array("
-        + ",".join(
-            _l2sq_sql(f"slice({vexpr}, {s * sub + 1}, {sub})", cv)
-            for cv in cb[s]
-        )
-        + ")"
+    cb3d = "array(" + ",".join(
+        "array(" + ",".join(_darr(cv) for cv in cb[s]) + ")"
         for s in range(m)
     ) + ")"
+    dtab_sql = (
+        f"zip_with({cb3d}, sequence(0, {m - 1}), (cbs, s) -> "
+        "transform(cbs, cv -> "
+        f"aggregate(zip_with(slice({vexpr}, s * {sub} + 1, {sub}), cv, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)))"
+    )
     probed_sql = (
         f"slice(reverse(array_sort({coarse_sql})), 1, {n_probe})"
     )

@@ -307,6 +307,150 @@ class TestIvfPq:
             ]
             assert adcs == sorted(adcs)  # ADC ascending with rank
 
+    def test_nested_literal_exprs_bit_identical(self, spark):
+        """The query-side distance table and coarse-probe scores are
+        assembled as ONE nested-literal lambda expression (driver
+        analysis stays O(model size), not O(m·ks) machinery copies).
+        Pin: bit-for-bit equal to the straightforward per-cell
+        expansion they replaced."""
+        import struct
+
+        from etl_covid19_spark.sources.catalog import load_table
+
+        m, ks, dim, n_centroids = 8, 16, 64, 8
+        sub = dim // m
+        emb = load_table(spark, "embeddings", SF)
+        seed_rows = sorted(
+            emb.orderBy("vec_id")
+            .limit(max(ks, n_centroids))
+            .select(F.col("vec_id").alias("j"), F.col("embedding").alias("v"))
+            .collect(),
+            key=lambda r: int(r["j"]),
+        )
+        cents = [
+            (int(r["j"]), [float(x) for x in r["v"]])
+            for r in seed_rows[:n_centroids]
+        ]
+        cb = {
+            s: [
+                [float(r["v"][s * sub + t]) for t in range(sub)]
+                for r in seed_rows[:ks]
+            ]
+            for s in range(m)
+        }
+
+        def _dlit(x):
+            return f"CAST('{x!r}' AS DOUBLE)"
+
+        def _darr(vals):
+            return "array(" + ",".join(_dlit(v) for v in vals) + ")"
+
+        def _l2sq(vec_expr, lits):
+            return (
+                f"aggregate(zip_with({vec_expr}, {_darr(lits)}, "
+                "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)"
+            )
+
+        def _cos(vec_expr, lits):
+            dot = (
+                f"aggregate(zip_with({vec_expr}, {_darr(lits)}, "
+                "(x, y) -> CAST(x AS DOUBLE) * y), "
+                "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+            )
+            nv = (
+                f"sqrt(aggregate({vec_expr}, CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+            )
+            nc = (
+                f"sqrt(aggregate({_darr(lits)}, CAST(0.0 AS DOUBLE), "
+                "(acc, x) -> acc + x * x))"
+            )
+            return (
+                f"CASE WHEN {nv} * {nc} = CAST(0.0 AS DOUBLE) "
+                f"THEN CAST(0.0 AS DOUBLE) ELSE {dot} / ({nv} * {nc}) END"
+            )
+
+        # the per-cell expansions the nested forms replaced
+        old_dtab = "array(" + ",".join(
+            "array("
+            + ",".join(
+                _l2sq(f"slice(`embedding`, {s * sub + 1}, {sub})", cv)
+                for cv in cb[s]
+            )
+            + ")"
+            for s in range(m)
+        ) + ")"
+        old_coarse = "array(" + ",".join(
+            f"named_struct('cos', {_cos('`embedding`', cv)}, 'cid', {cid})"
+            for cid, cv in cents
+        ) + ")"
+
+        # the nested-literal forms ivf_pq_topk now builds
+        cb3d = "array(" + ",".join(
+            "array(" + ",".join(_darr(cv) for cv in cb[s]) + ")"
+            for s in range(m)
+        ) + ")"
+        new_dtab = (
+            f"zip_with({cb3d}, sequence(0, {m - 1}), (cbs, s) -> "
+            "transform(cbs, cv -> "
+            f"aggregate(zip_with(slice(`embedding`, s * {sub} + 1, {sub}), cv, "
+            "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+            "CAST(0.0 AS DOUBLE), (acc, d) -> acc + d)))"
+        )
+        cents_lit = "array(" + ",".join(
+            f"named_struct('cid', {cid}, 'cv', {_darr(cv)})"
+            for cid, cv in cents
+        ) + ")"
+        dot = (
+            "aggregate(zip_with(`embedding`, c.cv, "
+            "(x, y) -> CAST(x AS DOUBLE) * y), "
+            "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+        )
+        nv = (
+            "sqrt(aggregate(`embedding`, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        )
+        nc = (
+            "sqrt(aggregate(c.cv, CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x * x))"
+        )
+        new_coarse = (
+            f"transform({cents_lit}, c -> named_struct("
+            f"'cos', CASE WHEN {nv} * {nc} = CAST(0.0 AS DOUBLE) "
+            f"THEN CAST(0.0 AS DOUBLE) ELSE {dot} / ({nv} * {nc}) END, "
+            "'cid', c.cid))"
+        )
+
+        q = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+
+        def pack(rows, col, structs=False):
+            out = []
+            for r in sorted(rows, key=lambda r: r["vec_id"]):
+                v = r[col]
+                if structs:
+                    out.append(
+                        tuple(
+                            (struct.pack(">d", s["cos"]), s["cid"]) for s in v
+                        )
+                    )
+                else:
+                    out.append(
+                        tuple(
+                            tuple(struct.pack(">d", x) for x in row)
+                            for row in v
+                        )
+                    )
+            return out
+
+        for old, new, structs in [
+            (old_dtab, new_dtab, False),
+            (old_coarse, new_coarse, True),
+        ]:
+            a = q.select("vec_id", F.expr(old).alias("e")).collect()
+            b = q.select("vec_id", F.expr(new).alias("e")).collect()
+            assert pack(a, "e", structs) == pack(b, "e", structs)
+
     def test_recall_beats_random_baseline(self, spark):
         # PQ on ISOTROPIC synthetic vectors is the worst case (16
         # codewords per 8-dim subspace carries little signal), so the
