@@ -1978,11 +1978,21 @@ def hyperplane_near_dup_pairs(
     from etl_covid19_spark.operators.parallelism import fan_out
 
     planes = make_planes(dim, band_bits * n_bands)
+    # the kernel emits the float64 vector it already materialized for
+    # the plane dots: re-attaching vectors via a doc-equi-join with a
+    # second emb scan cost TWO extra Exchanges (signatures and corpus
+    # both shuffled by doc) before the band_key shuffle — the join
+    # existed only to carry `_v` to verification, and float32→float64
+    # widening is exact, so emitting it here is byte-identical input
+    # to the verify kernel with one less shuffle round (guide §2.4)
     out_schema = T.StructType(
         [
             T.StructField("doc", T.LongType(), True),
             T.StructField(
                 "band_keys", T.ArrayType(T.LongType(), True), True
+            ),
+            T.StructField(
+                "_v", T.ArrayType(T.DoubleType(), True), True
             ),
         ]
     )
@@ -2034,14 +2044,22 @@ def hyperplane_near_dup_pairs(
                 * (1 << band_bits)
                 + packed
             )
+            v_offs = np.arange(
+                0, (n + 1) * dim, dim, dtype=np.int32
+            )
+            v_arr = pa.ListArray.from_arrays(
+                pa.array(v_offs, pa.int32()),
+                pa.array(m.ravel(), pa.float64()),
+            )
             yield pa.record_batch(
                 [
                     pa.array(
                         ids.to_numpy(zero_copy_only=False), pa.int64()
                     ),
                     pa.array(list(keys), pa.list_(pa.int64())),
+                    v_arr,
                 ],
-                names=["doc", "band_keys"],
+                names=["doc", "band_keys", "_v"],
             )
 
     # Per-BUCKET verification (the knn_graph execution shape): the
@@ -2055,16 +2073,8 @@ def hyperplane_near_dup_pairs(
     # on survivors, global dedup on the identical exact values.
     # Same semantics and oracle: share ≥1 band AND exact fold
     # cosine ≥ threshold.
-    banded = (
-        proj.mapInArrow(kernel, out_schema)
-        .join(
-            emb.select(
-                F.col(id_col).cast("long").alias("doc"),
-                F.col(vec_col).cast("array<double>").alias("_v"),
-            ),
-            "doc",
-        )
-        .select("doc", "_v", F.explode("band_keys").alias("band_key"))
+    banded = proj.mapInArrow(kernel, out_schema).select(
+        "doc", "_v", F.explode("band_keys").alias("band_key")
     )
     margin = threshold - 1e-6
     pair_schema = T.StructType(
