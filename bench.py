@@ -64,6 +64,14 @@ def main() -> None:
     # unreadable; the median of 9 cuts the spread roughly √2 further
     # and makes a single stalled run irrelevant in either direction.
     warm_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "9"))
+    # Ambient stamp (round-11 verdict ask #7): this shared-tenant
+    # host swings ±40% between sessions, so every bench artifact
+    # records the 1/5/15-min load average at start and end — the
+    # judge can separate host tenancy from plan changes without a
+    # triple-run forensic. Detail-file/stderr only; the final-line
+    # JSON contract is unchanged.
+    loadavg = {"before": os.getloadavg()}
+    print(f"loadavg before: {loadavg['before']}", file=sys.stderr)
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     spread: dict[str, dict[str, float]] = {}
@@ -90,6 +98,47 @@ def main() -> None:
             flush=True,
         )
 
+    # POOL-COLD column (round-11 verdict ask #2): the warm medians
+    # above are steady-state numbers — for pooled paths (the dedup /
+    # LSH family persists postings/candidate frames in the shared
+    # bounded LRU) they measure the plan AFTER the pool is built.
+    # A pipeline that runs a dedup query once per corpus (the
+    # realistic 100 TB mode) pays the pool build every time, so the
+    # claimed number for pooled paths must come from THIS column:
+    # every timed run starts from a cleared pool (SHARED_CACHE.clear()
+    # — persisted frames dropped, plans recompute from parquet).
+    # Median of `pool_cold_runs`; detail-file only, the final-line
+    # contract and the warm medians above are unchanged.
+    pool_cold_runs = int(
+        os.environ.get("SPARK_GRAFT_BENCH_POOLCOLD_RUNS", "3")
+    )
+    pool_cold: dict[str, float] = {}
+    pool_cold_spread: dict[str, dict[str, float]] = {}
+    if pool_cold_runs > 0:
+        from etl_covid19_spark.operators.df_cache import SHARED_CACHE
+
+        for name, qd in headline.items():
+            samples = []
+            for _ in range(pool_cold_runs):
+                SHARED_CACHE.clear()
+                samples.append(run_query(spark, qd.fn, sf_dir))
+            samples.sort()
+            med = samples[len(samples) // 2]
+            pool_cold[name] = round(med, 3)
+            pool_cold_spread[name] = {
+                "min": round(samples[0], 3),
+                "max": round(samples[-1], 3),
+            }
+            print(
+                f"pool-cold {name}: {pool_cold[name]}s "
+                f"[{samples[0]:.3f}..{samples[-1]:.3f}]",
+                file=sys.stderr,
+                flush=True,
+            )
+        SHARED_CACHE.clear()
+
+    loadavg["after"] = os.getloadavg()
+    print(f"loadavg after: {loadavg['after']}", file=sys.stderr)
     total = round(sum(timings.values()), 3)
     # Detail (cold runs, spread) goes to a side file and a PRECEDING
     # stdout line; the FINAL stdout line is the compact headline the
@@ -101,6 +150,10 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "warm_runs": warm_runs,
         "spread": spread,
+        "pool_cold_runs": pool_cold_runs,
+        "pool_cold_queries": pool_cold,
+        "pool_cold_spread": pool_cold_spread,
+        "loadavg": loadavg,
         "sf": sf,
     }
     detail_path = os.environ.get(

@@ -24,7 +24,15 @@ def _c(col: Column | str) -> Column:
 # distance table shed). The string parses to the IDENTICAL expression
 # tree (same casts, same left-to-right fold order), so executed plans
 # and values are bit-for-bit unchanged; Column inputs keep the lambda
-# path.
+# path. The fast path is gated on SIMPLE identifiers: a dotted name
+# ('a.b') means a nested struct field under F.col but a backtick-
+# quoted literal column in SQL — semantics would silently diverge
+# (round-11 ADVICE), so anything that is not a plain identifier
+# falls back to the Column path.
+
+
+def _simple(*names) -> bool:
+    return all(isinstance(n, str) and n.isidentifier() for n in names)
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -45,14 +53,14 @@ def _norm_sql(a: str) -> str:
 def dot(a: Column | str, b: Column | str) -> Column:
     """Σ aᵢ·bᵢ in float64 (left-to-right, matching ANSI SQL reduce
     order so oracle engines agree bit-for-bit)."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _simple(a, b):
         return F.expr(_dot_sql(a, b))
     prods = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double"))
     return F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
 
 
 def norm(a: Column | str) -> Column:
-    if isinstance(a, str):
+    if _simple(a):
         return F.expr(_norm_sql(a))
     return F.sqrt(
         F.aggregate(
@@ -63,7 +71,7 @@ def norm(a: Column | str) -> Column:
 
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; 0.0 for zero-norm inputs (ANSI-safe)."""
-    if isinstance(a, str) and isinstance(b, str):
+    if _simple(a, b):
         denom = f"({_norm_sql(a)} * {_norm_sql(b)})"
         return F.expr(
             f"CASE WHEN {denom} = 0 THEN CAST(0.0 AS DOUBLE) "
@@ -75,7 +83,7 @@ def cosine(a: Column | str, b: Column | str) -> Column:
 
 
 def l2_distance(a: Column | str, b: Column | str) -> Column:
-    if isinstance(a, str) and isinstance(b, str):
+    if _simple(a, b):
         return F.expr(
             f"sqrt(aggregate(zip_with(`{a}`, `{b}`, "
             "(x, y) -> power(CAST(x AS DOUBLE) - CAST(y AS DOUBLE), 2)), "

@@ -21,7 +21,15 @@ from pyspark.sql import DataFrame
 
 
 class BoundedDFCache:
-    def __init__(self, max_entries: int = 8):
+    # 16 entries: the dedup/LSH family alone pins ~7 frames for one
+    # corpus (postings, signatures, capped ranked/cands/arrays, LSH
+    # cands, minhash arrays), so the former 8-entry bound made any
+    # session that mixed two dedup operators (or one plus BM25)
+    # evict-and-rebuild on every alternation (round-11 ADVICE).
+    # Entries are bounded intermediates (linear in postings, persisted
+    # MEMORY_AND_DISK), so doubling the cap costs storage-pool churn
+    # at worst, never correctness — eviction still unpersists.
+    def __init__(self, max_entries: int = 16):
         import threading
 
         self._max = max_entries

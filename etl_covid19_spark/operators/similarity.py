@@ -199,6 +199,46 @@ def ivf_topk_trained_fixedpoint(
     return _ivf_search(emb, queries, cents, vec_col, id_col, k, n_probe)
 
 
+def _ivf_scores_sql(
+    cents: list[tuple[int, list[float]]], vec_col: str
+) -> str:
+    """Per-centroid cosine scores `array<struct<cos,cid>>` as ONE
+    nested-literal SQL string (model constants ride as one literal
+    array, machinery as one transform lambda). Parses to the same
+    casts and left-to-right fold order as the per-centroid Column
+    build it replaced — bit-identity pinned in
+    tests/test_curation.py::TestIvfSearchScores."""
+
+    def _dlit(x: float) -> str:
+        return f"CAST('{x!r}' AS DOUBLE)"
+
+    cents_lit = "array(" + ",".join(
+        "named_struct('cid', %d, 'cv', array(%s))"
+        % (cid, ",".join(_dlit(v) for v in cv))
+        for cid, cv in cents
+    ) + ")"
+    vexpr = f"`{vec_col}`"
+    _dot = (
+        f"aggregate(zip_with({vexpr}, c.cv, "
+        "(x, y) -> CAST(x AS DOUBLE) * y), "
+        "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p)"
+    )
+    _nv = (
+        f"sqrt(aggregate({vexpr}, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    )
+    _nc = (
+        "sqrt(aggregate(c.cv, CAST(0.0 AS DOUBLE), "
+        "(acc, x) -> acc + x * x))"
+    )
+    return (
+        f"transform({cents_lit}, c -> named_struct("
+        f"'cos', CASE WHEN {_nv} * {_nc} = CAST(0.0 AS DOUBLE) "
+        f"THEN CAST(0.0 AS DOUBLE) ELSE {_dot} / ({_nv} * {_nc}) END, "
+        "'cid', c.cid))"
+    )
+
+
 def _ivf_search(
     emb: DataFrame,
     queries: DataFrame,
@@ -210,24 +250,21 @@ def _ivf_search(
 ) -> DataFrame:
     """Shared IVF dataflow: map-side centroid assignment (centroids
     are literals — zero shuffle), bucket equi-join of broadcast
-    probed queries against the corpus, per-query window top-k."""
+    probed queries against the corpus, per-query window top-k.
 
-    def scores(vcol: str) -> F.Column:
-        return F.array(
-            *[
-                F.struct(
-                    vectors.cosine(
-                        vcol,
-                        F.array(*[F.lit(x) for x in cv]),
-                    ).alias("cos"),
-                    F.lit(cid).alias("cid"),
-                )
-                for cid, cv in cents
-            ]
-        )
-
+    The query-side probe expression (per-centroid cosine structs)
+    rides as ONE literal nested array + ONE transform lambda — the
+    ivf_pq nested-literal treatment (round-11): the per-centroid
+    `F.lit`/HOF Column build cost ~0.1-0.2 s of serial driver py4j
+    per invocation and a k-fold bigger tree for every downstream
+    analysis pass. Same casts, same left-to-right fold order —
+    bit-identity with the Column form is pinned in
+    tests/test_curation.py::TestIvfSearchScores."""
     c = _assign_buckets_arrow(emb, cents, vec_col, id_col)
-    probed = F.slice(F.reverse(F.array_sort(scores(vec_col))), 1, n_probe)
+    probed = F.expr(
+        f"slice(reverse(array_sort({_ivf_scores_sql(cents, vec_col)})), "
+        f"1, {n_probe})"
+    )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
@@ -300,7 +337,6 @@ def _assign_buckets_arrow(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("cv"),
         )
-    
     )
 
     def kernel(batches):
@@ -806,7 +842,6 @@ def _probe_buckets_arrow(
         emb.select(
             F.col(id_col).alias("doc"), F.col(vec_col).alias("v")
         )
-    
     )
 
     def kernel(batches):
@@ -1798,7 +1833,6 @@ def hyperplane_buckets_arrow(
             F.col(id_col).cast("long").alias(id_name),
             F.col(vec_col).alias(vec_name),
         )
-    
     )
 
     def kernel(batches):
@@ -2001,7 +2035,6 @@ def hyperplane_near_dup_pairs(
             F.col(id_col).cast("long").alias("doc"),
             F.col(vec_col).alias("_v"),
         )
-    
     )
 
     def kernel(batches):
@@ -2017,11 +2050,43 @@ def hyperplane_near_dup_pairs(
             offs = np.frombuffer(vecs.buffers()[1], dtype=np.int32)[
                 vecs.offset : vecs.offset + n + 1
             ]
-            assert np.all(np.diff(offs) == dim), "ragged embedding"
-            vals = np.frombuffer(flat.buffers()[1], dtype=np.float32)[
-                flat.offset + offs[0] : flat.offset + offs[-1]
-            ]
-            m = vals.reshape(n, dim).astype(np.float64)
+            ids_np = ids.to_numpy(zero_copy_only=False)
+            # NULL/ragged guard (round-11 ADVICE): the values buffer
+            # holds undefined garbage under element-level NULLs, and
+            # a NULL or off-width slot misaligns the rectangular
+            # reshape. Such a vector can never reach the cosine
+            # threshold (HOF cosine over a NULL element is NULL, a
+            # width outlier zip_with-pads to NULL), so those rows are
+            # dropped HERE — before banding — which is pair-for-pair
+            # identical to the old verify-guard drop, with the raw
+            # buffer fast path untouched for clean (bench) corpora.
+            widths = np.diff(offs)
+            keep = widths == dim
+            if vecs.null_count:
+                keep &= vecs.is_valid().to_numpy(zero_copy_only=False)
+            if flat.null_count:
+                en = flat.is_null().to_numpy(zero_copy_only=False)
+                cs = np.r_[0, np.cumsum(en)]
+                keep &= cs[offs[1:]] == cs[offs[:-1]]
+            if not keep.all():
+                vals_all = np.frombuffer(
+                    flat.buffers()[1], dtype=np.float32
+                )
+                idx = (
+                    flat.offset
+                    + offs[:-1][keep][:, None]
+                    + np.arange(dim)[None, :]
+                )
+                m = vals_all[idx].astype(np.float64)
+                ids_np = ids_np[keep]
+                n = len(ids_np)
+                if n == 0:
+                    continue
+            else:
+                vals = np.frombuffer(
+                    flat.buffers()[1], dtype=np.float32
+                )[flat.offset + offs[0] : flat.offset + offs[-1]]
+                m = vals.reshape(n, dim).astype(np.float64)
             # ALL plane dots at once, still in left-to-right fold
             # order per (row, plane): one (n, planes) accumulator
             # advanced dim-by-dim — each plane's partial sum sees
@@ -2053,9 +2118,7 @@ def hyperplane_near_dup_pairs(
             )
             yield pa.record_batch(
                 [
-                    pa.array(
-                        ids.to_numpy(zero_copy_only=False), pa.int64()
-                    ),
+                    pa.array(ids_np, pa.int64()),
                     pa.array(list(keys), pa.list_(pa.int64())),
                     v_arr,
                 ],

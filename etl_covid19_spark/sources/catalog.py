@@ -94,19 +94,27 @@ _SCHEMA_CACHE_MAX = 512
 
 def _local_fingerprint(path: str):
     """(size, mtime_ns) snapshot of a local file, or the sorted
-    per-entry snapshot of a local directory; None when the path is
-    not local-stat-able (object stores / HDFS: schema caching is
-    skipped, Spark infers as before)."""
+    per-file snapshot of a local directory tree; None when the path
+    is not local-stat-able (object stores / HDFS: schema caching is
+    skipped, Spark infers as before). Directories are walked
+    RECURSIVELY (round-11 ADVICE): a partitioned layout (key=value
+    subdirs) rewritten in place changes neither the subdir entry's
+    size nor its mtime_ns, so a non-recursive snapshot could serve a
+    stale schema after a data rewrite."""
     if "://" in path and not path.startswith("file:"):
         return None
     p = path.removeprefix("file://").removeprefix("file:")
     try:
         if os.path.isdir(p):
-            with os.scandir(p) as it:
-                return tuple(sorted(
-                    (e.name, e.stat().st_size, e.stat().st_mtime_ns)
-                    for e in it
-                ))
+            snap = []
+            for root, _dirs, files in os.walk(p):
+                rel = os.path.relpath(root, p)
+                for f in files:
+                    st = os.stat(os.path.join(root, f))
+                    snap.append(
+                        (os.path.join(rel, f), st.st_size, st.st_mtime_ns)
+                    )
+            return tuple(sorted(snap))
         st = os.stat(p)
         return (st.st_size, st.st_mtime_ns)
     except OSError:

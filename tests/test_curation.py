@@ -710,3 +710,57 @@ def test_filter_funnel_is_a_true_cascade(spark):
         .where("pass").count()
     )
     assert rows[4].docs_out == gopher_pass
+
+
+class TestIvfSearchScores:
+    def test_scores_sql_bit_identical(self, spark):
+        """`_ivf_search`'s probe scores ride as ONE nested-literal
+        transform lambda (round-11 verdict ask #5 — the ivf_pq
+        treatment applied to `ivf_search.scores()`). Pin: bit-for-bit
+        equal to the per-centroid Column build it replaced (same
+        casts, same left-to-right fold order), over the full
+        embeddings table including the zero-norm guard."""
+        import struct
+
+        from etl_covid19_spark.functions import vectors
+        from etl_covid19_spark.operators.similarity import (
+            _ivf_scores_sql,
+        )
+        from etl_covid19_spark.sources.catalog import load_table
+
+        emb = load_table(spark, "embeddings", SF)
+        seed_rows = sorted(
+            emb.orderBy("vec_id").limit(8).collect(),
+            key=lambda r: int(r["vec_id"]),
+        )
+        cents = [
+            (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+            for r in seed_rows
+        ]
+
+        # the per-centroid Column build this replaced
+        old_scores = F.array(
+            *[
+                F.struct(
+                    vectors.cosine(
+                        "embedding",
+                        F.array(*[F.lit(x) for x in cv]),
+                    ).alias("cos"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, cv in cents
+            ]
+        )
+        new_scores = F.expr(_ivf_scores_sql(cents, "embedding"))
+
+        def pack(rows, col):
+            return [
+                tuple(
+                    (struct.pack(">d", s["cos"]), s["cid"]) for s in r[col]
+                )
+                for r in sorted(rows, key=lambda r: r["vec_id"])
+            ]
+
+        old_rows = emb.select("vec_id", old_scores.alias("s")).collect()
+        new_rows = emb.select("vec_id", new_scores.alias("s")).collect()
+        assert pack(old_rows, "s") == pack(new_rows, "s")

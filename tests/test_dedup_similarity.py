@@ -1219,3 +1219,75 @@ def test_prefix_filter_equivalent_to_postings_selfjoin(spark):
             ).collect()
         }
         assert got_c == baseline(threshold, 100, "containment"), threshold
+
+
+def test_hyperplane_near_dup_null_and_ragged_vectors(spark):
+    """Round-11 ADVICE (medium): the signature kernel emits `_v`
+    from the raw Arrow values buffer, which holds undefined garbage
+    under element-level NULLs — such rows must be dropped in the
+    kernel (a NULL-element vector can never reach the cosine
+    threshold: HOF cosine is NULL), never flow garbage doubles into
+    verification. Pin: the pair set over a corpus with NULL-slot,
+    NULL-element and ragged vectors equals the pair set over its
+    clean subset, bit-for-bit on the cosine."""
+    import numpy as np
+
+    from etl_covid19_spark.operators.similarity import (
+        hyperplane_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(40, 8)
+    mates = base[:10] + 0.02 * rng.randn(10, 8)
+    clean = np.vstack([base, mates]).astype(np.float32)
+    rows = [(i, clean[i].tolist()) for i in range(len(clean))]
+    dirty = list(rows)
+    # NULL slot, NULL element, ragged width — all must drop out
+    dirty.append((100, None))
+    nulled = clean[0].tolist()
+    nulled[3] = None
+    dirty.append((101, nulled))
+    dirty.append((102, clean[1].tolist()[:5]))
+    schema = "vec_id long, embedding array<float>"
+    got_dirty = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in hyperplane_near_dup_pairs(
+            spark.createDataFrame(dirty, schema),
+            "embedding", "vec_id", threshold=0.9, dim=8,
+        ).collect()
+    }
+    got_clean = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in hyperplane_near_dup_pairs(
+            spark.createDataFrame(rows, schema),
+            "embedding", "vec_id", threshold=0.9, dim=8,
+        ).collect()
+    }
+    assert got_dirty == got_clean
+    assert len(got_clean) >= 5, "construction sanity: planted pairs"
+    assert not any(i >= 100 for p in got_dirty for i in p[:2])
+
+
+def test_vector_sql_fast_path_gated_on_simple_identifiers(spark):
+    """Round-11 ADVICE: the SQL-string fast path backtick-quotes its
+    input, so a dotted name ('s.v') would resolve a literal column
+    named "s.v" while the F.col path resolves the nested struct
+    field — the fast path must therefore be gated on simple
+    identifiers, with dotted names falling back to the Column path
+    (nested-field semantics preserved)."""
+    from etl_covid19_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, ([3.0, 4.0], [4.0, 3.0]))],
+        "pid long, s struct<va: array<double>, vb: array<double>>",
+    )
+    r = df.select(
+        V.dot("s.va", "s.vb").alias("d"),
+        V.norm("s.va").alias("n"),
+        V.cosine("s.va", "s.vb").alias("c"),
+        V.l2_distance("s.va", "s.vb").alias("l"),
+    ).collect()[0]
+    assert r.d == 24.0
+    assert r.n == 5.0
+    assert abs(r.c - 24.0 / 25.0) < 1e-15
+    assert abs(r.l - 2.0 ** 0.5) < 1e-15
