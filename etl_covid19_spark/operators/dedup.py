@@ -14,6 +14,8 @@ quadratic all-pairs problem into a grouped equi-join.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -226,6 +228,22 @@ def minhash_signatures_cached(
         else (lambda: _signatures_from_postings(posts, num_hashes))
     )
     return _DF_CACHE.get_or_build(key, build)
+
+
+def simhash_fps_cached(
+    df: DataFrame, text_col: str, id_col: str, bits: int = 30
+) -> DataFrame:
+    """Pooled SimHash fingerprints (doc_id, simhash) — 16 B/doc,
+    the same bounded-intermediate discipline as the postings pool.
+    `simhash_clusters` references the frame from two plan branches
+    (distinct-fp graph + per-doc assignment join) and `simhash_pairs`
+    from both sides of a self-join; without the pool each branch
+    re-ran the full fingerprint kernel over the corpus (the dominant
+    per-doc cost of the sf100 entropic regime, paid 2×)."""
+    key = ("simhash_fps", _corpus_key(df), text_col, id_col, bits)
+    return _DF_CACHE.get_or_build(
+        key, lambda: simhash_arrow(df, text_col, id_col, bits)
+    )
 
 
 def ngram_jaccard_pairs(
@@ -836,7 +854,6 @@ def simhash_arrow(
         import pyarrow.compute as pc
 
         ws_pat = "[ \t\n\x0b\x0c\r]+"
-        shifts = np.arange(bits, dtype=np.int64)
         for b in batches:
             ids = b.column(0).to_numpy(zero_copy_only=False)
             n_docs = len(ids)
@@ -887,13 +904,25 @@ def simhash_arrow(
                 for ch in tok:
                     acc = (acc * 131 + ord(ch)) % int(P)
                 h[t_i] = acc
-            votes = np.zeros((n_docs, bits), dtype=np.int64)
+            # Per-bit vote sums via reduceat over the (sorted) parent
+            # runs: votes_j = Σ(2b−1) = 2·Σb − n_tokens, bit set iff
+            # votes_j > 0 — integer-identical to the former
+            # (tokens × bits) sign matrix + np.add.at scatter, which
+            # was the kernel's measured hot spot (np.add.at is an
+            # unbuffered per-element scatter: 21 s vs 1.1 s for the
+            # reduceat form on an 8M-token batch — the dominant term
+            # of the sf100 entropic simhash regime).
+            fp = np.zeros(n_docs, dtype=np.int64)
             if len(h):
-                sign = (
-                    ((h[:, None] >> shifts) & 1) * 2 - 1
-                )  # (tokens, bits) in {-1, +1}
-                np.add.at(votes, parents, sign)
-            fp = ((votes > 0).astype(np.int64) << shifts).sum(axis=1)
+                run_start = np.r_[True, parents[1:] != parents[:-1]]
+                starts_idx = np.flatnonzero(run_start)
+                doc_idx = parents[starts_idx]
+                cnt = np.diff(np.r_[starts_idx, len(parents)])
+                for j in range(bits):
+                    s = np.add.reduceat((h >> j) & 1, starts_idx)
+                    fp[doc_idx] |= (
+                        (2 * s - cnt) > 0
+                    ).astype(np.int64) << j
             fp_arr = (
                 pa.array(fp, pa.int64(), mask=null_mask)
                 if null_mask.any()
@@ -914,7 +943,7 @@ def simhash_pairs(
     a pair within hamming distance <= 1 must agree exactly on one
     half (pigeonhole; heuristic recall for larger distances), so
     candidates come from grouped equi-joins, not an all-pairs scan."""
-    fps = simhash_arrow(df, text_col, id_col)
+    fps = simhash_fps_cached(df, text_col, id_col)
     chunks = F.explode(
         F.array(
             *[
@@ -966,19 +995,35 @@ def _bucket_min_labels(v, max_hamming: int, dense_limit: int = 8192):
     cost is rounds×popcount with rounds = O(component diameter)."""
     import numpy as np
 
-    pop = np.unpackbits(
-        np.arange(256, dtype=np.uint8)[:, None], axis=1
-    ).sum(axis=1)
     big = np.int64(2**62)
     m = len(v)
     labels = v.copy()
     step = max(1, (1 << 22) // max(m, 1))
+    # Vectorized SWAR popcount instead of the former per-byte table
+    # gather (pop[x.view(uint8)].sum): the random-access gather was
+    # 27× slower per bucket (567 ms vs 21 ms on a 1932² bucket) and
+    # the m² hamming matrix is this kernel's entire cost on skewed
+    # buckets. 32-bit lanes when the fingerprints fit (they do for
+    # simhash's 30 bits — half the bytes per element), 64-bit SWAR
+    # otherwise; both value-identical to the table form.
+    use32 = m > 0 and int(v.min()) >= 0 and int(v.max()) < (1 << 31)
 
     def ham_rows(c0, c1):
+        if use32:
+            x = np.bitwise_xor(
+                v[c0:c1, None], v[None, :]
+            ).astype(np.int32)
+            x = x - ((x >> 1) & 0x55555555)
+            x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+            x = (x + (x >> 4)) & 0x0F0F0F0F
+            return (x * 0x01010101) >> 24
         x = np.bitwise_xor(v[c0:c1, None], v[None, :])
-        return pop[
-            x.view(np.uint8).reshape(c1 - c0, m, 8)
-        ].sum(axis=2)
+        x = x - ((x >> 1) & 0x5555555555555555)
+        x = (x & 0x3333333333333333) + (
+            (x >> 2) & 0x3333333333333333
+        )
+        x = (x + (x >> 4)) & 0x0F0F0F0F0F0F0F0F
+        return (x * 0x0101010101010101) >> 56
 
     if m <= dense_limit:
         adj = np.empty((m, m), dtype=bool)
@@ -1026,15 +1071,16 @@ def simhash_clusters(
     2. block distinct fps on 15-bit halves, hamming-verify ≤
        `max_hamming` → fp-level edges (Σ per-block distinct² ≪
        Σ per-block docs²);
-    3. min-label connected components over the fp graph (bounded
-       iterative joins, `connected_components`);
+    3. components over the fp stitch graph — the bounded union-find
+       Arrow kernel (`_components_arrow`), falling back to the
+       iterative `connected_components` past `_UF_MAX_EDGES`;
     4. one linear join assigns every doc its component, and the
        cluster id is canonicalized to the component's MIN doc id.
 
     Returns (doc_id, cluster_id); singleton docs carry their own id.
     Same transitive semantics as pairs→components (edges depend only
     on fingerprints), minus the quadratic pair materialization."""
-    fps = simhash_arrow(df, text_col, id_col)
+    fps = simhash_fps_cached(df, text_col, id_col)
     distinct = fps.select("simhash").distinct()
     blocked = distinct.select(
         "simhash",
@@ -1108,8 +1154,22 @@ def simhash_clusters(
                 names=["doc_a", "doc_b"],
             )
 
+    # EXPLICIT partition count: the bucket rows are tiny (16 B/row —
+    # a few MB at bench SFs) but the kernel behind them does Σ m²
+    # pairwise hammings (78M at sf10), so AQE's byte-based coalescing
+    # collapsed `repartition("bk")` to 1-2 tasks and serialized the
+    # whole stage on one core. A user-specified count is exempt from
+    # AQE coalescing; sized from the session's parallelism (cluster-
+    # adaptive, not a local constant). Hash over ~2·32k bucket keys
+    # spreads skew as well as any bucket-preserving layout can — a
+    # single bucket is indivisible by design (bucket-local kernel).
+    sc = df.sparkSession.sparkContext
+    n_tasks = max(
+        sc.defaultParallelism,
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
     fp_edges = (
-        blocked.repartition("bk")
+        blocked.repartition(n_tasks, "bk")
         .mapInArrow(
             star_kernel,
             T.StructType(
@@ -1122,10 +1182,24 @@ def simhash_clusters(
         # NO hamming filter here: a star edge (local-min → member)
         # spans a transitive in-bucket path, so its own hamming may
         # exceed max_hamming — the pairwise threshold was already
-        # applied inside the kernel's adjacency matrix
-        .dropDuplicates(["doc_a", "doc_b"])
+        # applied inside the kernel's adjacency matrix.
+        # (The former dropDuplicates exchange is gone: the union-find
+        # kernel ignores parallel edges and the iterative fallback
+        # distincts internally — it only ever re-deduplicated.)
     )
-    comp = connected_components(fp_edges)  # (doc_id=fp, cluster_id=fp-label)
+    # Materialize the stitch graph once (cuts lineage so neither
+    # component route re-runs the bucket kernel) and route on its
+    # SIZE: the bounded single-task union-find kernel up to
+    # _UF_MAX_EDGES, the distributed iterative propagation beyond —
+    # the stitch graph is a near-dup artifact (≤ 2·|distinct fps|,
+    # sf100 adversarial ~1.4M edges), so the kernel is the expected
+    # path at every measured scale.
+    fp_edges = fp_edges.localCheckpoint(eager=True)
+    if fp_edges.count() <= _UF_MAX_EDGES:
+        comp = _components_arrow(fp_edges)
+    else:  # pragma: no cover — beyond-bound corpora only
+        comp = connected_components(fp_edges)
+    # comp: (doc_id=fp, cluster_id=fp-label)
     fp_comp = fps.join(
         comp.withColumnRenamed("doc_id", "simhash").withColumnRenamed(
             "cluster_id", "_fp_label"
@@ -1140,6 +1214,105 @@ def simhash_clusters(
         F.min("doc_id").alias("cluster_id")
     )
     return fp_comp.join(rep, "_fp_label").select("doc_id", "cluster_id")
+
+
+def _components_arrow(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b"
+) -> DataFrame:
+    """Union-find-style connected components over a BOUNDED edge
+    list in ONE single-partition Arrow kernel → (doc_id, cluster_id
+    = component min), label-identical to `connected_components`
+    (test-pinned on random graphs incl. chains deeper than the
+    iterative `max_iter`).
+
+    This is the round-11-verdict "union-find on band components"
+    successor for the simhash stitch graph: the iterative driver
+    loop re-shuffles the edge list ~6 exchanges per round for
+    O(log diameter) rounds plus a count action each round; here the
+    edges flow through ONE exchange into one task that runs
+    vectorized min-label propagation with pointer doubling in numpy
+    (per round: one E-gather + one reduceat, labels then collapsed
+    by `lab = lab[lab]` to a fixpoint — O((E+N)·log d) total, ~1 s
+    per 10M edges). The caller guards on edge COUNT and falls back
+    to the iterative form beyond `_UF_MAX_EDGES`: a single task is
+    the right tool exactly while the stitch graph is a bounded
+    near-dup artifact (edges ≤ 2·|distinct fps| and in practice ≪),
+    not a corpus-sized frame."""
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("cluster_id", T.LongType(), False),
+        ]
+    )
+
+    def uf_kernel(batches):
+        import pyarrow as pa
+
+        tabs = list(batches)
+        if not tabs:
+            return
+        tbl = pa.Table.from_batches(tabs)
+        if tbl.num_rows == 0:
+            return
+        ea = tbl[a_col].to_numpy(zero_copy_only=False)
+        eb = tbl[b_col].to_numpy(zero_copy_only=False)
+        nodes, inv = np.unique(
+            np.concatenate([ea, eb]), return_inverse=True
+        )
+        ia, ib = inv[: len(ea)], inv[len(ea) :]
+        n = len(nodes)
+        # symmetric adjacency, grouped once: neighbor-min per round
+        # is a gather + reduceat over these fixed run boundaries
+        ends = np.concatenate([ia, ib])
+        nbrs = np.concatenate([ib, ia])
+        order = np.argsort(ends, kind="stable")
+        ends_s = ends[order]
+        nbrs_s = nbrs[order]
+        run_start = np.r_[True, ends_s[1:] != ends_s[:-1]]
+        starts_idx = np.flatnonzero(run_start)
+        # every node IS an edge endpoint (nodes came from the edge
+        # list), so the reduceat runs cover exactly nodes 0..n-1
+        lab = np.arange(n, dtype=np.int64)
+        while True:
+            nmin = np.minimum.reduceat(lab[nbrs_s], starts_idx)
+            new = np.minimum(lab, nmin)
+            changed = not np.array_equal(new, lab)
+            lab = new
+            while True:  # pointer doubling to the current fixpoint
+                nxt = lab[lab]
+                if np.array_equal(nxt, lab):
+                    break
+                lab = nxt
+            if not changed:
+                break
+        yield pa.record_batch(
+            [
+                pa.array(nodes, pa.int64()),
+                pa.array(nodes[lab], pa.int64()),
+            ],
+            names=["doc_id", "cluster_id"],
+        )
+
+    return (
+        pairs.select(
+            F.col(a_col).cast("long").alias(a_col),
+            F.col(b_col).cast("long").alias(b_col),
+        )
+        .repartition(1)
+        .mapInArrow(uf_kernel, out_schema)
+    )
+
+
+# Edge-count bound for the single-task union-find stitch: one task
+# over E 16-byte rows — ~1 s and ~2 GB at the 50M default, far above
+# any measured stitch graph (sf100 adversarial: ~1.4M edges), while
+# corpora whose stitch graph outgrows it route to the distributed
+# iterative propagation instead. Env-overridable for cluster sizing.
+_UF_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_UF_MAX_EDGES", "50000000"))
 
 
 def connected_components(

@@ -1291,3 +1291,50 @@ def test_vector_sql_fast_path_gated_on_simple_identifiers(spark):
     assert r.n == 5.0
     assert abs(r.c - 24.0 / 25.0) < 1e-15
     assert abs(r.l - 2.0 ** 0.5) < 1e-15
+
+
+def test_components_arrow_label_identical_to_iterative(spark):
+    """The single-task union-find kernel (`_components_arrow` — the
+    round-11-verdict band-components successor used by
+    simhash_clusters) is label-identical to the iterative
+    `connected_components` on random graphs, star graphs, parallel/
+    self-referencing duplicate edges, and a chain DEEPER than the
+    iterative path's pointer-doubling round budget would need."""
+    import random
+
+    from pyspark.sql import Row
+
+    from etl_covid19_spark.operators.dedup import (
+        _components_arrow,
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    cases = []
+    # random sparse graph over sparse ids
+    ids = rng.sample(range(10_000_000), 400)
+    cases.append(
+        [
+            (ids[rng.randrange(400)], ids[rng.randrange(400)])
+            for _ in range(300)
+        ]
+    )
+    # deep chain (diameter 120) + islands + duplicate edges
+    chain = [(i * 7, (i + 1) * 7) for i in range(120)]
+    cases.append(chain + chain[:10] + [(5_000_001, 5_000_002)])
+    for edges in cases:
+        edges = [e for e in edges if e[0] != e[1]] or [(1, 2)]
+        pairs = spark.createDataFrame(
+            [Row(doc_a=a, doc_b=b) for a, b in edges]
+        )
+        got_uf = {
+            r.doc_id: r.cluster_id
+            for r in _components_arrow(pairs).collect()
+        }
+        got_it = {
+            r.doc_id: r.cluster_id
+            for r in connected_components(
+                pairs, max_iter=40
+            ).collect()
+        }
+        assert got_uf == got_it
