@@ -1187,18 +1187,10 @@ def simhash_clusters(
         # kernel ignores parallel edges and the iterative fallback
         # distincts internally — it only ever re-deduplicated.)
     )
-    # Materialize the stitch graph once (cuts lineage so neither
-    # component route re-runs the bucket kernel) and route on its
-    # SIZE: the bounded single-task union-find kernel up to
-    # _UF_MAX_EDGES, the distributed iterative propagation beyond —
-    # the stitch graph is a near-dup artifact (≤ 2·|distinct fps|,
-    # sf100 adversarial ~1.4M edges), so the kernel is the expected
-    # path at every measured scale.
-    fp_edges = fp_edges.localCheckpoint(eager=True)
-    if fp_edges.count() <= _UF_MAX_EDGES:
-        comp = _components_arrow(fp_edges)
-    else:  # pragma: no cover — beyond-bound corpora only
-        comp = connected_components(fp_edges)
+    # Size-routed components over the stitch graph (a near-dup
+    # artifact, ≤ 2·|distinct fps|): single-task union-find kernel
+    # inside _UF_MAX_EDGES, distributed iterative propagation beyond.
+    comp = components_auto(fp_edges)
     # comp: (doc_id=fp, cluster_id=fp-label)
     fp_comp = fps.join(
         comp.withColumnRenamed("doc_id", "simhash").withColumnRenamed(
@@ -1313,6 +1305,28 @@ def _components_arrow(
 # corpora whose stitch graph outgrows it route to the distributed
 # iterative propagation instead. Env-overridable for cluster sizing.
 _UF_MAX_EDGES = int(os.environ.get("SPARK_GRAFT_UF_MAX_EDGES", "50000000"))
+
+
+def components_auto(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Size-routed connected components: materialize the pair list
+    once (localCheckpoint — also cuts the pair-graph lineage, so
+    neither route recomputes the candidate join that produced it),
+    then run the single-task union-find kernel (`_components_arrow`)
+    while the edge list is inside `_UF_MAX_EDGES`, else the
+    distributed iterative propagation. Near-dup pair graphs are
+    bounded artifacts (band caps/df caps make them ≪ corpus), so the
+    kernel — one exchange, zero iterative rounds, zero per-round
+    actions — is the expected route at every measured scale; labels
+    are identical either way (test-pinned)."""
+    edges = pairs.select(a_col, b_col).localCheckpoint(eager=True)
+    if edges.count() <= _UF_MAX_EDGES:
+        return _components_arrow(edges, a_col, b_col)
+    return connected_components(edges, a_col, b_col, max_iter)
 
 
 def connected_components(

@@ -878,18 +878,48 @@ def _probe_buckets_arrow(
                     ):
                         X[i] = val
                         ok[i] = True
-            # fold-exact centroid cosines: accumulate dim-by-dim so
-            # every (row, centroid) partial advances through the
-            # scalar fold's op sequence — n_c is a model-sized
-            # constant, so this costs the same as the BLAS form
-            dot = np.zeros((n, n_c))
-            na = np.zeros(n)
-            for d in range(dim_c):
-                dot += X[:, d, None] * C[None, :, d]
-                na += X[:, d] * X[:, d]
+            # BLAS prefilter + fold-exact recompute on sub-eps
+            # margins (the `_assign_buckets_arrow` decision-exactness
+            # discipline). The former all-rows dim-by-dim fold loop
+            # allocated an (n, n_c) temporary per dimension — fine at
+            # the IVF family's 8-16 centroids, but the kNN-graph
+            # paths run this kernel at 500-512 centroids where the
+            # loop was ~10× a single GEMM and the measured bulk of
+            # the sf100 trained-quantizer cost. Only the probe
+            # SELECTION leaves this kernel (no cosine value flows
+            # out), so rows whose top-(p+1) consecutive margins all
+            # exceed 1e-9 provably rank identically under BLAS and
+            # fold (|blas−fold| ≲ 1e-13 at 64 dims); the rest are
+            # recomputed with the exact sequential fold before
+            # ranking.
+            dot = X @ C.T
+            na = (X * X).sum(axis=1)
             denom = np.outer(np.sqrt(na), cnorm)
             with np.errstate(divide="ignore", invalid="ignore"):
                 cos = np.where(denom == 0, 0.0, dot / denom)
+            if n:
+                if p < n_c:
+                    topv = -np.partition(-cos, p, axis=1)[:, : p + 1]
+                    topv = -np.sort(-topv, axis=1)
+                else:
+                    topv = -np.sort(-cos, axis=1)
+                suspect = (
+                    np.diff(topv, axis=1) >= -1e-9
+                ).any(axis=1)
+                if suspect.any():
+                    Xs = X[suspect]
+                    ds = np.zeros((len(Xs), n_c))
+                    nas = np.zeros(len(Xs))
+                    for d in range(dim_c):
+                        ds += Xs[:, d, None] * C[None, :, d]
+                        nas += Xs[:, d] * Xs[:, d]
+                    den_s = np.outer(np.sqrt(nas), cnorm)
+                    with np.errstate(
+                        divide="ignore", invalid="ignore"
+                    ):
+                        cos[suspect] = np.where(
+                            den_s == 0, 0.0, ds / den_s
+                        )
             # per-row order (cos DESC, cid DESC): stable argsort on
             # the cid-reversed matrix keeps higher cids first on ties
             rev = cos[:, ::-1]

@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from etl_covid19_spark.functions import text
 from etl_covid19_spark.operators.dedup import (
-    connected_components,
+    components_auto,
     exact_dedup,
     minhash_lsh_pairs,
 )
@@ -107,7 +107,7 @@ def curate(
     pairs = minhash_lsh_pairs(
         exact_keepers, "_text", "doc_id", threshold=near_dup_threshold
     )
-    clusters = connected_components(pairs)  # only docs in ≥1 pair appear
+    clusters = components_auto(pairs)  # only docs in ≥1 pair appear
     near_dropped = clusters.where(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

@@ -2351,7 +2351,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same components with a recursive CTE over the exact-Jaccard
     pair set."""
     from etl_covid19_spark.operators.dedup import (
-        connected_components,
+        components_auto,
         minhash_lsh_pairs,
     )
 
@@ -2359,7 +2359,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "text", "doc_id",
         n=3, num_hashes=96, bands=24, threshold=0.8,
     )
-    return connected_components(pairs)
+    return components_auto(pairs)
 
 
 @register(
@@ -5629,7 +5629,7 @@ def q_dedup_cluster_representatives(
     counting kernel (`quality_from_counts` replay — the HOF scorer
     was ~half this query's sf10 cost)."""
     from etl_covid19_spark.operators.dedup import (
-        connected_components,
+        components_auto,
         minhash_lsh_pairs,
     )
 
@@ -5637,7 +5637,7 @@ def q_dedup_cluster_representatives(
     pairs = minhash_lsh_pairs(
         docs, "text", "doc_id", n=3, num_hashes=96, bands=24, threshold=0.8
     )
-    clusters = connected_components(pairs)
+    clusters = components_auto(pairs)
     q = text.quality_counts_arrow(docs, ["doc_id"], "text").select(
         "doc_id", text.quality_from_counts()["quality"].alias("quality")
     )
