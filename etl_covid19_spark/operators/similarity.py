@@ -1196,11 +1196,14 @@ def train_centroids_fixedpoint(
       2. assignment = `_probe_buckets_arrow(n_probe=1)` — one
          map-side Arrow pass, fold-exact cosine, ties to higher cid
          (bit-deterministic across engines, no epsilon);
-      3. per-cell componentwise mean: posexplode to (bucket, dim)
-         rows, map each component to floor(x·scale) int64, hash-agg
-         SUM/COUNT (partials collapse map-side to n_centroids·d rows
-         per partition), mean = (double)s / ((double)n·scale) — one
-         IEEE division of exactly-agreed operands, so the oracle's
+      3. per-cell componentwise mean: an Arrow kernel maps each
+         component to floor(x·scale) int64 and emits per-batch
+         (bucket, d, Σq, count) partials (≤ buckets·d rows per
+         batch — the posexplode form pushed n·d rows through JVM
+         generate first), a hash-agg SUMs them, mean =
+         (double)s / ((double)n·scale) — int64 partials are exact
+         under any grouping and the division is one IEEE op on
+         exactly-agreed operands, so the oracle's
          `CAST(s AS DOUBLE)/(n*1000000.0)` reproduces every centroid
          component bit-for-bit;
       4. re-pack per cell via sorted collect_list (bounded: d entries
@@ -1221,19 +1224,80 @@ def train_centroids_fixedpoint(
         .collect()
     ]
     assigned = _probe_buckets_arrow(emb, seeds, vec_col, id_col, 1)
+    # Per-(bucket, dim) fixed-point partial sums as an Arrow kernel:
+    # the posexplode form generated n·d rows (128M at sf100's 2M×64)
+    # through JVM generate/project before the hash aggregate could
+    # collapse them. The kernel emits ≤ |buckets in batch|·d partial
+    # rows per batch — floor(cast(x as double)·scale) in numpy is
+    # the identical IEEE multiply+floor, and int64 partial sums are
+    # exact under any grouping, so the final SUM/COUNT (and hence
+    # every centroid component and the SQL oracle) is bit-identical
+    # (guide §4.2: hand whole batches to vectorized code; §2.3
+    # aggregate before you shuffle).
+    import numpy as np
+
+    from pyspark.sql import types as T
+
+    part_schema = T.StructType(
+        [
+            T.StructField("bucket", T.IntegerType(), False),
+            T.StructField("d", T.IntegerType(), False),
+            T.StructField("s", T.LongType(), False),
+            T.StructField("n", T.LongType(), False),
+        ]
+    )
+    fscale = float(scale)
+
+    def _partials(batches):
+        import pyarrow as pa
+
+        for b in batches:
+            nb = len(b)
+            if not nb:
+                continue
+            buckets = b.column(0).to_numpy(zero_copy_only=False)
+            col = b.column(1)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            flat = col.flatten()
+            dim = len(flat) // nb
+            X = np.asarray(flat, dtype=np.float64).reshape(nb, dim)
+            q = np.floor(X * fscale).astype(np.int64)
+            order = np.argsort(buckets, kind="stable")
+            bs = buckets[order]
+            starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
+            uniq = bs[starts]
+            sums = np.add.reduceat(q[order], starts, axis=0)
+            cnts = np.diff(np.r_[starts, nb])
+            k = len(uniq)
+            yield pa.record_batch(
+                [
+                    pa.array(
+                        np.repeat(uniq, dim).astype(np.int32),
+                        pa.int32(),
+                    ),
+                    pa.array(
+                        np.tile(
+                            np.arange(dim, dtype=np.int32), k
+                        ),
+                        pa.int32(),
+                    ),
+                    pa.array(sums.reshape(-1), pa.int64()),
+                    pa.array(
+                        np.repeat(
+                            cnts.astype(np.int64), dim
+                        ),
+                        pa.int64(),
+                    ),
+                ],
+                names=["bucket", "d", "s", "n"],
+            )
+
     comp = (
-        assigned.select(
-            "bucket", F.posexplode("v").alias("d", "x")
-        )
-        .select(
-            "bucket",
-            "d",
-            F.floor(F.col("x").cast("double") * F.lit(float(scale)))
-            .cast("long")
-            .alias("q"),
-        )
+        assigned.select("bucket", "v")
+        .mapInArrow(_partials, part_schema)
         .groupBy("bucket", "d")
-        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
     )
     cells = (
         comp.groupBy("bucket")

@@ -39,6 +39,7 @@ QUERIES = [
 
 def run_one(mrg_dir: str, cpus: int) -> dict[str, float]:
     """One fresh process per core count (master is a static conf)."""
+    mpb = os.environ.get("SCALING_MPB", "262144")
     code = f"""
 import json, sys, time
 sys.path.insert(0, {str(Path(__file__).resolve().parent.parent)!r})
@@ -46,7 +47,7 @@ from etl_covid19_spark.queries import REGISTRY
 from etl_covid19_spark.session import get_spark
 spark = get_spark(
     "profile_scaling", master="local[{cpus}]",
-    extra_conf={{"spark.sql.files.maxPartitionBytes": "262144",
+    extra_conf={{"spark.sql.files.maxPartitionBytes": {mpb!r},
                  "spark.sql.files.openCostInBytes": "65536"}},
 )
 spark.sparkContext.setLogLevel("ERROR")
@@ -85,7 +86,7 @@ def main() -> None:
     lo, hi = min(cpu_list), max(cpu_list)
     report = {
         "mrg_dir": mrg_dir,
-        "max_partition_bytes": 262144,
+        "max_partition_bytes": os.environ.get("SCALING_MPB", "262144"),
         "loadavg": os.getloadavg(),
         "per_cpu": {str(c): results[c] for c in cpu_list},
         "ratio_low_over_high": {
