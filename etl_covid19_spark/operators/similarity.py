@@ -892,40 +892,71 @@ def _probe_buckets_arrow(
             # fold (|blas−fold| ≲ 1e-13 at 64 dims); the rest are
             # recomputed with the exact sequential fold before
             # ranking.
+            # cos = dot · (1/‖x‖) · (1/‖c‖), built in place (three
+            # (n, n_c) temporaries of the where/divide form were pure
+            # memory traffic); zero-norm rows/cols get reciprocal 0,
+            # and their dot entries are exactly 0, so cos lands on
+            # the HOF's 0.0 exactly.
             dot = X @ C.T
             na = (X * X).sum(axis=1)
-            denom = np.outer(np.sqrt(na), cnorm)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = np.where(denom == 0, 0.0, dot / denom)
-            if n:
-                if p < n_c:
-                    topv = -np.partition(-cos, p, axis=1)[:, : p + 1]
-                    topv = -np.sort(-topv, axis=1)
-                else:
-                    topv = -np.sort(-cos, axis=1)
-                suspect = (
-                    np.diff(topv, axis=1) >= -1e-9
-                ).any(axis=1)
-                if suspect.any():
-                    Xs = X[suspect]
-                    ds = np.zeros((len(Xs), n_c))
-                    nas = np.zeros(len(Xs))
-                    for d in range(dim_c):
-                        ds += Xs[:, d, None] * C[None, :, d]
-                        nas += Xs[:, d] * Xs[:, d]
-                    den_s = np.outer(np.sqrt(nas), cnorm)
-                    with np.errstate(
-                        divide="ignore", invalid="ignore"
-                    ):
-                        cos[suspect] = np.where(
-                            den_s == 0, 0.0, ds / den_s
-                        )
-            # per-row order (cos DESC, cid DESC): stable argsort on
-            # the cid-reversed matrix keeps higher cids first on ties
-            rev = cos[:, ::-1]
-            order = n_c - 1 - np.argsort(
-                -rev, axis=1, kind="stable"
-            )[:, :p]
+            inv_n = np.zeros_like(na)
+            nz = na > 0
+            inv_n[nz] = 1.0 / np.sqrt(na[nz])
+            inv_c = np.zeros_like(cnorm)
+            cz = cnorm > 0
+            inv_c[cz] = 1.0 / cnorm[cz]
+            cos = dot
+            cos *= inv_n[:, None]
+            cos *= inv_c[None, :]
+            # Top-p selection by p+1 repeated argmax passes — O(n_c)
+            # per row. The former all-rows full stable argsort was
+            # O(n_c log n_c) per row and materialized an (n, n_c)
+            # index matrix (~8 GB of sort traffic per 2M-row pass at
+            # 512 centroids — the measured bulk of the sf100
+            # assignment stage; np.argpartition's per-row introselect
+            # benched slower than the full sort). Rows whose top-(p+1)
+            # consecutive margins all exceed 1e-9 can neither tie (so
+            # cid order is irrelevant) nor rank differently under the
+            # approximate product form vs the exact fold
+            # (|approx−fold| ≲ 1e-13 at 64 dims); every other row is
+            # recomputed with the exact sequential fold and ranked by
+            # the original stable (cos DESC, cid DESC) argsort.
+            k_sel = min(p + 1, n_c)
+            sel = np.empty((n, k_sel), dtype=np.int64)
+            vals = np.empty((n, k_sel))
+            rowix = np.arange(n)
+            for r in range(k_sel):
+                j = np.argmax(cos, axis=1)
+                sel[:, r] = j
+                vals[:, r] = cos[rowix, j]
+                cos[rowix, j] = -np.inf
+            order = sel[:, :p]
+            # argmax treats NaN as the max (argsort ranked it last):
+            # any NaN cosine is selected in pass 1, so isnan(vals)
+            # catches every NaN row and routes it to the exact path.
+            suspect = (np.diff(vals, axis=1) >= -1e-9).any(
+                axis=1
+            ) | np.isnan(vals).any(axis=1)
+            if n and suspect.any():
+                Xs = X[suspect]
+                ds = np.zeros((len(Xs), n_c))
+                nas = np.zeros(len(Xs))
+                for d in range(dim_c):
+                    ds += Xs[:, d, None] * C[None, :, d]
+                    nas += Xs[:, d] * Xs[:, d]
+                den_s = np.outer(np.sqrt(nas), cnorm)
+                with np.errstate(
+                    divide="ignore", invalid="ignore"
+                ):
+                    cos_s = np.where(den_s == 0, 0.0, ds / den_s)
+                rev_s = cos_s[:, ::-1]
+                order[suspect] = (
+                    n_c
+                    - 1
+                    - np.argsort(-rev_s, axis=1, kind="stable")[
+                        :, :p
+                    ]
+                )
             rows = np.repeat(np.arange(n), p)[ok.repeat(p)]
             buckets = cids[order.reshape(-1)][ok.repeat(p)]
             ranks = np.tile(np.arange(1, p + 1), n)[ok.repeat(p)]
@@ -1196,14 +1227,11 @@ def train_centroids_fixedpoint(
       2. assignment = `_probe_buckets_arrow(n_probe=1)` — one
          map-side Arrow pass, fold-exact cosine, ties to higher cid
          (bit-deterministic across engines, no epsilon);
-      3. per-cell componentwise mean: an Arrow kernel maps each
-         component to floor(x·scale) int64 and emits per-batch
-         (bucket, d, Σq, count) partials (≤ buckets·d rows per
-         batch — the posexplode form pushed n·d rows through JVM
-         generate first), a hash-agg SUMs them, mean =
-         (double)s / ((double)n·scale) — int64 partials are exact
-         under any grouping and the division is one IEEE op on
-         exactly-agreed operands, so the oracle's
+      3. per-cell componentwise mean: posexplode to (bucket, dim)
+         rows, map each component to floor(x·scale) int64, hash-agg
+         SUM/COUNT (partials collapse map-side to n_centroids·d rows
+         per partition), mean = (double)s / ((double)n·scale) — one
+         IEEE division of exactly-agreed operands, so the oracle's
          `CAST(s AS DOUBLE)/(n*1000000.0)` reproduces every centroid
          component bit-for-bit;
       4. re-pack per cell via sorted collect_list (bounded: d entries
@@ -1224,80 +1252,19 @@ def train_centroids_fixedpoint(
         .collect()
     ]
     assigned = _probe_buckets_arrow(emb, seeds, vec_col, id_col, 1)
-    # Per-(bucket, dim) fixed-point partial sums as an Arrow kernel:
-    # the posexplode form generated n·d rows (128M at sf100's 2M×64)
-    # through JVM generate/project before the hash aggregate could
-    # collapse them. The kernel emits ≤ |buckets in batch|·d partial
-    # rows per batch — floor(cast(x as double)·scale) in numpy is
-    # the identical IEEE multiply+floor, and int64 partial sums are
-    # exact under any grouping, so the final SUM/COUNT (and hence
-    # every centroid component and the SQL oracle) is bit-identical
-    # (guide §4.2: hand whole batches to vectorized code; §2.3
-    # aggregate before you shuffle).
-    import numpy as np
-
-    from pyspark.sql import types as T
-
-    part_schema = T.StructType(
-        [
-            T.StructField("bucket", T.IntegerType(), False),
-            T.StructField("d", T.IntegerType(), False),
-            T.StructField("s", T.LongType(), False),
-            T.StructField("n", T.LongType(), False),
-        ]
-    )
-    fscale = float(scale)
-
-    def _partials(batches):
-        import pyarrow as pa
-
-        for b in batches:
-            nb = len(b)
-            if not nb:
-                continue
-            buckets = b.column(0).to_numpy(zero_copy_only=False)
-            col = b.column(1)
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            flat = col.flatten()
-            dim = len(flat) // nb
-            X = np.asarray(flat, dtype=np.float64).reshape(nb, dim)
-            q = np.floor(X * fscale).astype(np.int64)
-            order = np.argsort(buckets, kind="stable")
-            bs = buckets[order]
-            starts = np.flatnonzero(np.r_[True, bs[1:] != bs[:-1]])
-            uniq = bs[starts]
-            sums = np.add.reduceat(q[order], starts, axis=0)
-            cnts = np.diff(np.r_[starts, nb])
-            k = len(uniq)
-            yield pa.record_batch(
-                [
-                    pa.array(
-                        np.repeat(uniq, dim).astype(np.int32),
-                        pa.int32(),
-                    ),
-                    pa.array(
-                        np.tile(
-                            np.arange(dim, dtype=np.int32), k
-                        ),
-                        pa.int32(),
-                    ),
-                    pa.array(sums.reshape(-1), pa.int64()),
-                    pa.array(
-                        np.repeat(
-                            cnts.astype(np.int64), dim
-                        ),
-                        pa.int64(),
-                    ),
-                ],
-                names=["bucket", "d", "s", "n"],
-            )
-
     comp = (
-        assigned.select("bucket", "v")
-        .mapInArrow(_partials, part_schema)
+        assigned.select(
+            "bucket", F.posexplode("v").alias("d", "x")
+        )
+        .select(
+            "bucket",
+            "d",
+            F.floor(F.col("x").cast("double") * F.lit(float(scale)))
+            .cast("long")
+            .alias("q"),
+        )
         .groupBy("bucket", "d")
-        .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
     )
     cells = (
         comp.groupBy("bucket")
