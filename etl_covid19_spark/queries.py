@@ -11256,12 +11256,18 @@ def q_normalized_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     one; the oracle's COUNT(DISTINCT raw) agrees whenever no
     collision occurs, i.e. always in practice."""
     d = _t(spark, sf_dir, "documents")
+    # One fused regex pass instead of strip-then-collapse: a maximal
+    # run of non-alphanumerics (each char either whitespace or
+    # junk-replaced-by-space) becomes exactly one space under both
+    # forms, so the output string is identical — verified 0 differing
+    # rows over the full 5M-doc sf100 entropic corpus, oracle
+    # (which keeps the two-pass spelling) green at sf0.01/sf0.1.
+    # The collapse pass dominated the query: its ~one-match-per-gap
+    # rebuild over every document body measured 361.3 -> 28.6 s
+    # (12.6x) at sf100 entropic (guide §4 — per-row work is the
+    # operator; OPTIMIZATION_r12.md "normalized_exact_dedup").
     ntext = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
-            r"\s+",
-            " ",
-        )
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
     )
     g = (
         d.select(

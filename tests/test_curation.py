@@ -685,6 +685,47 @@ def test_normalized_dedup_catches_case_and_punct_variants(spark, tmp_path):
     assert out[4].n_docs == 2 and out[4].n_raw_variants == 1
 
 
+def test_normalization_fused_regex_identical(spark):
+    """The fused one-pass normalization ([^a-z0-9]+ -> ' ') is
+    string-identical to the historical two-pass form (strip
+    non-alnum-non-ws, then collapse \\s+): a maximal run of
+    non-alphanumerics becomes exactly one space either way. Pinned
+    on adversarial strings — tab/newline/CR runs, unicode NBSP
+    (NOT Java \\s, so junk-replaced in pass 1 under the old form),
+    punctuation runs, mixed junk+whitespace runs, leading/trailing
+    junk, digits, empty, all-junk."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("Hello,  World!",),
+        ("  \t\n mixed \r\n WS\t",),
+        ("nbsp here  twice",),
+        ("punct!!!runs###and---dashes",),
+        ("a.b,c;d:e",),
+        ("...leading and trailing...",),
+        ("digits 123 and 456x",),
+        ("",),
+        ("!!!",),
+        ("ümläut ünïcode mixed ascii",),
+        ("a" * 500 + "!?" + "b" * 500,),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    two_pass = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9\s]", " "),
+            r"\s+",
+            " ",
+        )
+    )
+    fused = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " ")
+    )
+    diff = df.select(two_pass.alias("a"), fused.alias("b")).where(
+        F.col("a") != F.col("b")
+    )
+    assert diff.count() == 0
+
+
 def test_filter_funnel_is_a_true_cascade(spark):
     """Funnel invariants at fixture scale: docs_out chains into the
     next stage's docs_in, counts are monotone non-increasing, and
